@@ -1,0 +1,226 @@
+"""Vectorized numpy Bloom kernel — bit-exact replica of the reference hot path.
+
+Everything here operates on ``np.uint64`` arrays (one element per row of an
+Arrow batch) and a flat ``np.uint64`` word array (the bit vector). There is no
+per-row Python anywhere: hashing, index derivation, bit set/probe, and merge
+are all whole-array numpy expressions.
+
+Bit-exact parity targets (reference = tomtomwombat/fastbloom):
+
+* index derivation: ``index(m, h) = (h as u128 * m) >> 64`` — Lemire
+  multiply-shift range reduction, NOT ``h % m`` (``src/lib.rs:396-399``).
+  numpy has no u128, so the high 64 bits of the product are computed with
+  32-bit limbs.
+* double hashing: ``h2 = h1.wrapping_mul(0x517cc1b727220a95)``;
+  ``next(): h1 = rotl(h1, 5).wrapping_add(h2)`` — Kirsch-Mitzenmacher
+  composition (``src/hasher.rs:185-212``). The SOURCE hash itself addresses
+  the first bit; the double hasher supplies only the k-1 subsequent probes
+  (``src/lib.rs:261-270``, ``src/lib.rs:180-191``).
+* word layout: bit ``i`` lives in word ``i >> 6`` under mask
+  ``1 << (i & 63)`` (``src/bit_vector.rs:164-167``).
+* merge: union = word-wise OR, intersect = word-wise AND
+  (``src/bit_vector.rs:98-112``) — associative and commutative, so any merge
+  tree over the same inserts yields identical bits.
+
+The hasher layer is deliberately NOT SipHash (the north rule requires
+hasher-agnostic K-M index derivation, not SipHash identity): the 64-bit source
+hash is ``mix64(digest64 ^ mix64(seed))`` where ``digest64`` is the first 8
+bytes (big-endian) of ``sha256(content)`` — the per-row invariant column — and
+``mix64`` is the public-domain splitmix64 finalizer (Vigna, 2015).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+_MASK32 = U64(0xFFFFFFFF)
+_SHIFT32 = U64(32)
+_KM_MULT = U64(0x517CC1B727220A95)
+_ROT = U64(5)
+_ROT_INV = U64(64 - 5)
+_ONE = U64(1)
+_WORD_SHIFT = U64(6)
+_BIT_MASK = U64(63)
+
+# splitmix64 finalizer constants (public domain, S. Vigna)
+_SM1 = U64(0xBF58476D1E4943B3)
+_SM2 = U64(0x94D049BB133111EB)
+
+
+def mix64(x: np.ndarray | int) -> np.ndarray | np.uint64:
+    """splitmix64 finalizer: invertible uniform mixer on u64."""
+    with np.errstate(over="ignore"):
+        z = U64(x) if isinstance(x, int) else x.astype(U64, copy=True)
+        z = (z ^ (z >> U64(30))) * _SM1
+        z = (z ^ (z >> U64(27))) * _SM2
+        return z ^ (z >> U64(31))
+
+
+def source_hash(digest64: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Seeded source hash from pre-computed digests (analogue of the
+    reference's keyed ``source_hash``, ``src/lib.rs:221-225``).
+
+    ``digest64`` may be int64 (two's complement view, as Spark ships longs) or
+    uint64; the result is uint64.
+    """
+    d = np.asarray(digest64)
+    if d.dtype != U64:
+        d = d.astype(np.int64, copy=False).view(U64)
+    with np.errstate(over="ignore"):
+        return mix64(d ^ mix64(int(seed) & 0xFFFFFFFFFFFFFFFF))
+
+
+def digest64_bytes(data: bytes) -> int:
+    """First 8 bytes of sha256(data), big-endian, as SIGNED int64 (two's
+    complement) — matches what the Spark-side ``digest64`` column expression
+    produces JVM-side. Local/test path only (the Spark path never calls
+    per-row Python)."""
+    u = int.from_bytes(hashlib.sha256(data).digest()[:8], "big")
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def mulhi64(h: np.ndarray, m: int) -> np.ndarray:
+    """High 64 bits of the 128-bit product ``h * m`` via 32-bit limbs.
+
+    Bit-exact replica of ``index(num_bits, hash)`` (``src/lib.rs:396-399``)
+    when ``m`` = num_bits.
+    """
+    with np.errstate(over="ignore"):
+        mm = U64(m)
+        m_lo = mm & _MASK32
+        m_hi = mm >> _SHIFT32
+        a_lo = h & _MASK32
+        a_hi = h >> _SHIFT32
+        lo_lo = a_lo * m_lo
+        hi_lo = a_hi * m_lo
+        lo_hi = a_lo * m_hi
+        # carry-safe: each term < 2^32 or < 2^64 - 2^33, sum < 2^64
+        cross = (lo_lo >> _SHIFT32) + (hi_lo & _MASK32) + lo_hi
+        return a_hi * m_hi + (hi_lo >> _SHIFT32) + (cross >> _SHIFT32)
+
+
+def _next_hash(h: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """One step of the K-M recurrence: h = rotl(h, 5) + h2
+    (``src/hasher.rs:207-211``)."""
+    with np.errstate(over="ignore"):
+        return ((h << _ROT) | (h >> _ROT_INV)) + h2
+
+
+def _set_bits(words: np.ndarray, bit_idx: np.ndarray) -> None:
+    """OR the given bit indexes into ``words`` (handles duplicates).
+
+    Sort + reduceat path: argsort the word indexes, OR-reduce masks per
+    distinct word, then one vectorized |= — much faster than
+    ``np.bitwise_or.at`` for large batches.
+    """
+    if bit_idx.size == 0:
+        return
+    w = (bit_idx >> _WORD_SHIFT).astype(np.int64)
+    masks = _ONE << (bit_idx & _BIT_MASK)
+    if w.size <= 2048:
+        np.bitwise_or.at(words, w, masks)
+        return
+    order = np.argsort(w, kind="stable")
+    w_s = w[order]
+    m_s = masks[order]
+    starts = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1]])
+    reduced = np.bitwise_or.reduceat(m_s, starts)
+    words[w_s[starts]] |= reduced
+
+
+def _check_bits(words: np.ndarray, bit_idx: np.ndarray) -> np.ndarray:
+    """Boolean vector: is each bit set? (``src/bit_vector.rs:42-46``)."""
+    w = (bit_idx >> _WORD_SHIFT).astype(np.int64)
+    masks = _ONE << (bit_idx & _BIT_MASK)
+    return (words[w] & masks) != U64(0)
+
+
+def insert_hashes(words: np.ndarray, hashes: np.ndarray, num_hashes: int) -> None:
+    """Batch insert of pre-computed source hashes.
+
+    Vectorized replica of ``insert_hash`` (``src/lib.rs:261-270``): the source
+    hash addresses bit ``index(m, h)``; the remaining k-1 probes come from the
+    double-hash stream. ``words`` is mutated in place; ``m`` is derived from
+    ``words.size * 64``.
+    """
+    m = words.size * 64
+    h = hashes.astype(U64, copy=False)
+    _set_bits(words, mulhi64(h, m))
+    if num_hashes > 1:
+        with np.errstate(over="ignore"):
+            h2 = h * _KM_MULT
+            hj = h
+            for _ in range(num_hashes - 1):
+                hj = _next_hash(hj, h2)
+                _set_bits(words, mulhi64(hj, m))
+
+
+def contains_hashes(words: np.ndarray, hashes: np.ndarray, num_hashes: int) -> np.ndarray:
+    """Batch membership probe of pre-computed source hashes.
+
+    Vectorized replica of ``contains_hash`` (``src/lib.rs:180-191``) including
+    the short-circuit: the first probe (the source hash's own bit) is checked
+    for the whole batch, and the k-1 derived probes are evaluated only for
+    surviving rows (numpy boolean compression reproduces the reference's
+    early-exit batch-wise).
+    """
+    m = words.size * 64
+    h = hashes.astype(U64, copy=False)
+    result = _check_bits(words, mulhi64(h, m))
+    if num_hashes > 1 and result.any():
+        alive = np.flatnonzero(result)
+        hj = h[alive]
+        with np.errstate(over="ignore"):
+            h2 = hj * _KM_MULT
+            ok = np.ones(alive.size, dtype=bool)
+            for _ in range(num_hashes - 1):
+                hj = _next_hash(hj, h2)
+                ok &= _check_bits(words, mulhi64(hj, m))
+                if not ok.any():
+                    break
+        result[alive] = ok
+    return result
+
+
+def union_words(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Word-wise OR merge (``src/bit_vector.rs:98-104``). Asserts equal length."""
+    if a.size != b.size:
+        raise ValueError(f"word length mismatch: {a.size} != {b.size}")
+    return np.bitwise_or(a, b)
+
+
+def intersect_words(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Word-wise AND (``src/bit_vector.rs:106-112``). Asserts equal length."""
+    if a.size != b.size:
+        raise ValueError(f"word length mismatch: {a.size} != {b.size}")
+    return np.bitwise_and(a, b)
+
+
+# -- (de)serialization: the `from_vec` / `iter` surface --------------------------
+
+
+def words_to_bytes(words: np.ndarray) -> bytes:
+    """Serialize the bit vector as little-endian u64 words (the reference's
+    ``iter()``/``as_slice()`` surface, ``src/lib.rs:206-214``)."""
+    return words.astype("<u8", copy=False).tobytes()
+
+
+def words_from_bytes(buf: bytes) -> np.ndarray:
+    """Rehydrate a bit vector (the reference's ``from_vec``,
+    ``src/lib.rs:148-150``)."""
+    if len(buf) == 0 or len(buf) % 8 != 0:
+        raise ValueError("sketch byte buffer must be a non-empty multiple of 8")
+    return np.frombuffer(buf, dtype="<u8").astype(U64, copy=True)
+
+
+def words_to_longs(words: np.ndarray) -> list[int]:
+    """Words as signed int64 list (checkpoint column ``words: array<long>``)."""
+    return words.view(np.int64).tolist()
+
+
+def words_from_longs(longs) -> np.ndarray:
+    """Inverse of :func:`words_to_longs`."""
+    return np.asarray(longs, dtype=np.int64).view(U64).copy()

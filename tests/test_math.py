@@ -1,0 +1,106 @@
+"""Analytic-math parity ports of the reference's builder tests.
+
+Ports: fastbloom src/builder.rs:284-305 (test_expected_false_pos),
+src/builder.rs:311-329 (test_optimal_hashes), src/builder.rs:337-377
+(data_size / specified_hashes / zero-hash coercion).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fastbloom_spark.config import (
+    BloomConfig,
+    expected_density,
+    expected_false_pos,
+    optimal_hashes,
+    optimal_size,
+    round_up_bits,
+)
+
+
+def test_expected_false_pos_tracks_target():
+    """optimal_size ⇒ analytic FPR ≈ target (1% thresh, 10% when tiny) —
+    port of src/builder.rs:284-305."""
+    for items_mag in range(1, 33):
+        items = 2**items_mag
+        for fp_mag in range(1, 17):
+            target_fp = 1.0 / 10**fp_mag
+            size = optimal_size(items, target_fp)
+            thresh = 0.1 if size < 256 else 0.01
+            h = optimal_hashes(size, items)
+            density = expected_density(h, size, items)
+            fp = expected_false_pos(h, density)
+            assert abs(fp - target_fp) <= thresh * target_fp or fp < target_fp, (
+                items, target_fp, size, h, fp)
+
+
+def test_optimal_hashes_density_nearest_half():
+    """k* puts the expected density nearest 0.5 — port of
+    src/builder.rs:311-329."""
+    for bits_mag in range(6, 17):
+        bits = 2**bits_mag
+        for items_mag in range(1, 17):
+            items = 2**items_mag
+            k = optimal_hashes(bits, items)
+            if k > 1000:  # too sensitive to rounding (reference skip)
+                continue
+            d = expected_density(k, bits, items)
+            for alt in (k - 1, k + 1):
+                if alt < 1:
+                    continue
+                d_alt = expected_density(alt, bits, items)
+                assert abs(d - 0.5) <= abs(d_alt - 0.5), (bits, items, k)
+
+
+def test_optimal_size_constants():
+    """8-byte ceiling and 64-bit floor replicated exactly
+    (src/builder.rs:256-261)."""
+    assert optimal_size(1, 0.5) == 64          # floor kicks in
+    assert optimal_size(10, 1e-300) % 8 == 0   # byte-ceiled
+    ln2sq = math.log(2.0) ** 2
+    n, fp = 1000, 0.001
+    expect = 8 * math.ceil(n * math.log(fp) / (-8.0 * ln2sq))
+    assert optimal_size(n, fp) == max(expect, 64)
+
+
+def test_round_half_away_from_zero_parity():
+    """Rust f64::round is half-away-from-zero; k computation must match
+    (Python's round() would bank to even)."""
+    # ln2 * m / n == 2.5 exactly is impossible; construct via direct check
+    from fastbloom_spark.config import _round_half_away
+    assert _round_half_away(2.5) == 3
+    assert _round_half_away(3.5) == 4
+    assert _round_half_away(2.4999) == 2
+
+
+def test_config_invariants():
+    """m rounded up to x64, m >= 64, k >= 1 (src/lib.rs:79-88,
+    src/builder.rs:80-106)."""
+    c = BloomConfig(num_bits=1, num_hashes=0)
+    assert c.num_bits == 64 and c.num_hashes == 1
+    c = BloomConfig(num_bits=65, num_hashes=4)
+    assert c.num_bits == 128
+    assert round_up_bits(512) == 512
+    with pytest.raises(ValueError):
+        BloomConfig(num_bits=0, num_hashes=1)
+    with pytest.raises(ValueError):
+        BloomConfig.from_false_pos(0.0, expected_items=10)
+
+
+def test_config_builder_paths():
+    c = BloomConfig.from_false_pos(0.001, expected_items=1000)
+    assert c.num_bits == optimal_size(1000, 0.001) + (-optimal_size(1000, 0.001)) % 64
+    assert c.num_hashes == optimal_hashes(optimal_size(1000, 0.001), 1000)
+    c2 = BloomConfig.with_num_bits(4096, expected_items=100)
+    assert c2.num_hashes == optimal_hashes(4096, 100)
+    c3 = BloomConfig.with_num_bits(1024, num_hashes=4, seed=9)
+    assert (c3.num_bits, c3.num_hashes, c3.seed) == (1024, 4, 9)
+
+
+def test_expected_false_pos_method():
+    c = BloomConfig.with_num_bits(8192, num_hashes=5)
+    d = expected_density(5, 8192, 500)
+    assert c.expected_false_pos(500) == pytest.approx(d**5, rel=1e-12)
