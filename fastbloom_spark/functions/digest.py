@@ -1,0 +1,53 @@
+"""Digest column expressions — the per-row invariant, computed JVM-side.
+
+``digest64(col)`` is the Spark analogue of the reference's pre-hash surface
+(``insert_hash`` / ``contains_hash``, fastbloom ``src/lib.rs:174``,
+``src/lib.rs:217-219``): one real hash per item, computed once, with every
+probe index derived from it downstream. It is the first 8 bytes (big-endian)
+of ``sha256(value)`` reinterpreted as a signed int64 — sha256 because the
+north rule's per-row invariant is content-sha256 equality against the source
+table.
+
+Everything here is built-in Catalyst expressions (``sha2``/``conv``/
+``substring``): whole-stage-codegen'd, zero Python. Parity with the local
+kernel's :func:`fastbloom_spark.kernel.digest64_bytes` is tested.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^63 / 2^64 as Decimal literals (too large for a Java long literal)
+_TWO63 = Decimal(9223372036854775808)
+_TWO64 = Decimal(18446744073709551616)
+
+
+def sha256_hex(col: Column | str) -> Column:
+    """Full sha256 hex digest of a (string-castable) column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c.cast("string"), 256)
+
+
+def digest64(col: Column | str) -> Column:
+    """First 8 bytes of sha256(col) as a signed int64 (two's complement).
+
+    The unsigned hex value is parsed with ``conv(hex, 16, 10)`` into a
+    decimal(20,0) (which holds the full u64 range), then wrapped into the
+    signed 64-bit domain so executors can reinterpret it with
+    ``ndarray.view(uint64)`` losslessly.
+    """
+    hex16 = F.substring(sha256_hex(col), 1, 16)
+    dec = F.conv(hex16, 16, 10).cast("decimal(20,0)")
+    wrapped = F.when(dec >= F.lit(_TWO63), dec - F.lit(_TWO64)).otherwise(dec)
+    return wrapped.cast("long")
+
+
+def digest64_from_hex(hex_col: Column | str) -> Column:
+    """digest64 from an existing sha256 hex column (skips re-hashing)."""
+    c = F.col(hex_col) if isinstance(hex_col, str) else hex_col
+    dec = F.conv(F.substring(c, 1, 16), 16, 10).cast("decimal(20,0)")
+    wrapped = F.when(dec >= F.lit(_TWO63), dec - F.lit(_TWO64)).otherwise(dec)
+    return wrapped.cast("long")

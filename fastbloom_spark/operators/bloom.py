@@ -1,0 +1,306 @@
+"""Distributed Bloom operators — partial build, associative merge, probe, semi-join.
+
+Topology (SURVEY.md §3.3, §4):
+
+* **build** is map-side: each input partition folds its Arrow batches into a
+  private numpy bit array inside ``mapInPandas`` — the share-nothing analogue
+  of the reference's ``AtomicBloomFilter`` concurrent build (fastbloom
+  ``src/lib.rs:383-390``); no shared state, no contention, zero row shuffle.
+* **merge** shuffles only fixed-size sketch rows (m/8 bytes each), never rows:
+  a two-phase bucketed OR-reduce (groupBy(bucket) → groupBy(key)), the
+  DataFrame rendering of ``treeAggregate`` — depth-2 fan-in keeps any single
+  task's merge input bounded at ``fanin`` sketches regardless of the input
+  partition count. OR is associative + commutative word-wise (``src/
+  bit_vector.rs:98-104``), so the result is bitwise-identical for every
+  partition count, ordering, and merge tree.
+* **probe** broadcasts the finished filter (tiny) and runs the vectorized
+  short-circuit kernel inside a scalar pandas UDF; registered for SQL.
+* **skew**: per-partition partials absorb row-count skew on the map side
+  (a hot key's rows never shuffle — only its per-partition sketches do),
+  which is the two-phase/salted-merge the north rule asks for; the bucket
+  phase additionally caps merge fan-in for high-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from ..config import BloomConfig
+from ..functions.digest import digest64
+from ..kernel import (
+    U64,
+    contains_hashes,
+    insert_hashes,
+    source_hash,
+    words_from_bytes,
+    words_to_bytes,
+)
+from ..local import BloomFilter
+
+#: sketch-row payload columns appended after the group keys
+SKETCH_FIELDS = "m long, k int, seed long, rows_seen long, sketch binary"
+
+
+def _key_schema(df: DataFrame, key_cols: Sequence[str]) -> str:
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return ", ".join(f"`{k}` {by_name[k]}" for k in key_cols)
+
+
+def _digests_to_u64(series: pd.Series) -> np.ndarray:
+    return series.to_numpy(dtype=np.int64, copy=False).view(U64)
+
+
+def bloom_partials(
+    df: DataFrame,
+    digest_col: str,
+    cfg: BloomConfig,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-partition partial sketches: one row per (keys..., partition).
+
+    Map-side only — the output is a DataFrame of
+    ``(key_cols..., partition_id, m, k, seed, rows_seen, sketch)`` with at
+    most ``num_partitions * distinct_keys_in_partition`` rows, each m/8 bytes.
+    """
+    keys = list(key_cols)
+    key_schema = _key_schema(df, keys)
+    schema = (key_schema + ", " if key_schema else "") + \
+        "partition_id int, " + SKETCH_FIELDS
+    m, k, seed = cfg.num_bits, cfg.num_hashes, cfg.seed
+    num_words = cfg.num_words
+    seed_signed = seed - (1 << 64) if seed >= (1 << 63) else seed
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        acc: dict[tuple, tuple[np.ndarray, int]] = {}
+        for pdf in batches:
+            hashes_all = source_hash(_digests_to_u64(pdf[digest_col]), seed)
+            if not keys:
+                words, seen = acc.setdefault(
+                    (), (np.zeros(num_words, dtype=U64), 0))
+                insert_hashes(words, hashes_all, k)
+                acc[()] = (words, seen + len(pdf))
+            else:
+                for key_vals, idx in pdf.groupby(keys, sort=False,
+                                                 dropna=False).indices.items():
+                    if not isinstance(key_vals, tuple):
+                        key_vals = (key_vals,)
+                    words, seen = acc.setdefault(
+                        key_vals, (np.zeros(num_words, dtype=U64), 0))
+                    insert_hashes(words, hashes_all[idx], k)
+                    acc[key_vals] = (words, seen + len(idx))
+        if not acc:
+            return
+        rows = []
+        for key_vals, (words, seen) in acc.items():
+            rows.append((*key_vals, pid, m, k, seed_signed, seen,
+                         words_to_bytes(words)))
+        yield pd.DataFrame(
+            rows, columns=[*keys, "partition_id", "m", "k", "seed",
+                           "rows_seen", "sketch"])
+
+    return df.mapInPandas(build, schema)
+
+
+def _merge_fn(group_cols: Sequence[str]):
+    cols = list(group_cols)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        stacked = np.stack([words_from_bytes(b) for b in pdf["sketch"]])
+        merged = np.bitwise_or.reduce(stacked, axis=0)
+        out = {c: [pdf[c].iloc[0]] for c in cols}
+        out.update(
+            m=[int(pdf["m"].iloc[0])], k=[int(pdf["k"].iloc[0])],
+            seed=[int(pdf["seed"].iloc[0])],
+            rows_seen=[int(pdf["rows_seen"].sum())],
+            sketch=[words_to_bytes(merged)],
+        )
+        return pd.DataFrame(out)
+
+    return merge
+
+
+def bloom_merge(
+    partials: DataFrame,
+    key_cols: Sequence[str] = (),
+    *,
+    fanin: int = 16,
+) -> DataFrame:
+    """Two-phase associative OR-merge of partial sketch rows.
+
+    Phase 1 merges within ``pmod(partition_id, fanin)`` buckets (map-side
+    skew-proof: every bucket sees ≤ ceil(P / fanin) sketches); phase 2 merges
+    the ≤ fanin bucket sketches per key. Equivalent to ``treeAggregate`` with
+    depth 2 but stays in the DataFrame API so AQE can coalesce.
+    """
+    keys = list(key_cols)
+    key_schema = _key_schema(partials, keys)
+    bucket_schema = (key_schema + ", " if key_schema else "") + \
+        "bucket int, " + SKETCH_FIELDS
+    final_schema = (key_schema + ", " if key_schema else "") + SKETCH_FIELDS
+
+    with_bucket = partials.withColumn(
+        "bucket", F.pmod(F.col("partition_id"), F.lit(fanin)).cast("int"))
+    phase1 = with_bucket.groupBy(*keys, "bucket").applyInPandas(
+        _merge_fn([*keys, "bucket"]), bucket_schema)
+    if keys:
+        return phase1.groupBy(*keys).applyInPandas(_merge_fn(keys), final_schema)
+    return phase1.groupBy().applyInPandas(_merge_fn([]), final_schema)
+
+
+def bloom_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str | Column,
+    cfg: BloomConfig,
+    *,
+    digest_precomputed: bool = False,
+    fanin: int = 16,
+) -> DataFrame:
+    """Grouped Bloom aggregation: one sketch row per distinct key tuple.
+
+    ``SELECT keys..., bloom_union_agg(digest64(value)) GROUP BY keys`` in
+    spirit: partial per (key, partition) map-side, then the two-phase merge.
+    Sketches are re-aggregable: per-repo outputs roll up to per-lang/global
+    by further union (the reference's ``union``, ``src/lib.rs:286-317``).
+    """
+    if digest_precomputed and isinstance(value_col, str):
+        prepared = df.select(*key_cols, F.col(value_col).alias("__digest64"))
+    else:
+        col = F.col(value_col) if isinstance(value_col, str) else value_col
+        prepared = df.select(*key_cols, digest64(col).alias("__digest64"))
+    partials = bloom_partials(prepared, "__digest64", cfg, key_cols)
+    return bloom_merge(partials, key_cols, fanin=fanin)
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str | Column,
+    cfg: BloomConfig | None = None,
+    *,
+    fp: float | None = None,
+    expected_items: int | None = None,
+    seed: int = 0,
+    digest_precomputed: bool = False,
+    fanin: int = 16,
+) -> BloomFilter:
+    """Global build: DataFrame column → one :class:`BloomFilter` on the driver.
+
+    The FPR-driven path without ``expected_items`` runs ``df.count()`` first —
+    the distributed mirror of the reference's ``.items(iter)`` builder needing
+    ``iter.len()`` (``src/builder.rs:120-128``). Only the final merged sketch
+    row (m/8 bytes) is collected.
+    """
+    if cfg is None:
+        if fp is None:
+            raise ValueError("provide cfg or fp")
+        n = expected_items if expected_items is not None else df.count()
+        cfg = BloomConfig.from_false_pos(fp, expected_items=max(n, 1), seed=seed)
+    merged = bloom_agg(df.select(value_col) if isinstance(value_col, str) else df,
+                       [], value_col, cfg,
+                       digest_precomputed=digest_precomputed, fanin=fanin)
+    rows = merged.collect()
+    if not rows:
+        return BloomFilter(cfg)
+    row = rows[0]
+    return BloomFilter(cfg, words_from_bytes(row.sketch), rows_seen=row.rows_seen)
+
+
+def sketch_row_to_filter(row) -> BloomFilter:
+    """Hydrate a sketch row (from bloom_agg / checkpoint) into a filter."""
+    seed = int(row.seed) & ((1 << 64) - 1)
+    cfg = BloomConfig(num_bits=int(row.m), num_hashes=int(row.k), seed=seed)
+    return BloomFilter(cfg, words_from_bytes(row.sketch),
+                       rows_seen=int(row.rows_seen))
+
+
+def bloom_contains_col(
+    spark: SparkSession,
+    bloom: BloomFilter,
+    digest_col: Column | str,
+) -> Column:
+    """Boolean probe column: vectorized membership test against a broadcast
+    filter. ``digest_col`` must be a digest64 (long) column — compose with
+    :func:`digest64` for raw values."""
+    words_bc = spark.sparkContext.broadcast(bloom.to_bytes())
+    k, seed = bloom.num_hashes, bloom.seed
+
+    @F.pandas_udf(BooleanType())
+    def probe(digests: pd.Series) -> pd.Series:
+        words = words_from_bytes(words_bc.value)
+        hashes = source_hash(_digests_to_u64(digests), seed)
+        return pd.Series(contains_hashes(words, hashes, k))
+
+    c = F.col(digest_col) if isinstance(digest_col, str) else digest_col
+    return probe(c)
+
+
+def register_bloom_sql(spark: SparkSession, name: str, bloom: BloomFilter) -> str:
+    """Register ``bloom_contains_<name>(digest64_col)`` for use from SQL."""
+    words_bc = spark.sparkContext.broadcast(bloom.to_bytes())
+    k, seed = bloom.num_hashes, bloom.seed
+
+    @F.pandas_udf(BooleanType())
+    def probe(digests: pd.Series) -> pd.Series:
+        words = words_from_bytes(words_bc.value)
+        hashes = source_hash(_digests_to_u64(digests), seed)
+        return pd.Series(contains_hashes(words, hashes, k))
+
+    fn_name = f"bloom_contains_{name}"
+    spark.udf.register(fn_name, probe)
+    return fn_name
+
+
+def bloom_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str | None = None,
+    *,
+    fp: float = 0.001,
+    seed: int = 42,
+    exact: bool = True,
+) -> DataFrame:
+    """Sketch-accelerated semi-join: Bloom-prefilter the probe side with the
+    build side's key filter, then (optionally) finish with an exact
+    ``left_semi`` join for zero false positives.
+
+    The classic runtime-filter pattern (Spark's own
+    ``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`` is the built-in
+    analogue): at 100 TB the prefilter runs map-side against a broadcast
+    m/8-byte bit array and drops non-matching rows before they reach the join
+    shuffle. Zero false negatives (the Bloom contract) make it semantically
+    transparent.
+    """
+    right_on = right_on or left_on
+    spark = left.sparkSession
+    bloom = bloom_build(
+        right.select(F.col(right_on).alias("__key")), "__key",
+        fp=fp, seed=seed)
+    pre = left.filter(
+        bloom_contains_col(spark, bloom, digest64(F.col(left_on))))
+    if not exact:
+        return pre
+    return pre.join(
+        F.broadcast(right.select(F.col(right_on).alias(left_on)).distinct())
+        if _is_broadcastable(right) else
+        right.select(F.col(right_on).alias(left_on)).distinct(),
+        on=left_on, how="left_semi")
+
+
+def _is_broadcastable(df: DataFrame) -> bool:
+    """Heuristic: leave the decision to AQE unless obviously tiny.
+
+    We only force broadcast when statistics are unavailable; AQE's runtime
+    size stats make a better call than a driver-side count here, so default
+    to False and let the optimizer pick broadcast-hash-join on its own.
+    """
+    return False

@@ -1,0 +1,152 @@
+"""Distributed Bloom operators: end-to-end correctness on Spark.
+
+The keystone properties (SURVEY.md §5):
+* distributed build ≡ local single-node build, bitwise ("variant parity",
+  reference analogue src/lib.rs:744-773);
+* merge result invariant across partition counts/orderings ("concurrency
+  linearizes to set union", reference loom test src/lib.rs:775-809);
+* zero false negatives through the full Spark path;
+* bloom_semi_join ≡ exact semi-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastbloom_spark import BloomConfig, BloomFilter
+from fastbloom_spark.functions import digest64
+from fastbloom_spark.kernel import digest64_bytes, words_from_bytes
+from fastbloom_spark.operators import (
+    bloom_agg,
+    bloom_build,
+    bloom_contains_col,
+    bloom_semi_join,
+    register_bloom_sql,
+    sketch_row_to_filter,
+)
+
+CFG = BloomConfig.with_num_bits(1 << 14, num_hashes=5, seed=42)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def local_build_from_texts(texts, cfg) -> BloomFilter:
+    f = BloomFilter(cfg)
+    digests = np.array([digest64_bytes(t.encode("utf-8")) for t in texts],
+                       dtype=np.int64)
+    f.insert_digests(digests)
+    return f
+
+
+def test_distributed_equals_local_bitwise(spark, docs):
+    """The whole distributed pipeline (JVM sha2 digest → mapInPandas build →
+    two-phase merge) must produce the exact words of a local sequential
+    build."""
+    texts = [r.text for r in docs.select("text").collect()]
+    expected = local_build_from_texts(texts, CFG)
+    got = bloom_build(docs, "text", CFG)
+    assert got.rows_seen == len(texts)
+    assert np.array_equal(got.words, expected.words)
+
+
+@pytest.mark.parametrize("num_partitions", [1, 3, 7, 16])
+def test_merge_invariant_across_partitionings(spark, docs, num_partitions):
+    """Bitwise-identical merge for every partition count / row placement."""
+    texts = [r.text for r in docs.select("text").collect()]
+    expected = local_build_from_texts(texts, CFG)
+    got = bloom_build(docs.repartition(num_partitions), "text", CFG, fanin=3)
+    assert np.array_equal(got.words, expected.words)
+
+
+def test_zero_false_negatives_spark_probe(spark, docs):
+    """Every inserted row probes true through the SQL-registered UDF."""
+    bloom = bloom_build(docs, "text", CFG)
+    with_digest = docs.select("doc_id", digest64("text").alias("d"))
+    n_true = with_digest.filter(
+        bloom_contains_col(spark, bloom, "d")).count()
+    assert n_true == docs.count()
+
+
+def test_sql_registration(spark, docs):
+    bloom = bloom_build(docs, "text", CFG)
+    fn = register_bloom_sql(spark, "docs", bloom)
+    docs.select("doc_id", digest64("text").alias("d")) \
+        .createOrReplaceTempView("docs_digests")
+    n = spark.sql(
+        f"select count(*) as c from docs_digests where {fn}(d)").collect()[0].c
+    assert n == docs.count()
+
+
+def test_fpr_on_non_members_via_spark(spark, docs):
+    """Non-member FPR through the Spark probe stays within 2x of the bound."""
+    n = docs.count()
+    bloom = bloom_build(docs, "text", fp=0.02, seed=7)
+    probes = spark.range(50_000).select(
+        digest64(F.concat(F.lit("non-member-"), F.col("id"))).alias("d"))
+    fp = probes.filter(bloom_contains_col(spark, bloom, "d")).count() / 50_000
+    bound = bloom.expected_false_pos(n)
+    assert fp <= max(2 * bound, 2 * 0.02)
+
+
+def test_grouped_bloom_agg_rollup(spark, docs):
+    """Per-lang sketches are correct and roll up to the global sketch by
+    further union (re-aggregability, reference union src/lib.rs:286-317)."""
+    per_lang = bloom_agg(docs, ["lang"], "text", CFG).collect()
+    langs = {r.lang for r in per_lang}
+    assert langs == {r.lang for r in docs.select("lang").distinct().collect()}
+
+    texts_by_lang = {}
+    for r in docs.select("lang", "text").collect():
+        texts_by_lang.setdefault(r.lang, []).append(r.text)
+
+    rolled = None
+    for row in per_lang:
+        f = sketch_row_to_filter(row)
+        local = local_build_from_texts(texts_by_lang[row.lang], CFG)
+        assert np.array_equal(f.words, local.words), f"lang={row.lang}"
+        rolled = f if rolled is None else rolled.union(f)
+
+    global_f = bloom_build(docs, "text", CFG)
+    assert np.array_equal(rolled.words, global_f.words)
+    assert rolled.rows_seen == global_f.rows_seen
+
+
+def test_bloom_semi_join_exact(spark, sf_dir):
+    """bloom_semi_join == plain semi-join, row for row."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = orders.filter(F.col("o_totalprice") > 150000)
+    got = bloom_semi_join(lineitem, big, "l_orderkey", "o_orderkey")
+    want = lineitem.join(big.select(F.col("o_orderkey").alias("l_orderkey")),
+                         "l_orderkey", "left_semi")
+    assert got.count() == want.count()
+    assert got.select(F.sum("l_extendedprice").alias("s")).collect()[0].s == \
+        pytest.approx(want.select(F.sum("l_extendedprice").alias("s"))
+                      .collect()[0].s)
+
+
+def test_bloom_prefilter_only_has_no_false_negatives(spark, sf_dir):
+    """exact=False keeps every true match (may keep a few extra)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = orders.filter(F.col("o_totalprice") > 150000)
+    pre = bloom_semi_join(lineitem, big, "l_orderkey", "o_orderkey",
+                          exact=False, fp=0.01)
+    exact = lineitem.join(big.select(F.col("o_orderkey").alias("l_orderkey")),
+                          "l_orderkey", "left_semi")
+    assert pre.count() >= exact.count()
+    # prefilter ⊇ exact: anti-joining exact against pre leaves nothing
+    missing = exact.select("l_orderkey", "l_linenumber").exceptAll(
+        pre.select("l_orderkey", "l_linenumber"))
+    assert missing.count() == 0
+
+
+def test_empty_input_build(spark):
+    empty = spark.range(0).select(F.col("id").cast("string").alias("v"))
+    f = bloom_build(empty, "v", CFG)
+    assert f.rows_seen == 0 and not f.words.any()
