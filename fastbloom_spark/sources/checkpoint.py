@@ -1,0 +1,146 @@
+"""Sketch checkpointing with per-partition lineage — the `from_vec` surface.
+
+Persisted schema (FIXTURES.md §F3): one Parquet row per partial sketch —
+``(sketch_kind, group_key, partition_id, rows_seen, m, k, seed,
+words: array<long>, written_at)``. Words-as-longs is the reference's
+serialization unit (``iter()``/``from_vec``, fastbloom ``src/lib.rs:148-150``,
+``src/lib.rs:206-214``): a checkpoint row round-trips losslessly into a
+filter, and — because merge is associative — a resumed run that rebuilds only
+the missing partitions and unions them with checkpointed partials produces
+bitwise-identical final words.
+
+Resume contract: partition ids are stable for the same input layout (same
+files, same partitioning); resuming after a repartition of the input is a
+full rebuild (detected via partition-count mismatch).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, BinaryType
+
+from ..config import BloomConfig
+from ..kernel import U64, words_from_bytes, words_to_bytes
+from ..local import BloomFilter
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _bytes_to_longs(sketch: pd.Series) -> pd.Series:
+    return sketch.map(lambda b: np.frombuffer(b, dtype="<u8").view(np.int64).tolist())
+
+
+@F.pandas_udf(BinaryType())
+def _longs_to_bytes(words: pd.Series) -> pd.Series:
+    return words.map(
+        lambda ws: np.asarray(ws, dtype=np.int64).view(U64).astype("<u8").tobytes())
+
+
+def write_checkpoint(
+    partials: DataFrame,
+    path: str,
+    *,
+    sketch_kind: str = "bloom",
+    group_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist partial sketch rows (output of ``bloom_partials``) as a
+    resumable Parquet checkpoint with lineage."""
+    keys = list(group_cols)
+    group_key = (F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+                 if keys else F.lit("__global__"))
+    out = partials.select(
+        F.lit(sketch_kind).alias("sketch_kind"),
+        group_key.alias("group_key"),
+        F.col("partition_id"),
+        F.col("rows_seen"),
+        F.col("m"), F.col("k"), F.col("seed"),
+        _bytes_to_longs(F.col("sketch")).alias("words"),
+        F.current_timestamp().alias("written_at"),
+    )
+    out.write.mode(mode).parquet(path)
+
+
+def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
+    """Load a checkpoint back into partial-sketch shape (binary words)."""
+    df = spark.read.parquet(path)
+    return df.select(
+        "sketch_kind", "group_key", "partition_id", "rows_seen",
+        "m", "k", "seed",
+        _longs_to_bytes(F.col("words")).alias("sketch"),
+        "written_at",
+    )
+
+
+def resume_bloom_build(
+    spark: SparkSession,
+    checkpoint_path: str,
+    df: DataFrame,
+    value_col: str,
+    cfg: BloomConfig,
+    *,
+    digest_precomputed: bool = False,
+    fanin: int = 16,
+) -> tuple[BloomFilter, dict]:
+    """Resume a global Bloom build from a partial checkpoint.
+
+    Rebuilds ONLY partitions absent from the checkpoint (the map work for
+    checkpointed partitions is skipped entirely — their rows are never
+    hashed), unions new partials with checkpointed ones, and merges. Returns
+    ``(filter, metrics)`` where metrics records skipped/rebuilt partition
+    counts and rows.
+    """
+    from ..functions.digest import digest64
+    from ..operators.bloom import bloom_merge, bloom_partials
+
+    ckpt = read_checkpoint(spark, checkpoint_path) \
+        .filter(F.col("sketch_kind") == "bloom") \
+        .filter(F.col("group_key") == "__global__") \
+        .filter((F.col("m") == cfg.num_bits) & (F.col("k") == cfg.num_hashes))
+    done_rows = ckpt.select("partition_id", "rows_seen").collect()
+    done_ids = {r.partition_id for r in done_rows}
+
+    if digest_precomputed:
+        prepared = df.select(F.col(value_col).alias("__digest64"))
+    else:
+        prepared = df.select(digest64(F.col(value_col)).alias("__digest64"))
+    n_parts = prepared.rdd.getNumPartitions()
+
+    if done_ids - set(range(n_parts)):
+        # layout changed under us: checkpoint not applicable
+        done_ids = set()
+
+    if done_ids:
+        # JVM-side partition pruning: spark_partition_id() is evaluated in the
+        # scan stage (narrow, pre-shuffle), so skipped partitions never reach
+        # the hash kernel; no Python RDD round-trip.
+        todo = (prepared
+                .withColumn("__pid", F.spark_partition_id())
+                .filter(~F.col("__pid").isin([int(i) for i in done_ids]))
+                .drop("__pid"))
+    else:
+        todo = prepared
+
+    new_partials = bloom_partials(todo, "__digest64", cfg)
+    old_partials = ckpt.select("partition_id", "m", "k", "seed",
+                               "rows_seen", "sketch")
+    all_partials = new_partials.select(
+        "partition_id", "m", "k", "seed", "rows_seen", "sketch"
+    ).unionByName(old_partials)
+    merged = bloom_merge(all_partials, [], fanin=fanin).collect()
+    metrics = {
+        "partitions_total": n_parts,
+        "partitions_resumed": len(done_ids),
+        "partitions_rebuilt": n_parts - len(done_ids),
+        "rows_from_checkpoint": sum(r.rows_seen for r in done_rows
+                                    if r.partition_id in done_ids),
+    }
+    if not merged:
+        return BloomFilter(cfg), metrics
+    row = merged[0]
+    return (BloomFilter(cfg, words_from_bytes(row.sketch),
+                        rows_seen=row.rows_seen), metrics)

@@ -1,0 +1,91 @@
+"""Checkpoint round-trip + resume parity (reference serde/from_vec analogue,
+fastbloom src/lib.rs:444-460, 698-734)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastbloom_spark import BloomConfig
+from fastbloom_spark.functions import digest64
+from fastbloom_spark.kernel import words_from_bytes
+from fastbloom_spark.operators import bloom_build, bloom_partials
+from fastbloom_spark.sources import (
+    read_checkpoint,
+    resume_bloom_build,
+    write_checkpoint,
+)
+
+CFG = BloomConfig.with_num_bits(1 << 13, num_hashes=4, seed=99)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(6)
+
+
+def test_checkpoint_roundtrip(spark, docs, tmp_path):
+    """write → read preserves every partial bitwise (words array<long>)."""
+    prepared = docs.select(digest64("text").alias("__digest64"))
+    partials = bloom_partials(prepared, "__digest64", CFG)
+    path = str(tmp_path / "ckpt")
+    write_checkpoint(partials, path)
+    back = read_checkpoint(spark, path)
+    orig = {r.partition_id: (r.rows_seen, r.sketch)
+            for r in partials.collect()}
+    got = {r.partition_id: (r.rows_seen, r.sketch) for r in back.collect()}
+    assert orig.keys() == got.keys()
+    for pid in orig:
+        assert orig[pid][0] == got[pid][0]
+        assert np.array_equal(words_from_bytes(bytes(orig[pid][1])),
+                              words_from_bytes(bytes(got[pid][1])))
+    # lineage columns present
+    row = spark.read.parquet(path).first()
+    assert row.sketch_kind == "bloom" and row.group_key == "__global__"
+    assert row.m == CFG.num_bits and row.k == CFG.num_hashes
+
+
+def test_resume_full_checkpoint_is_pure_merge(spark, docs, tmp_path):
+    """Resuming with a complete checkpoint rebuilds nothing and matches the
+    direct build bitwise."""
+    prepared = docs.select(digest64("text").alias("__digest64"))
+    partials = bloom_partials(prepared, "__digest64", CFG)
+    path = str(tmp_path / "full")
+    write_checkpoint(partials, path)
+
+    direct = bloom_build(docs, "text", CFG)
+    resumed, metrics = resume_bloom_build(spark, path, docs, "text", CFG)
+    assert metrics["partitions_rebuilt"] == 0
+    assert metrics["partitions_resumed"] == 6
+    assert np.array_equal(resumed.words, direct.words)
+    assert resumed.rows_seen == direct.rows_seen
+
+
+def test_resume_partial_checkpoint(spark, docs, tmp_path):
+    """Dropping some checkpointed partitions: resume rebuilds only those and
+    still matches the direct build bitwise."""
+    prepared = docs.select(digest64("text").alias("__digest64"))
+    partials = bloom_partials(prepared, "__digest64", CFG)
+    path = str(tmp_path / "partial")
+    # simulate a crash after 3 of 6 partitions
+    write_checkpoint(partials.filter(F.col("partition_id") < 3), path)
+
+    direct = bloom_build(docs, "text", CFG)
+    resumed, metrics = resume_bloom_build(spark, path, docs, "text", CFG)
+    assert metrics["partitions_resumed"] == 3
+    assert metrics["partitions_rebuilt"] == 3
+    assert np.array_equal(resumed.words, direct.words)
+    assert resumed.rows_seen == direct.rows_seen
+
+
+def test_resume_rejects_mismatched_geometry(spark, docs, tmp_path):
+    """A checkpoint with different (m, k) must not contaminate the build."""
+    other_cfg = BloomConfig.with_num_bits(1 << 12, num_hashes=2, seed=99)
+    prepared = docs.select(digest64("text").alias("__digest64"))
+    path = str(tmp_path / "wrong")
+    write_checkpoint(bloom_partials(prepared, "__digest64", other_cfg), path)
+    direct = bloom_build(docs, "text", CFG)
+    resumed, metrics = resume_bloom_build(spark, path, docs, "text", CFG)
+    assert metrics["partitions_resumed"] == 0  # geometry filter excluded all
+    assert np.array_equal(resumed.words, direct.words)

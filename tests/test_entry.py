@@ -1,0 +1,82 @@
+"""Driver-contract conformance: every queries() entry runs; every oracle_sql()
+entry matches DuckDB value-for-value (replicating the driver's sorted
+value-hash compare at sf0.01)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(rows, columns):
+    """Order-insensitive canonical form: sort columns by name, round floats."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_val(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.6g}"
+        if hasattr(v, "normalize"):  # Decimal
+            return str(v)
+        return repr(v)
+
+    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert {f.name for f in df.schema.fields} >= {
+        "lang", "rows_seen", "bits_set", "expected_fpp"}
+    # sanity: sketch density in (0, 1), rows_seen adds to table size
+    assert sum(r.rows_seen for r in rows) == 500
+    for r in rows:
+        assert 0.0 < r.density < 1.0
+
+
+def test_every_query_runs(spark):
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF_ORACLE)
+        assert df.count() >= 0, name
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_oracle_match(spark, duck, name):
+    fn = entry_mod.queries()[name]
+    sdf = fn(spark, SF_ORACLE)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), name
+    assert len(spark_rows) == len(duck_rows), name
+    assert _normalize(spark_rows, spark_cols) == \
+        _normalize(duck_rows, duck_cols), name
