@@ -1,0 +1,165 @@
+"""Generic mergeable-sketch aggregation — one topology, five sketches.
+
+Every sketch (Bloom, HLL, CMS, t-digest, KLL) is a *mergeable aggregator*:
+per-partition state built map-side in ``mapInPandas`` (zero row shuffle),
+then a two-phase bucketed merge shuffling only serialized sketch state. This
+module generalizes the Bloom topology in ``operators/bloom.py`` to any
+implementation exposing::
+
+    empty() -> state
+    update(state, values: np.ndarray) -> state     # vectorized
+    merge(a, b) -> state
+    serialize(state) -> bytes
+    deserialize(bytes) -> state
+    input_kind: "digest" (int64 digest64 column) | "double"
+
+Scale notes: phase-1 buckets bound any single task's merge fan-in at
+ceil(P / fanin) states; per-(key, partition) partials absorb row-count skew
+map-side exactly as in the Bloom path. Sketch states are KBs — the shuffle
+after the map stage is negligible at any input scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.digest import digest64
+
+
+def _key_schema(df: DataFrame, key_cols: Sequence[str]) -> str:
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return ", ".join(f"`{k}` {by_name[k]}" for k in key_cols)
+
+
+def _prepare(df: DataFrame, value_col: str | Column, impl,
+             key_cols: Sequence[str], digest_precomputed: bool) -> DataFrame:
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    if impl.input_kind == "digest":
+        val = col if digest_precomputed else digest64(col)
+        val = val.cast("long")
+    else:
+        val = col.cast("double")
+    return df.select(*key_cols, val.alias("__value"))
+
+
+def _values_np(series: pd.Series, impl) -> np.ndarray:
+    if impl.input_kind == "digest":
+        return series.to_numpy(dtype=np.int64, copy=False)
+    return series.to_numpy(dtype=np.float64, copy=False)
+
+
+def sketch_partials(
+    df: DataFrame,
+    value_col: str | Column,
+    impl,
+    key_cols: Sequence[str] = (),
+    *,
+    digest_precomputed: bool = False,
+) -> DataFrame:
+    """Per-(key, partition) partial sketch rows: map-side only."""
+    keys = list(key_cols)
+    prepared = _prepare(df, value_col, impl, keys, digest_precomputed)
+    key_schema = _key_schema(prepared, keys)
+    schema = (key_schema + ", " if key_schema else "") + \
+        "partition_id int, rows_seen long, sketch binary"
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        acc: dict[tuple, tuple[object, int]] = {}
+        for pdf in batches:
+            vals_all = _values_np(pdf["__value"], impl)
+            if not keys:
+                state, seen = acc.setdefault((), (impl.empty(), 0))
+                acc[()] = (impl.update(state, vals_all), seen + len(pdf))
+            else:
+                for key_vals, idx in pdf.groupby(
+                        keys, sort=False, dropna=False).indices.items():
+                    if not isinstance(key_vals, tuple):
+                        key_vals = (key_vals,)
+                    state, seen = acc.setdefault(key_vals, (impl.empty(), 0))
+                    acc[key_vals] = (impl.update(state, vals_all[idx]),
+                                     seen + len(idx))
+        if not acc:
+            return
+        yield pd.DataFrame(
+            [(*k, pid, seen, impl.serialize(state))
+             for k, (state, seen) in acc.items()],
+            columns=[*keys, "partition_id", "rows_seen", "sketch"])
+
+    return prepared.mapInPandas(build, schema)
+
+
+def _merge_fn(impl, group_cols: Sequence[str]):
+    cols = list(group_cols)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = functools.reduce(
+            impl.merge, (impl.deserialize(bytes(b)) for b in pdf["sketch"]))
+        out = {c: [pdf[c].iloc[0]] for c in cols}
+        out["rows_seen"] = [int(pdf["rows_seen"].sum())]
+        out["sketch"] = [impl.serialize(merged)]
+        return pd.DataFrame(out)
+
+    return merge
+
+
+def sketch_merge(
+    partials: DataFrame,
+    impl,
+    key_cols: Sequence[str] = (),
+    *,
+    fanin: int = 16,
+) -> DataFrame:
+    """Two-phase associative merge (same shape as ``bloom_merge``)."""
+    keys = list(key_cols)
+    key_schema = _key_schema(partials, keys)
+    bucket_schema = (key_schema + ", " if key_schema else "") + \
+        "bucket int, rows_seen long, sketch binary"
+    final_schema = (key_schema + ", " if key_schema else "") + \
+        "rows_seen long, sketch binary"
+    with_bucket = partials.withColumn(
+        "bucket", F.pmod(F.col("partition_id"), F.lit(fanin)).cast("int"))
+    phase1 = with_bucket.groupBy(*keys, "bucket").applyInPandas(
+        _merge_fn(impl, [*keys, "bucket"]), bucket_schema)
+    grouped = phase1.groupBy(*keys) if keys else phase1.groupBy()
+    return grouped.applyInPandas(_merge_fn(impl, keys), final_schema)
+
+
+def sketch_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str | Column,
+    impl,
+    *,
+    digest_precomputed: bool = False,
+    fanin: int = 16,
+) -> DataFrame:
+    """Grouped sketch aggregation → (keys..., rows_seen, sketch binary)."""
+    partials = sketch_partials(df, value_col, impl, key_cols,
+                               digest_precomputed=digest_precomputed)
+    return sketch_merge(partials, impl, key_cols, fanin=fanin)
+
+
+def sketch_build(
+    df: DataFrame,
+    value_col: str | Column,
+    impl,
+    *,
+    digest_precomputed: bool = False,
+    fanin: int = 16,
+):
+    """Global build → (local sketch state, rows_seen) on the driver."""
+    rows = sketch_agg(df, [], value_col, impl,
+                      digest_precomputed=digest_precomputed,
+                      fanin=fanin).collect()
+    if not rows:
+        return impl.empty(), 0
+    return impl.deserialize(bytes(rows[0].sketch)), int(rows[0].rows_seen)

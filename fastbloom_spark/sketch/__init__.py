@@ -1,0 +1,6 @@
+from .cms import CountMinSketch
+from .hll import HllSketch
+from .kll import KllSketch
+from .tdigest import TDigestSketch
+
+__all__ = ["HllSketch", "CountMinSketch", "TDigestSketch", "KllSketch"]

@@ -1,0 +1,129 @@
+"""Distributed sketch aggregation: HLL / CMS / t-digest / KLL on Spark,
+checked against exact Spark/DataFrame oracles and error bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastbloom_spark.operators.sketch_agg import (
+    sketch_agg,
+    sketch_build,
+    sketch_partials,
+    sketch_merge,
+)
+from fastbloom_spark.sketch import (
+    CountMinSketch,
+    HllSketch,
+    KllSketch,
+    TDigestSketch,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+def test_hll_global_vs_exact(spark, events):
+    impl = HllSketch(precision=12, seed=42)
+    state, rows = sketch_build(
+        events, F.col("user_id").cast("string"), impl)
+    exact = events.select("user_id").distinct().count()
+    assert rows == events.count()
+    est = impl.estimate(state)
+    assert abs(est - exact) / exact < 4 * impl.relative_error(), (est, exact)
+
+
+def test_hll_grouped_vs_exact(spark, events):
+    impl = HllSketch(precision=12, seed=42)
+    got = sketch_agg(events, ["event_type"],
+                     F.col("user_id").cast("string"), impl).collect()
+    exact = {r.event_type: r.n for r in events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n")).collect()}
+    assert {r.event_type for r in got} == set(exact)
+    for r in got:
+        est = impl.estimate(impl.deserialize(bytes(r.sketch)))
+        e = exact[r.event_type]
+        assert abs(est - e) / e < 5 * impl.relative_error(), (r.event_type,)
+
+
+def test_hll_state_partition_invariant(spark, events):
+    """HLL register-max merge is bitwise order-invariant (like Bloom OR)."""
+    impl = HllSketch(precision=11, seed=7)
+    col = F.col("user_id").cast("string")
+    s1, _ = sketch_build(events.repartition(2), col, impl)
+    s2, _ = sketch_build(events.repartition(13), col, impl)
+    assert np.array_equal(s1, s2)
+
+
+def test_cms_grouped_counts_vs_exact(spark, events):
+    """CMS point queries per event_type: never under, within bound over."""
+    impl = CountMinSketch(depth=5, log2_width=14, seed=42)
+    state, total = sketch_build(events, "event_type", impl)
+    exact = {r.event_type: r.n for r in events.groupBy("event_type").agg(
+        F.count("*").alias("n")).collect()}
+    types = sorted(exact)
+    from fastbloom_spark.kernel import digest64_bytes
+    digests = np.array([digest64_bytes(t.encode()) for t in types],
+                       dtype=np.int64)
+    est = impl.query(state, digests)
+    for t, e in zip(types, est.tolist()):
+        assert e >= exact[t]
+        assert e - exact[t] <= max(impl.error_bound(total), 1)
+
+
+def test_cms_state_partition_invariant(spark, events):
+    impl = CountMinSketch(depth=4, log2_width=12, seed=3)
+    s1, _ = sketch_build(events.repartition(3), "event_type", impl)
+    s2, _ = sketch_build(events.repartition(11), "event_type", impl)
+    assert np.array_equal(s1, s2)  # integer addition: exact, order-free
+
+
+@pytest.mark.parametrize("impl_factory", [
+    lambda: TDigestSketch(delta=200),
+    lambda: KllSketch(k=200, seed=42),
+], ids=["tdigest", "kll"])
+def test_quantile_sketches_vs_exact(spark, customer, impl_factory):
+    impl = impl_factory()
+    state, rows = sketch_build(customer, "c_acctbal", impl)
+    n = customer.count()
+    assert rows == n
+    vals = np.sort(np.array(
+        [r.c_acctbal for r in customer.select("c_acctbal").collect()]))
+    for q in [0.1, 0.25, 0.5, 0.75, 0.9]:
+        est = impl.quantile(state, q)
+        rank = np.searchsorted(vals, est) / n
+        assert abs(rank - q) < 0.025, (impl.name, q, rank)
+
+
+def test_quantile_sketch_grouped(spark, customer):
+    impl = TDigestSketch(delta=200)
+    got = sketch_agg(customer, ["c_mktsegment"], "c_acctbal", impl).collect()
+    by_seg = {}
+    for r in customer.select("c_mktsegment", "c_acctbal").collect():
+        by_seg.setdefault(r.c_mktsegment, []).append(r.c_acctbal)
+    for r in got:
+        st = impl.deserialize(bytes(r.sketch))
+        vals = np.sort(np.array(by_seg[r.c_mktsegment]))
+        est = impl.quantile(st, 0.5)
+        rank = np.searchsorted(vals, est) / len(vals)
+        assert abs(rank - 0.5) < 0.05, r.c_mktsegment
+
+
+def test_partials_then_merge_explicit(spark, events):
+    """The two stages compose: partial rows per partition, merge reduces to
+    one row with all input accounted."""
+    impl = HllSketch(precision=10, seed=1)
+    parts = sketch_partials(events.repartition(5),
+                            F.col("user_id").cast("string"), impl)
+    assert parts.count() == 5
+    merged = sketch_merge(parts, impl).collect()
+    assert len(merged) == 1
+    assert merged[0].rows_seen == events.count()
