@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
                                    StructField, StructType)
 
     from fastbloom_spark import BloomConfig
-    from fastbloom_spark.kernel import words_from_bytes
+    from fastbloom_spark.kernel import decode_words
     from fastbloom_spark.operators import bloom_agg
 
     docs = _read(spark, SF001, "documents")
@@ -61,7 +61,7 @@ def entry(spark: SparkSession) -> DataFrame:
                                             expected_false_pos)
         out = []
         for r in pdf.itertuples(index=False):
-            words = words_from_bytes(bytes(r.sketch))
+            words = decode_words(bytes(r.sketch))
             bits_set = int(np.unpackbits(words.view(np.uint8)).sum())
             d = expected_density(int(r.k), int(r.m), int(r.rows_seen))
             out.append((r.lang, int(r.rows_seen), int(r.m), int(r.k),
@@ -211,6 +211,76 @@ def q_per_lang_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rows_seen", "m", "k")
 
 
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimates per event type (rows-only: bound-checked
+    vs exact in tests/test_sketches_spark.py)."""
+    import pandas as pd
+
+    from fastbloom_spark.operators.sketch_agg import sketch_agg
+    from fastbloom_spark.sketch import HllSketch
+
+    impl = HllSketch(precision=12, seed=42)
+    rows = sketch_agg(_read(spark, sf_dir, "events"), ["event_type"],
+                      F.col("user_id").cast("string"), impl).collect()
+    out = [(r.event_type, int(r.rows_seen),
+            float(impl.estimate(impl.deserialize(bytes(r.sketch)))))
+           for r in rows]
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["event_type", "n_events", "est_users"]))
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over event types (rows-only: overestimate
+    bound checked in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    from fastbloom_spark.kernel import digest64_bytes
+    from fastbloom_spark.operators.sketch_agg import sketch_build
+    from fastbloom_spark.sketch import CountMinSketch
+
+    events = _read(spark, sf_dir, "events")
+    impl = CountMinSketch(depth=5, log2_width=14, seed=42)
+    state, total = sketch_build(events, "event_type", impl)
+    types = sorted(r.event_type for r in
+                   events.select("event_type").distinct().collect())
+    digests = np.array([digest64_bytes(t.encode()) for t in types],
+                       dtype=np.int64)
+    est = impl.query(state, digests)
+    return spark.createDataFrame(pd.DataFrame(
+        {"event_type": types, "est_count": est.astype(np.int64)}))
+
+
+def _quantile_query(spark, sf_dir, impl):
+    import pandas as pd
+
+    from fastbloom_spark.operators.sketch_agg import sketch_agg
+
+    rows = sketch_agg(_read(spark, sf_dir, "customer"), ["c_mktsegment"],
+                      "c_acctbal", impl).collect()
+    out = [(r.c_mktsegment,
+            *[round(impl.quantile(impl.deserialize(bytes(r.sketch)), q), 2)
+              for q in (0.25, 0.5, 0.75)])
+           for r in rows]
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["c_mktsegment", "p25", "p50", "p75"]))
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest per-segment balance quantiles (rows-only; rank error
+    bound-checked in tests)."""
+    from fastbloom_spark.sketch import TDigestSketch
+
+    return _quantile_query(spark, sf_dir, TDigestSketch(delta=200))
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL per-segment balance quantiles (rows-only)."""
+    from fastbloom_spark.sketch import KllSketch
+
+    return _quantile_query(spark, sf_dir, KllSketch(k=200, seed=42))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "digest_parity": q_digest_parity,
@@ -224,6 +294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": q_q1_pricing,
         "bloom_fpr_envelope": q_bloom_fpr_envelope,
         "per_lang_bloom": q_per_lang_bloom,
+        "hll_distinct_users": q_hll_distinct_users,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "kll_quantiles": q_kll_quantiles,
     }
 
 

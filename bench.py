@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline sketch queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "throughput": {...}, "cpus": N}
+
+Modes:
+  python bench.py                  # per-round bench (driver contract)
+  BENCH_SCALING=1 python bench.py  # additionally run the flagship
+      build+merge at local[8] vs local[32] on identical input and report
+      scaling efficiency (the sandbox stand-in for N vs 4N executors).
+  BENCH_ROWS=<n>                   # synthesized code-table size override
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CODE_ROWS = int(os.environ.get("BENCH_ROWS", "4000000"))
+SEED = 42
+
+
+def make_spark(cpus: int):
+    import os
+
+    from fastbloom_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    spark = get_spark("fastbloom-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
+    """Headline queries; returns (seconds per query, throughput facts)."""
+    import pyspark.sql.functions as F
+
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.functions import digest64
+    from fastbloom_spark.operators import (bloom_agg, bloom_build,
+                                           bloom_contains_col,
+                                           bloom_semi_join)
+    from fastbloom_spark.operators.sketch_agg import sketch_agg, sketch_build
+    from fastbloom_spark.sketch import (CountMinSketch, HllSketch,
+                                        TDigestSketch)
+    from fastbloom_spark.sources import synth_code_table
+
+    read = lambda t: spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+    times: dict[str, float] = {}
+    facts: dict[str, float] = {}
+
+    def timed(name, fn, runs: int = 1):
+        best, out = None, None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+        return out
+
+    # warm the JVM, the Arrow path, and the Python UDF workers (worker
+    # spawn + numpy/pandas imports are one-time costs irrelevant to
+    # steady-state throughput at scale)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_cfg = BloomConfig.with_num_bits(1 << 10, num_hashes=2, seed=1)
+    bloom_build(
+        spark.range(0, 20_000, 1, CPUS * 2)
+        .select(F.col("id").cast("string").alias("v")),
+        "v", warm_cfg)
+
+    # flagship: build+merge a global Bloom over the synthesized source-code
+    # table (the north-rule input shape), content sha256 digests
+    code = synth_code_table(spark, CODE_ROWS, num_repos=200, seed=SEED,
+                            num_partitions=CPUS * 2)
+    code = code.persist()
+    n_code = code.count()  # materialize outside the timed region
+    cfg = BloomConfig.from_false_pos(0.001, expected_items=n_code, seed=SEED)
+
+    bloom = timed("bloom_build_merge",
+                  lambda: bloom_build(code, "content", cfg), runs=2)
+    facts["bloom_build_rows"] = n_code
+    facts["bloom_build_mrows_per_s"] = round(
+        n_code / times["bloom_build_merge"] / 1e6, 3)
+
+    # probe the full table against the built filter (vectorized short-circuit)
+    digests = code.select(digest64("content").alias("d")).persist()
+    digests.count()
+    n_probe_true = timed("bloom_probe", lambda: digests.filter(
+        bloom_contains_col(spark, bloom, "d")).count(), runs=2)
+    facts["bloom_probe_mrows_per_s"] = round(
+        n_code / times["bloom_probe"] / 1e6, 3)
+    assert n_probe_true == n_code, "false negatives in bench probe!"
+    digests.unpersist()
+
+    # grouped per-lang sketches over the code table
+    lang_cfg = BloomConfig.from_false_pos(
+        0.001, expected_items=max(n_code // 7, 1), seed=SEED)
+    timed("bloom_agg_per_lang",
+          lambda: bloom_agg(code, ["lang"], "content", lang_cfg).count(),
+          runs=2)
+
+    # sketch-accelerated semi-join on TPC-H-ish tables
+    orders = read("orders").filter(F.col("o_totalprice") > 150000)
+    lineitem = read("lineitem")
+    timed("bloom_semijoin", lambda: bloom_semi_join(
+        lineitem, orders, "l_orderkey", "o_orderkey", fp=0.01,
+        seed=SEED).count(), runs=2)
+
+    # HLL distinct repos (code table) + distinct users (events)
+    timed("hll_distinct", lambda: sketch_build(
+        code, "path", HllSketch(precision=12, seed=SEED)), runs=2)
+
+    events = read("events")
+    timed("cms_heavy_hitters", lambda: sketch_build(
+        events, "event_type", CountMinSketch(depth=5, log2_width=14,
+                                             seed=SEED)), runs=2)
+
+    timed("tdigest_price", lambda: sketch_build(
+        lineitem, "l_extendedprice", TDigestSketch(delta=200)), runs=2)
+
+    # classic aggregation anchor (pure Catalyst)
+    timed("q1_pricing", lambda: lineitem.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
+        .collect())
+
+    code.unpersist()
+    return times, facts
+
+
+def scaling_run(cpus: int, rows: int) -> float:
+    """Isolated build+merge throughput (rows/s) at a given core count."""
+    spark = make_spark(cpus)
+    try:
+        from fastbloom_spark import BloomConfig
+        from fastbloom_spark.operators import bloom_build
+        from fastbloom_spark.sources import synth_code_table
+
+        code = synth_code_table(spark, rows, num_repos=200, seed=SEED,
+                                num_partitions=64).persist()
+        n = code.count()
+        cfg = BloomConfig.from_false_pos(0.001, expected_items=n, seed=SEED)
+        bloom_build(code, "content", cfg)  # warm
+        t0 = time.perf_counter()
+        bloom_build(code, "content", cfg)
+        dt = time.perf_counter() - t0
+        code.unpersist()
+        return n / dt
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    result: dict = {"sf": SF_DIR, "cpus": CPUS, "unit": "sec"}
+
+    if os.environ.get("BENCH_SCALING"):
+        rows = CODE_ROWS
+        lo_cpus, hi_cpus = 8, 32
+        thr_lo = scaling_run(lo_cpus, rows)
+        thr_hi = scaling_run(hi_cpus, rows)
+        eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+        result.update({
+            "metric": "bloom build+merge scaling local[8]->local[32]",
+            "value": round(eff, 3),
+            "scaling": {
+                f"local[{lo_cpus}]_mrows_per_s": round(thr_lo / 1e6, 3),
+                f"local[{hi_cpus}]_mrows_per_s": round(thr_hi / 1e6, 3),
+                "efficiency": round(eff, 3),
+                "rows": rows,
+            },
+            "queries": {},
+        })
+        print(json.dumps(result))
+        return
+
+    spark = make_spark(CPUS)
+    try:
+        times, facts = bench_queries(spark)
+    finally:
+        spark.stop()
+    result.update({
+        "metric": "sketch headline queries wall time",
+        "value": round(sum(times.values()), 3),
+        "queries": times,
+        "throughput": facts,
+    })
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

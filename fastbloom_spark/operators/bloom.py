@@ -36,10 +36,11 @@ from ..functions.digest import digest64
 from ..kernel import (
     U64,
     contains_hashes,
+    decode_words,
+    encode_words,
     insert_hashes,
     source_hash,
     words_from_bytes,
-    words_to_bytes,
 )
 from ..local import BloomFilter
 
@@ -102,7 +103,7 @@ def bloom_partials(
         rows = []
         for key_vals, (words, seen) in acc.items():
             rows.append((*key_vals, pid, m, k, seed_signed, seen,
-                         words_to_bytes(words)))
+                         encode_words(words)))
         yield pd.DataFrame(
             rows, columns=[*keys, "partition_id", "m", "k", "seed",
                            "rows_seen", "sketch"])
@@ -114,14 +115,16 @@ def _merge_fn(group_cols: Sequence[str]):
     cols = list(group_cols)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        stacked = np.stack([words_from_bytes(b) for b in pdf["sketch"]])
-        merged = np.bitwise_or.reduce(stacked, axis=0)
+        merged = None
+        for b in pdf["sketch"]:
+            w = decode_words(bytes(b))
+            merged = w if merged is None else np.bitwise_or(merged, w, out=merged)
         out = {c: [pdf[c].iloc[0]] for c in cols}
         out.update(
             m=[int(pdf["m"].iloc[0])], k=[int(pdf["k"].iloc[0])],
             seed=[int(pdf["seed"].iloc[0])],
             rows_seen=[int(pdf["rows_seen"].sum())],
-            sketch=[words_to_bytes(merged)],
+            sketch=[encode_words(merged)],
         )
         return pd.DataFrame(out)
 
@@ -199,26 +202,53 @@ def bloom_build(
     ``iter.len()`` (``src/builder.rs:120-128``). Only the final merged sketch
     row (m/8 bytes) is collected.
     """
+    n_hint = expected_items
     if cfg is None:
         if fp is None:
             raise ValueError("provide cfg or fp")
-        n = expected_items if expected_items is not None else df.count()
-        cfg = BloomConfig.from_false_pos(fp, expected_items=max(n, 1), seed=seed)
-    merged = bloom_agg(df.select(value_col) if isinstance(value_col, str) else df,
-                       [], value_col, cfg,
-                       digest_precomputed=digest_precomputed, fanin=fanin)
-    rows = merged.collect()
-    if not rows:
+        n_hint = expected_items if expected_items is not None else df.count()
+        cfg = BloomConfig.from_false_pos(fp, expected_items=max(n_hint, 1),
+                                         seed=seed)
+
+    if digest_precomputed and isinstance(value_col, str):
+        prepared = df.select(F.col(value_col).alias("__digest64"))
+    else:
+        col = F.col(value_col) if isinstance(value_col, str) else value_col
+        prepared = df.select(digest64(col).alias("__digest64"))
+
+    # Adaptive build-partition count: the map-side kernel wants parallelism,
+    # but every extra partition adds one m/8-byte partial to merge traffic —
+    # cap partials by a state budget and (when n is known) by a per-task row
+    # target, then coalesce (narrow, no shuffle) down to it.
+    sc = df.sparkSession.sparkContext
+    p_in = prepared.rdd.getNumPartitions()
+    state_budget_parts = max(1, (256 << 20) // (cfg.num_words * 8))
+    p_build = min(p_in, max(sc.defaultParallelism, 1), state_budget_parts)
+    if n_hint:
+        p_build = min(p_build, max(1, int(n_hint) // 200_000 + 1))
+    if p_build < p_in:
+        prepared = prepared.coalesce(p_build)
+
+    partials = bloom_partials(prepared, "__digest64", cfg)
+    # global merge: partial payloads are zlib-compressed when sparse, and the
+    # Arrow collect path (toPandas) moves them at memory speed, so a
+    # driver-side collect-and-OR beats a shuffle round; grouped aggregations
+    # (bloom_agg) keep the distributed two-phase merge.
+    pdf = partials.select("rows_seen", "sketch").toPandas()
+    if pdf.empty:
         return BloomFilter(cfg)
-    row = rows[0]
-    return BloomFilter(cfg, words_from_bytes(row.sketch), rows_seen=row.rows_seen)
+    acc = None
+    for b in pdf["sketch"]:
+        w = decode_words(bytes(b))
+        acc = w if acc is None else np.bitwise_or(acc, w, out=acc)
+    return BloomFilter(cfg, acc, rows_seen=int(pdf["rows_seen"].sum()))
 
 
 def sketch_row_to_filter(row) -> BloomFilter:
     """Hydrate a sketch row (from bloom_agg / checkpoint) into a filter."""
     seed = int(row.seed) & ((1 << 64) - 1)
     cfg = BloomConfig(num_bits=int(row.m), num_hashes=int(row.k), seed=seed)
-    return BloomFilter(cfg, words_from_bytes(row.sketch),
+    return BloomFilter(cfg, decode_words(bytes(row.sketch)),
                        rows_seen=int(row.rows_seen))
 
 

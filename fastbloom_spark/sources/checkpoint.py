@@ -25,19 +25,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, BinaryType
 
 from ..config import BloomConfig
-from ..kernel import U64, words_from_bytes, words_to_bytes
+from ..kernel import U64, decode_words
 from ..local import BloomFilter
 
 
 @F.pandas_udf(ArrayType(LongType()))
 def _bytes_to_longs(sketch: pd.Series) -> pd.Series:
-    return sketch.map(lambda b: np.frombuffer(b, dtype="<u8").view(np.int64).tolist())
+    from ..kernel import decode_words
+
+    return sketch.map(
+        lambda b: decode_words(bytes(b)).view(np.int64).tolist())
 
 
 @F.pandas_udf(BinaryType())
 def _longs_to_bytes(words: pd.Series) -> pd.Series:
+    from ..kernel import encode_words
+
     return words.map(
-        lambda ws: np.asarray(ws, dtype=np.int64).view(U64).astype("<u8").tobytes())
+        lambda ws: encode_words(np.asarray(ws, dtype=np.int64).view(U64)))
 
 
 def write_checkpoint(
@@ -142,5 +147,5 @@ def resume_bloom_build(
     if not merged:
         return BloomFilter(cfg), metrics
     row = merged[0]
-    return (BloomFilter(cfg, words_from_bytes(row.sketch),
+    return (BloomFilter(cfg, decode_words(bytes(row.sketch)),
                         rows_seen=row.rows_seen), metrics)

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from fastbloom_spark import BloomConfig
 from fastbloom_spark.functions import digest64
-from fastbloom_spark.kernel import words_from_bytes
+from fastbloom_spark.kernel import decode_words
 from fastbloom_spark.operators import bloom_build, bloom_partials
 from fastbloom_spark.sources import (
     read_checkpoint,
@@ -38,8 +38,8 @@ def test_checkpoint_roundtrip(spark, docs, tmp_path):
     assert orig.keys() == got.keys()
     for pid in orig:
         assert orig[pid][0] == got[pid][0]
-        assert np.array_equal(words_from_bytes(bytes(orig[pid][1])),
-                              words_from_bytes(bytes(got[pid][1])))
+        assert np.array_equal(decode_words(bytes(orig[pid][1])),
+                              decode_words(bytes(got[pid][1])))
     # lineage columns present
     row = spark.read.parquet(path).first()
     assert row.sketch_kind == "bloom" and row.group_key == "__global__"
