@@ -138,45 +138,79 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     return times, facts
 
 
-def scaling_run(cpus: int, rows: int) -> float:
-    """Isolated build+merge throughput (rows/s) at a given core count."""
+def scaling_run(cpus: int, rows: int) -> dict[str, float]:
+    """Isolated throughputs (rows/s) at a given core count: the full
+    content→digest→build→merge job, the digest+probe job, and the
+    scan+hash stage alone.
+
+    Best of 3 warm runs — consecutive local-mode JVMs on one box leave GC /
+    page-cache noise behind, and the scaling claim should compare
+    steady-state kernels, not transient VM state.
+    """
+    import gc
+
+    import pyspark.sql.functions as F
+
     spark = make_spark(cpus)
     try:
         from fastbloom_spark import BloomConfig
-        from fastbloom_spark.operators import bloom_build
+        from fastbloom_spark.functions import digest64
+        from fastbloom_spark.operators import bloom_build, bloom_contains_col
         from fastbloom_spark.sources import synth_code_table
 
         code = synth_code_table(spark, rows, num_repos=200, seed=SEED,
                                 num_partitions=64).persist()
         n = code.count()
         cfg = BloomConfig.from_false_pos(0.001, expected_items=n, seed=SEED)
-        bloom_build(code, "content", cfg)  # warm
-        t0 = time.perf_counter()
-        bloom_build(code, "content", cfg)
-        dt = time.perf_counter() - t0
+        bloom = bloom_build(code, "content", cfg)  # warm workers + cache
+
+        def best_of(fn, k=3):
+            best = None
+            for _ in range(k):
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+
+        t_build = best_of(lambda: bloom_build(code, "content", cfg))
+        t_digest = best_of(lambda: code.select(
+            digest64("content").alias("d")).agg(F.count("d")).collect())
+        t_probe = best_of(lambda: code.select(
+            digest64("content").alias("d"))
+            .filter(bloom_contains_col(spark, bloom, "d")).count())
         code.unpersist()
-        return n / dt
+        return {"build": n / t_build, "digest_scan": n / t_digest,
+                "probe": n / t_probe}
     finally:
         spark.stop()
+        gc.collect()
+        time.sleep(5)
 
 
 def main() -> None:
     result: dict = {"sf": SF_DIR, "cpus": CPUS, "unit": "sec"}
 
     if os.environ.get("BENCH_SCALING"):
-        rows = CODE_ROWS
+        # larger input for the scaling claim: per-core work must dominate the
+        # fixed (driver merge, scheduling, scan-setup) costs, or Amdahl noise
+        # — not the engine — decides the ratio
+        rows = int(os.environ.get("BENCH_SCALING_ROWS", "16000000"))
         lo_cpus, hi_cpus = 8, 32
         thr_lo = scaling_run(lo_cpus, rows)
         thr_hi = scaling_run(hi_cpus, rows)
-        eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+        ratio = hi_cpus / lo_cpus
+        eff = {k: round((thr_hi[k] / thr_lo[k]) / ratio, 3) for k in thr_lo}
         result.update({
-            "metric": "bloom build+merge scaling local[8]->local[32]",
-            "value": round(eff, 3),
+            "metric": "bloom job scaling local[8]->local[32]",
+            "value": eff["build"],
             "scaling": {
-                f"local[{lo_cpus}]_mrows_per_s": round(thr_lo / 1e6, 3),
-                f"local[{hi_cpus}]_mrows_per_s": round(thr_hi / 1e6, 3),
-                "efficiency": round(eff, 3),
                 "rows": rows,
+                **{f"local[{lo_cpus}]_{k}_mrows_per_s":
+                   round(v / 1e6, 3) for k, v in thr_lo.items()},
+                **{f"local[{hi_cpus}]_{k}_mrows_per_s":
+                   round(v / 1e6, 3) for k, v in thr_hi.items()},
+                "efficiency": eff,
             },
             "queries": {},
         })

@@ -237,19 +237,25 @@ def encode_words(words: np.ndarray, level: int = 1) -> bytes:
     raw = words.astype("<u8", copy=False).tobytes()
     if len(raw) >= 65536:
         z = zlib.compress(raw, level)
-        if len(z) < (len(raw) * 9) // 10:
+        # keep zlib only when genuinely sparse (>=5x): at moderate density
+        # the decompress cost on the merge side exceeds the transport saving
+        if len(z) * 5 < len(raw):
             return _TAG_ZLIB + z
     return _TAG_RAW + raw
 
 
-def decode_words(buf: bytes) -> np.ndarray:
+def decode_words(buf: bytes, copy: bool = True) -> np.ndarray:
+    """Inverse of :func:`encode_words`. With ``copy=False`` returns a
+    read-only view over the buffer (merge paths only read)."""
     b = bytes(buf)
     tag = b[:1]
     if tag == _TAG_ZLIB:
-        return np.frombuffer(zlib.decompress(b[1:]), dtype="<u8").astype(U64)
-    if tag == _TAG_RAW:
-        return np.frombuffer(b, dtype="<u8", offset=1).astype(U64)
-    raise ValueError(f"unknown sketch payload tag {tag!r}")
+        arr = np.frombuffer(zlib.decompress(b[1:]), dtype="<u8")
+    elif tag == _TAG_RAW:
+        arr = np.frombuffer(b, dtype="<u8", offset=1)
+    else:
+        raise ValueError(f"unknown sketch payload tag {tag!r}")
+    return arr.astype(U64) if copy else arr.view(U64)
 
 
 def words_to_longs(words: np.ndarray) -> list[int]:

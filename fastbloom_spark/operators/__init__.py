@@ -3,7 +3,9 @@ from .bloom import (
     bloom_build,
     bloom_contains_col,
     bloom_merge,
+    bloom_merge_sharded,
     bloom_partials,
+    bloom_partials_sharded,
     bloom_semi_join,
     register_bloom_sql,
     sketch_row_to_filter,
@@ -14,7 +16,9 @@ __all__ = [
     "bloom_build",
     "bloom_contains_col",
     "bloom_merge",
+    "bloom_merge_sharded",
     "bloom_partials",
+    "bloom_partials_sharded",
     "bloom_semi_join",
     "register_bloom_sql",
     "sketch_row_to_filter",

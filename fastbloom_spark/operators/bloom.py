@@ -131,6 +131,81 @@ def _merge_fn(group_cols: Sequence[str]):
     return merge
 
 
+def bloom_partials_sharded(
+    df: DataFrame,
+    digest_col: str,
+    cfg: BloomConfig,
+    *,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Per-partition build that emits the bit vector in word-range shards.
+
+    For large filters the P partial bit-arrays (P * m/8 bytes) dwarf both the
+    input digests and the final sketch; collecting them on one node (driver or
+    a single merge task) caps scaling. Sharding by word range makes the merge
+    embarrassingly parallel: shard ``r`` of every partition shuffles to one
+    reducer, is OR-reduced there, and the driver only ever sees the m/8 bytes
+    of the final filter. OR per shard is still associative/commutative, so the
+    result stays bitwise-identical to every other merge topology.
+
+    Output: ``(partition_id int, shard int, rows_seen long, chunk binary)``;
+    rows_seen is recorded on shard 0 only (so sums stay correct).
+    """
+    m, k, seed = cfg.num_bits, cfg.num_hashes, cfg.seed
+    num_words = cfg.num_words
+    shards = num_shards or min(64, max(8, num_words // 131072))
+    bounds = np.linspace(0, num_words, shards + 1).astype(np.int64)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        words = np.zeros(num_words, dtype=U64)
+        seen = 0
+        for pdf in batches:
+            hashes = source_hash(_digests_to_u64(pdf[digest_col]), seed)
+            insert_hashes(words, hashes, k)
+            seen += len(pdf)
+        if seen == 0:
+            return
+        rows = []
+        for s in range(shards):
+            chunk = words[bounds[s]:bounds[s + 1]]
+            rows.append((pid, s, seen if s == 0 else 0,
+                         chunk.astype("<u8", copy=False).tobytes()))
+        yield pd.DataFrame(
+            rows, columns=["partition_id", "shard", "rows_seen", "chunk"])
+
+    return df.mapInPandas(
+        build, "partition_id int, shard int, rows_seen long, chunk binary")
+
+
+def bloom_merge_sharded(partials: DataFrame, cfg: BloomConfig) -> BloomFilter:
+    """Reduce sharded partials to one filter: OR per shard in parallel
+    reducers, then assemble the m/8-byte result on the driver."""
+
+    def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf["chunk"]:
+            w = np.frombuffer(bytes(b), dtype="<u8")
+            acc = w.astype(U64) if acc is None else np.bitwise_or(
+                acc, w.view(U64), out=acc)
+        return pd.DataFrame({
+            "shard": [int(pdf["shard"].iloc[0])],
+            "rows_seen": [int(pdf["rows_seen"].sum())],
+            "chunk": [acc.astype("<u8", copy=False).tobytes()],
+        })
+
+    merged = partials.groupBy("shard").applyInPandas(
+        merge_shard, "shard int, rows_seen long, chunk binary").toPandas()
+    if merged.empty:
+        return BloomFilter(cfg)
+    merged = merged.sort_values("shard")
+    words = np.frombuffer(
+        b"".join(bytes(b) for b in merged["chunk"]), dtype="<u8").astype(U64)
+    return BloomFilter(cfg, words, rows_seen=int(merged["rows_seen"].sum()))
+
+
 def bloom_merge(
     partials: DataFrame,
     key_cols: Sequence[str] = (),
@@ -222,12 +297,27 @@ def bloom_build(
     # target, then coalesce (narrow, no shuffle) down to it.
     sc = df.sparkSession.sparkContext
     p_in = prepared.rdd.getNumPartitions()
-    state_budget_parts = max(1, (256 << 20) // (cfg.num_words * 8))
+    # partial-state budget: payloads are compressed (sparse partials shrink
+    # 3-20x) and decoded by parallel threads on the driver, so 1 GiB of raw
+    # partial state is comfortably collectable; beyond that, parallelism is
+    # worth more than merge traffic only until the distributed-merge path
+    # (bloom_merge) takes over below
+    state_budget_parts = max(1, (1 << 30) // (cfg.num_words * 8))
     p_build = min(p_in, max(sc.defaultParallelism, 1), state_budget_parts)
     if n_hint:
-        p_build = min(p_build, max(1, int(n_hint) // 200_000 + 1))
+        # avoid tiny tasks: below ~50k rows/task the fixed per-partial state
+        # cost (alloc + compress + collect) outweighs extra parallelism
+        p_build = min(p_build, max(1, int(n_hint) // 50_000))
     if p_build < p_in:
         prepared = prepared.coalesce(p_build)
+
+    # merge strategy by partial-state volume: small states collect straight
+    # to the driver (one Arrow hop, zero shuffle — on one box this moves at
+    # memory speed); beyond ~1 GiB the range-sharded merge takes over so no
+    # single node (driver included) ever holds P * m/8 bytes
+    if p_build * cfg.num_words * 8 > (1 << 30):
+        sharded = bloom_partials_sharded(prepared, "__digest64", cfg)
+        return bloom_merge_sharded(sharded, cfg)
 
     partials = bloom_partials(prepared, "__digest64", cfg)
     # global merge: partial payloads are zlib-compressed when sparse, and the
@@ -237,10 +327,20 @@ def bloom_build(
     pdf = partials.select("rows_seen", "sketch").toPandas()
     if pdf.empty:
         return BloomFilter(cfg)
-    acc = None
-    for b in pdf["sketch"]:
-        w = decode_words(bytes(b))
-        acc = w if acc is None else np.bitwise_or(acc, w, out=acc)
+    payloads = [bytes(b) for b in pdf["sketch"]]
+    # decode to zero-copy views (raw payloads) / parallel threads (zlib
+    # releases the GIL), then OR-reduce into one writable accumulator
+    decode_view = lambda b: decode_words(b, copy=False)
+    if len(payloads) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(payloads))) as ex:
+            decoded = list(ex.map(decode_view, payloads))
+    else:
+        decoded = [decode_view(b) for b in payloads]
+    acc = np.zeros(cfg.num_words, dtype=U64)
+    for w in decoded:
+        np.bitwise_or(acc, w, out=acc)
     return BloomFilter(cfg, acc, rows_seen=int(pdf["rows_seen"].sum()))
 
 
