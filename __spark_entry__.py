@@ -281,6 +281,128 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_query(spark, sf_dir, KllSketch(k=200, seed=42))
 
 
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint dedup groups (exact, oracle-checked)."""
+    from fastbloom_spark.operators.text import doc_fingerprint_col
+
+    return _read(spark, sf_dir, "documents") \
+        .select("doc_id", doc_fingerprint_col("text").alias("fingerprint")) \
+        .groupBy("fingerprint") \
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count("*").alias("dup_count"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics (regex classes with identical semantics
+    in Spark and DuckDB; the full quality score is rows-only below)."""
+    from fastbloom_spark.operators.text import token_count_col
+
+    docs = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_chars = F.length(c).cast("long")
+    safe = F.greatest(n_chars.cast("double"), F.lit(1.0))
+    digits = (F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))) \
+        .cast("double")
+    spaces = (F.length(c) - F.length(F.regexp_replace(c, " ", ""))) \
+        .cast("double")
+    return docs.select(
+        "doc_id", n_chars.alias("n_chars"),
+        token_count_col("text").alias("n_tokens"),
+        F.round(digits / safe, 6).alias("digit_ratio"),
+        F.round(spaces / safe, 6).alias("space_ratio"))
+
+
+def q_shingle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram shingle counts (the dedup pipeline's stage-1 shape)."""
+    from fastbloom_spark.operators.dedup import shingles_col
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", F.size(shingles_col("text", 3)).cast("long")
+        .alias("n_shingles"))
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 3 corpus vectors
+    (oracle: DuckDB list_cosine_similarity, identical rank + rounded score).
+    """
+    import numpy as np
+
+    from fastbloom_spark.operators.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = sorted((r.vec_id, r.embedding)
+                   for r in emb.filter("vec_id < 3").collect())
+    queries_np = np.array([q[1] for q in qrows], dtype=np.float64)
+    return cosine_topk(emb, "vec_id", "embedding", queries_np, k=5)
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality scoring (rows-only: engine-defined heuristic)."""
+    from fastbloom_spark.operators.text import quality_features
+
+    return quality_features(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score", "uniq_token_ratio", "punct_ratio")
+
+
+def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword language-ID heuristic (rows-only; accuracy asserted on
+    natural-language fixtures in tests/test_text.py)."""
+    from fastbloom_spark.operators.text import detect_lang_col
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", detect_lang_col("text").alias("lang_guess"))
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only:
+    deterministic; recall/precision asserted in tests/test_dedup.py)."""
+    from fastbloom_spark.operators.dedup import (minhash_candidate_pairs,
+                                                 ngram_jaccard_pairs)
+
+    docs = _read(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(docs, "doc_id", "text",
+                                    num_perm=128, bands=32, seed=42)
+    return ngram_jaccard_pairs(cands, docs, "doc_id", "text", threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only: xxhash64 has no DuckDB
+    counterpart; determinism + near-dup behavior tested)."""
+    from fastbloom_spark.operators.dedup import simhash64_col
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", simhash64_col("text").alias("simhash"))
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only: recall vs exact asserted in
+    tests/test_similarity.py)."""
+    import numpy as np
+
+    from fastbloom_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = sorted((r.vec_id, r.embedding)
+                   for r in emb.filter("vec_id < 3").collect())
+    queries_np = np.array([q[1] for q in qrows], dtype=np.float64)
+    return ivf_topk(emb, "vec_id", "embedding", queries_np, k=5,
+                    n_centroids=16, nprobe=6, seed=42)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesized binary media table → deterministic
+    Arrow-batched feature extraction (rows-only: input synthesized
+    in-engine; determinism tested across partitionings)."""
+    from fastbloom_spark.operators.multimodal import (media_features,
+                                                      synth_media_table)
+
+    media = synth_media_table(spark, 500, num_partitions=8)
+    feats = media_features(media, feature_dim=16)
+    return feats.select("media_id", "kind",
+                        F.round(F.element_at("feature", 1), 6).alias("f0"),
+                        F.round(F.element_at("feature", 2), 6).alias("f1"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "digest_parity": q_digest_parity,
@@ -298,6 +420,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "tdigest_quantiles": q_tdigest_quantiles,
         "kll_quantiles": q_kll_quantiles,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "text_stats": q_text_stats,
+        "shingle_count": q_shingle_count,
+        "embed_topk": q_embed_topk,
+        "quality_scores": q_quality_scores,
+        "lang_detect": q_lang_detect,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash": q_simhash,
+        "ivf_topk": q_ivf_topk,
+        "media_features": q_media_features,
     }
 
 
@@ -361,6 +493,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
-        # bloom_fpr_envelope, per_lang_bloom: statistical / sketch-state
-        # outputs — rows-only (bounds asserted in tests/).
+        "fingerprint_dedup": """
+            SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fingerprint,
+                   min(doc_id) AS keeper_doc_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END::BIGINT AS n_tokens,
+                   round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS digit_ratio,
+                   round((length(text) - length(replace(text, ' ', '')))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS space_ratio
+            FROM documents
+        """,
+        "shingle_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        WHEN len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
+                          THEN len(string_split_regex(trim(lower(text)), '\\s+')) - 2
+                        ELSE 1
+                   END::BIGINT AS n_shingles
+            FROM documents
+        """,
+        "embed_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(
+                         q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS score
+              FROM q CROSS JOIN embeddings e)
+            SELECT CAST(query_id AS INT) AS query_id, vec_id, score,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, vec_id)
+                        AS INT) AS rank
+            FROM scored QUALIFY rank <= 5
+        """,
+        # bloom_fpr_envelope, per_lang_bloom, quality_scores, lang_detect,
+        # minhash_near_dups, simhash, ivf_topk, media_features: engine-defined
+        # heuristics / sketch-state / approximate outputs — rows-only, with
+        # bounds and determinism asserted in tests/.
     }

@@ -23,3 +23,43 @@ __all__ = [
     "register_bloom_sql",
     "sketch_row_to_filter",
 ]
+
+from .dedup import (
+    minhash_candidate_pairs,
+    minhash_dedup,
+    minhash_signature_col,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash64_col,
+    simhash_near_dup_pairs,
+)
+from .multimodal import (
+    fake_codec,
+    media_dedup_exact,
+    media_features,
+    synth_media_table,
+)
+from .similarity import (
+    ann_topk_rhp,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    kmeans_centroids,
+)
+from .text import (
+    dedup_exact,
+    detect_lang_col,
+    doc_fingerprint_col,
+    quality_features,
+    token_count_col,
+)
+
+__all__ += [
+    "minhash_candidate_pairs", "minhash_dedup", "minhash_signature_col",
+    "ngram_jaccard_pairs", "shingles_col", "simhash64_col",
+    "simhash_near_dup_pairs", "fake_codec", "media_dedup_exact",
+    "media_features", "synth_media_table", "ann_topk_rhp", "cosine_topk",
+    "embedding_near_dup_pairs", "ivf_topk", "kmeans_centroids",
+    "dedup_exact", "detect_lang_col", "doc_fingerprint_col",
+    "quality_features", "token_count_col",
+]

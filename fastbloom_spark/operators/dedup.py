@@ -1,0 +1,274 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Pipeline shape (the scalable LSH layout, not all-pairs):
+
+1. shingle (JVM: split → sliding n-gram → xxhash64 per shingle — all
+   Catalyst, codegen'd);
+2. MinHash signatures (Arrow-vectorized: one ``np.minimum.reduceat`` pass
+   per permutation over the flattened shingle-hash values — zero per-row
+   Python);
+3. band the signature, explode (band_idx, band_hash), self-join on the band
+   bucket → candidate pairs only (never the full cross product);
+4. verify candidates with EXACT n-gram Jaccard (JVM ``array_intersect`` /
+   ``array_union`` on the shingle sets).
+
+At 100 TB: stage 2 is map-side; stage 3 shuffles (doc_id, band_hash) pairs —
+b rows of 16 bytes per doc, not text; the bucket join is the only quadratic
+risk and is capped by ``max_bucket_size`` (oversized buckets are dropped and
+reported, the standard guardrail against degenerate shingles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..kernel import U64, mix64
+from .text import tokens_col
+
+
+def shingles_col(text_col: Column | str, n: int = 3) -> Column:
+    """Sliding word n-gram shingle hashes as ``array<long>`` (JVM-only:
+    split → sequence/transform/slice → xxhash64). Documents shorter than
+    ``n`` tokens hash their whole token string as one shingle."""
+    toks = tokens_col(text_col)
+    joined = F.concat_ws(" ", toks)
+    n_sh = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+    return F.when(F.size(toks) == 0, F.array().cast("array<bigint>")) \
+        .otherwise(F.when(n_sh >= 1, grams)
+                   .otherwise(F.array(F.xxhash64(joined))))
+
+
+def _perm_seeds(num_perm: int, seed: int) -> np.ndarray:
+    return mix64((np.arange(1, num_perm + 1, dtype=np.uint64)
+                  * np.uint64(0x9E3779B97F4A7C15))
+                 ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+
+
+def minhash_signature_col(shingle_col: str, num_perm: int = 128,
+                          seed: int = 42) -> Column:
+    """MinHash signature ``array<long>`` of length ``num_perm`` from a
+    shingle-hash array column.
+
+    Arrow-vectorized: the batch's list column is flattened once
+    (values + offsets); each permutation is one ``mix64`` + one
+    ``np.minimum.reduceat`` over the flat values. Empty docs sign as
+    int64.max (matches nothing)."""
+    seeds = _perm_seeds(num_perm, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sign(shingles: pd.Series) -> pd.Series:
+        import pyarrow as pa
+
+        arr = pa.array(shingles, type=pa.list_(pa.int64()))
+        offsets = arr.offsets.to_numpy()
+        flat = arr.values.to_numpy(zero_copy_only=False).view(U64)
+        n_docs = len(arr)
+        lens = np.diff(offsets)
+        nonempty = lens > 0
+        starts = offsets[:-1][nonempty]
+        out = np.full((n_docs, len(seeds)), np.iinfo(np.int64).max,
+                      dtype=np.int64)
+        if flat.size:
+            with np.errstate(over="ignore"):
+                for j, s in enumerate(seeds):
+                    mixed = mix64(flat ^ s)
+                    mins = np.minimum.reduceat(mixed, starts)
+                    out[nonempty, j] = mins.view(np.int64)
+        return pd.Series(list(out))
+
+    return sign(F.col(shingle_col))
+
+
+def band_hashes_col(sig_col: str, bands: int, rows: int,
+                    seed: int = 7) -> Column:
+    """Fold each signature into ``bands`` band-hashes (``array<long>``):
+    band j = mix64-fold of its ``rows`` signature slots."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def band(sigs: pd.Series) -> pd.Series:
+        import pyarrow as pa
+
+        arr = pa.array(sigs, type=pa.list_(pa.int64()))
+        mat = arr.values.to_numpy(zero_copy_only=False).view(U64) \
+            .reshape(len(arr), bands, rows)
+        with np.errstate(over="ignore"):
+            acc = np.full((len(arr), bands), mix64(int(seed)), dtype=U64)
+            for r in range(rows):
+                acc = mix64(acc ^ mat[:, :, r])
+        return pd.Series(list(acc.view(np.int64)))
+
+    return band(F.col(sig_col))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs ``(id_a, id_b)`` — documents sharing at least one
+    band bucket. Threshold ≈ (1/bands)^(rows/num_perm... the usual s-curve
+    with r = num_perm // bands rows per band."""
+    rows = num_perm // bands
+    if bands * rows != num_perm:
+        raise ValueError("bands must divide num_perm")
+    prepared = df.select(
+        F.col(id_col),
+        shingles_col(text_col, shingle_n).alias("__sh"))
+    # blank documents (empty shingle sets) would all share one degenerate
+    # bucket — a quadratic blowup at corpus scale; they can never pass
+    # Jaccard verification anyway, so drop them before banding
+    prepared = prepared.filter(F.size("__sh") > 0)
+    signed = prepared.select(
+        id_col, minhash_signature_col("__sh", num_perm, seed).alias("__sig"))
+    banded = signed.select(
+        id_col,
+        F.posexplode(band_hashes_col("__sig", bands, rows)).alias(
+            "band_idx", "band_hash"))
+    # cap degenerate buckets (all-identical boilerplate) before the join
+    from pyspark.sql.window import Window
+
+    sized = banded.withColumn(
+        "__bucket_n",
+        F.count("*").over(Window.partitionBy("band_idx", "band_hash")))
+    capped = sized.filter(F.col("__bucket_n") <= max_bucket_size) \
+        .drop("__bucket_n")
+    a = capped.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = capped.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return a.join(b, ["band_idx", "band_hash"]) \
+        .filter(F.col("id_a") < F.col("id_b")) \
+        .select("id_a", "id_b").distinct()
+
+
+def ngram_jaccard_pairs(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs (JVM set ops).
+
+    Returns ``(id_a, id_b, jaccard)`` with jaccard >= threshold."""
+    sh = df.select(F.col(id_col),
+                   F.array_distinct(shingles_col(text_col, shingle_n))
+                   .alias("__sh"))
+    ja = candidates \
+        .join(sh.select(F.col(id_col).alias("id_a"),
+                        F.col("__sh").alias("__sh_a")), "id_a") \
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("__sh").alias("__sh_b")), "id_b")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return ja.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")) \
+        .filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup dedup: LSH candidates → exact Jaccard >= threshold →
+    connected survivors keep the min id (single-link via min-id propagation
+    on verified pairs, one round — sufficient for pairwise clusters; chains
+    resolve over repeated application)."""
+    pairs = ngram_jaccard_pairs(
+        minhash_candidate_pairs(df, id_col, text_col, shingle_n=shingle_n,
+                                num_perm=num_perm, bands=bands, seed=seed),
+        df, id_col, text_col, shingle_n=shingle_n, threshold=threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash64_col(text_col: Column | str = "text") -> Column:
+    """64-bit SimHash over whitespace tokens (Charikar 2002): per-document
+    sign of the per-bit sum of token-hash bits.
+
+    Arrow-vectorized: flatten token hashes, ``np.unpackbits`` to a bit
+    matrix, segment-sum with one ``np.add.reduceat`` per batch, re-pack.
+    Near-dup distance = popcount(simhash_a XOR simhash_b).
+    """
+    toks = tokens_col(text_col)
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    @F.pandas_udf(LongType())
+    def simhash(hashes: pd.Series) -> pd.Series:
+        import pyarrow as pa
+
+        arr = pa.array(hashes, type=pa.list_(pa.int64()))
+        offsets = arr.offsets.to_numpy()
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        n_docs = len(arr)
+        lens = np.diff(offsets)
+        nonempty = lens > 0
+        starts = offsets[:-1][nonempty]
+        out = np.zeros(n_docs, dtype=np.int64)
+        if flat.size:
+            # (n_tokens, 64) bit matrix, column i = bit i of the hash
+            bytes_le = flat.astype("<i8").view(np.uint8).reshape(-1, 8)
+            bits = np.unpackbits(bytes_le, axis=1, bitorder="little")
+            sums = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
+            lens_ne = lens[nonempty].astype(np.int32)[:, None]
+            majority = (2 * sums) > lens_ne  # bit set iff more 1s than 0s
+            packed = np.packbits(majority.astype(np.uint8), axis=1,
+                                 bitorder="little")
+            out[nonempty] = packed.view("<u8").ravel().view(np.int64)
+        return pd.Series(out)
+
+    return simhash(tok_hashes)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit simhash into ``bands``
+    16-bit chunks (pigeonhole: hamming <= bands-1 guarantees a shared exact
+    chunk; default max_hamming=3 with 4 bands), bucket-join, verify with
+    exact popcount(xor) <= max_hamming."""
+    sh = df.select(F.col(id_col), simhash64_col(text_col).alias("__sim"))
+    width = 64 // bands
+    chunks = F.array(*[
+        F.struct(F.lit(i).alias("band_idx"),
+                 F.shiftrightunsigned(F.col("__sim"), i * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"))
+        for i in range(bands)])
+    banded = sh.select(id_col, "__sim", F.explode(chunks).alias("c")) \
+        .select(id_col, "__sim", "c.band_idx", "c.band_val")
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("__sim").alias("__sim_a"),
+                      "band_idx", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("__sim").alias("__sim_b"),
+                      "band_idx", "band_val")
+    pairs = a.join(b, ["band_idx", "band_val"]) \
+        .filter(F.col("id_a") < F.col("id_b"))
+    hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")) \
+        .filter(F.col("hamming") <= max_hamming).distinct()

@@ -1,0 +1,101 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride Spark as ``binary`` columns next to a metadata
+struct — the layout a 100 TB multimodal corpus uses (payloads in parquet or
+object-store references, transforms as Arrow-batched UDFs over
+``mapInPandas``). The Spark-side plumbing here — schemas, batch iteration,
+deterministic feature extraction, partition-size discipline — is real and
+tested; the codec step itself is STUBBED (no image/audio libraries in this
+container): ``decode_image`` raises ``NotImplementedError`` unless handed
+the deterministic fake codec, which is what tests and the feature path use.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.digest import sha256_hex
+
+MEDIA_SCHEMA = ("media_id long, kind string, width int, height int, "
+                "n_bytes long, payload binary")
+
+
+def synth_media_table(spark, num_rows: int, *, seed: int = 42,
+                      num_partitions: int | None = None) -> DataFrame:
+    """Deterministic fake media table (binary payload = seeded sha2 chain,
+    JVM-generated; metadata columns typed as a real pipeline would)."""
+    base = spark.range(0, num_rows, 1, num_partitions) if num_partitions \
+        else spark.range(num_rows)
+    mix = F.sha2(F.concat(F.lit(f"m{seed}-"), F.col("id")), 256)
+    payload = F.unhex(F.concat(*[F.sha2(F.concat(mix, F.lit(i)), 256)
+                                 for i in range(4)]))  # 128 bytes
+    return base.select(
+        F.col("id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"))
+        .alias("kind"),
+        (F.pmod(F.col("id") * 7, F.lit(512)) + 32).cast("int").alias("width"),
+        (F.pmod(F.col("id") * 13, F.lit(512)) + 32).cast("int")
+        .alias("height"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        payload.alias("payload"),
+    )
+
+
+def decode_image(payload: bytes, *, codec: Callable | None = None):
+    """Decode a binary image payload to an HxWx3 uint8 array.
+
+    STUB: real decoding needs an image library that is not in this
+    container. Pass ``codec=fake_codec`` (deterministic bytes→pixels) to
+    exercise the full pipeline shape; otherwise this raises."""
+    if codec is None:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; "
+            "pass codec=fake_codec for the deterministic test codec")
+    return codec(payload)
+
+
+def fake_codec(payload: bytes, width: int = 8, height: int = 8) -> np.ndarray:
+    """Deterministic fake decoder: tile payload bytes into HxWx3 uint8."""
+    need = width * height * 3
+    buf = (payload * (need // max(len(payload), 1) + 1))[:need]
+    return np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
+
+
+def media_features(df: DataFrame, *, feature_dim: int = 16) -> DataFrame:
+    """Deterministic per-payload feature vectors via ``mapInPandas``.
+
+    Stands in for embed/resize/frame-sample: Arrow batches in, numpy
+    feature block out, one row per media row — the exact batch shape a real
+    extractor (decode → model) plugs into. Features are byte-histogram
+    moments of the payload (deterministic, codec-free)."""
+    schema = f"media_id long, kind string, feature array<double>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=feature_dim)[:feature_dim]
+                total = max(arr.size, 1)
+                feats.append((hist / total).round(6).tolist())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "feature": feats,
+            })
+
+    return df.mapInPandas(extract, schema)
+
+
+def media_dedup_exact(df: DataFrame) -> DataFrame:
+    """Payload-level exact dedup (sha256 of bytes, JVM-side)."""
+    return df.select("media_id", sha256_hex(F.col("payload")).alias("payload_sha256")) \
+        .groupBy("payload_sha256") \
+        .agg(F.min("media_id").alias("keeper_media_id"),
+             F.count("*").alias("dup_count"))

@@ -1,0 +1,317 @@
+"""Similarity search over embedding columns: exact top-k + LSH-bucketed ANN.
+
+Two paths, one contract:
+
+* ``cosine_topk`` — exact brute force, the correctness baseline. Scans are
+  map-side matrix multiplies (numpy GEMM against the broadcast query block);
+  each partition emits only its local top-k, so the final merge sees
+  P * q * k tiny rows, never scores for the full corpus.
+* ``ann_topk_rhp`` — random-hyperplane LSH (Charikar): bucket vectors by the
+  sign pattern of `planes @ v`, probe only the query's bucket (plus
+  multi-probe neighbors), exact-rerank the candidates. The scale path: the
+  bucket join replaces the all-pairs scan.
+* ``embedding_near_dup_pairs`` — corpus self-dedup at a cosine threshold via
+  the same bucketing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel import mix64
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _vectors_from_series(series: pd.Series, dim: int) -> np.ndarray:
+    import pyarrow as pa
+
+    arr = pa.array(series)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), dim)
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row (index = query_id), the k
+    nearest corpus vectors. Returns (query_id, {id_col}, score, rank).
+
+    Distributed shape: broadcast the (q, d) query block; every partition
+    computes one GEMM + partial top-k; the global merge handles P*q*k rows.
+    """
+    spark = df.sparkSession
+    q_norm = _normalize_rows(np.asarray(queries, dtype=np.float64))
+    q_bc = spark.sparkContext.broadcast(q_norm)
+    dim = q_norm.shape[1]
+    n_q = q_norm.shape[0]
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q = q_bc.value
+        best_scores = np.full((n_q, k), -np.inf)
+        best_ids = np.full((n_q, k), -1, dtype=np.int64)
+        for pdf in batches:
+            mat = _normalize_rows(_vectors_from_series(pdf[vec_col], dim))
+            ids = pdf[id_col].to_numpy(np.int64)
+            scores = q @ mat.T  # (n_q, batch)
+            joined_s = np.concatenate([best_scores, scores], axis=1)
+            joined_i = np.concatenate(
+                [best_ids, np.broadcast_to(ids, (n_q, ids.size))], axis=1)
+            sel = np.argpartition(-joined_s, min(k, joined_s.shape[1] - 1),
+                                  axis=1)[:, :k]
+            rows_idx = np.arange(n_q)[:, None]
+            best_scores = joined_s[rows_idx, sel]
+            best_ids = joined_i[rows_idx, sel]
+        out = []
+        for qi in range(n_q):
+            mask = best_ids[qi] >= 0
+            out.append(pd.DataFrame({
+                "query_id": qi,
+                id_col: best_ids[qi][mask],
+                "score": best_scores[qi][mask],
+            }))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    partials = df.select(id_col, vec_col).mapInPandas(
+        partial_topk, f"query_id int, {id_col} long, score double")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col))
+    return partials.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k) \
+        .select("query_id", id_col, F.round("score", 6).alias("score"),
+                "rank")
+
+
+def rhp_signature_col(vec_col: str, num_planes: int, dim: int,
+                      seed: int = 42):
+    """Random-hyperplane LSH signature (long): bit i = sign(plane_i · v).
+    Planes are a deterministic seeded Gaussian block, identical on every
+    executor (regenerated from the seed — nothing shipped)."""
+    if num_planes > 63:
+        raise ValueError("num_planes must be <= 63 to fit a long")
+
+    @F.pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((num_planes, dim))
+        mat = _vectors_from_series(vecs, dim)
+        bits = (planes @ mat.T) > 0  # (planes, n)
+        weights = (1 << np.arange(num_planes, dtype=np.uint64))
+        vals = (bits.T.astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(vals.astype(np.int64))
+
+    return sig(F.col(vec_col))
+
+
+def ann_topk_rhp(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    num_planes: int = 16,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only corpus vectors whose RHP bucket is
+    within ``multiprobe_bits`` bit-flips of the query's bucket, then
+    exact-rerank. Recall rises with multiprobe_bits at linear candidate
+    cost; recall vs the exact baseline is asserted in tests."""
+    spark = df.sparkSession
+    q = _normalize_rows(np.asarray(queries, dtype=np.float64))
+    dim = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    qbits = (planes @ q.T) > 0
+    weights = (1 << np.arange(num_planes, dtype=np.uint64))
+    qsigs = (qbits.T.astype(np.uint64) * weights).sum(axis=1)
+
+    # multiprobe: each query probes its bucket and all buckets within
+    # `multiprobe_bits` Hamming flips
+    probe_rows = []
+    for qi, s in enumerate(qsigs.tolist()):
+        sigs = {s}
+        if multiprobe_bits >= 1:
+            sigs |= {s ^ (1 << b) for b in range(num_planes)}
+        if multiprobe_bits >= 2:
+            sigs |= {s ^ (1 << b1) ^ (1 << b2)
+                     for b1 in range(num_planes)
+                     for b2 in range(b1 + 1, num_planes)}
+        # num_planes <= 63 keeps signatures inside the signed-long range
+        probe_rows += [(qi, int(x)) for x in sigs]
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=["query_id", "bucket"]))
+
+    corpus = df.select(
+        id_col, vec_col,
+        rhp_signature_col(vec_col, num_planes, dim, seed).alias("bucket"))
+    candidates = corpus.join(F.broadcast(probes), "bucket") \
+        .select("query_id", id_col, vec_col).distinct()
+
+    # exact rerank of candidates (tiny) against their query
+    q_bc = spark.sparkContext.broadcast(q)
+
+    @F.pandas_udf("double")
+    def score_udf(qid: pd.Series, vecs: pd.Series) -> pd.Series:
+        qq = q_bc.value
+        mat = _normalize_rows(_vectors_from_series(vecs, dim))
+        s = np.einsum("ij,ij->i", qq[qid.to_numpy(np.int64)], mat)
+        return pd.Series(s)
+
+    scored = candidates.withColumn(
+        "score", F.round(score_udf(F.col("query_id"), F.col(vec_col)), 6))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k) \
+        .select("query_id", id_col, "score", "rank")
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    *,
+    sample_rows: int = 20_000,
+    iters: int = 12,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer training: sample to the driver, Lloyd iterations in
+    numpy. At 100 TB the sample (not the corpus) bounds driver work — a
+    20k-row sample trains a 64-256-way quantizer fine; assignment runs
+    distributed."""
+    sample = df.select(vec_col).limit(sample_rows).toPandas()
+    dim = len(sample[vec_col].iloc[0])
+    mat = _normalize_rows(_vectors_from_series(sample[vec_col], dim))
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(mat.shape[0], size=min(n_centroids, mat.shape[0]),
+                           replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = mat[assign == c]
+            if members.size:
+                cents[c] = members.mean(axis=0)
+        cents = _normalize_rows(cents)
+    return cents
+
+
+def ivf_assign_col(vec_col: str, centroids: np.ndarray):
+    """Nearest-centroid assignment column (int) — one GEMM per Arrow batch."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    dim = cents.shape[1]
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = _normalize_rows(_vectors_from_series(vecs, dim))
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32))
+
+    return assign(F.col(vec_col))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` nearest centroid
+    cells per query, exact-rerank within them.
+
+    The geometric-partition ANN — unlike RHP-LSH it degrades gracefully on
+    weak-similarity corpora; recall vs the exact baseline is asserted in
+    tests. Corpus assignment is one broadcast-GEMM scan; the probe is a
+    broadcast join on cell id, so corpus rows never shuffle."""
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = kmeans_centroids(df, vec_col, n_centroids, seed=seed)
+    q = _normalize_rows(np.asarray(queries, dtype=np.float64))
+    dim = q.shape[1]
+    qcells = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    probe_rows = [(qi, int(c)) for qi in range(q.shape[0])
+                  for c in qcells[qi]]
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=["query_id", "cell"]))
+
+    corpus = df.select(id_col, vec_col,
+                       ivf_assign_col(vec_col, centroids).alias("cell"))
+    candidates = corpus.join(F.broadcast(probes), "cell") \
+        .select("query_id", id_col, vec_col)
+
+    q_bc = spark.sparkContext.broadcast(q)
+
+    @F.pandas_udf("double")
+    def score_udf(qid: pd.Series, vecs: pd.Series) -> pd.Series:
+        qq = q_bc.value
+        mat = _normalize_rows(_vectors_from_series(vecs, dim))
+        return pd.Series(np.einsum(
+            "ij,ij->i", qq[qid.to_numpy(np.int64)], mat))
+
+    scored = candidates.withColumn(
+        "score", F.round(score_udf(F.col("query_id"), F.col(vec_col)), 6))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k) \
+        .select("query_id", id_col, "score", "rank")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus self near-dup pairs at a cosine threshold: RHP bucket
+    self-join → exact cosine verify. Vectors this similar collide in the
+    same bucket with probability (1 - theta/pi)^planes; tests assert recall
+    against the exact all-pairs baseline at sf scale."""
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    corpus = df.select(
+        id_col, vec_col,
+        rhp_signature_col(vec_col, num_planes, dim, seed).alias("bucket"))
+    a = corpus.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("__va"), "bucket")
+    b = corpus.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("__vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma = _normalize_rows(_vectors_from_series(va, dim))
+        mb = _normalize_rows(_vectors_from_series(vb, dim))
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(cos(F.col("__va"), F.col("__vb")), 6).alias("cosine")) \
+        .filter(F.col("cosine") >= threshold).distinct()

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines — JVM-first.
+
+Everything here that can be a Catalyst expression IS one (whole-stage
+codegen, predicate-pushdown friendly, oracle-expressible in ANSI SQL);
+nothing row-at-a-time. These are the per-document scoring/filtering
+primitives a 100 TB corpus pipeline runs before sketch-based dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.digest import sha256_hex
+
+#: tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic (public common-word lists, truncated)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "was", "for",
+           "with", "are", "this", "not", "have"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "eine",
+           "zu", "den", "von", "auf", "sich", "auch"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "que", "qui",
+           "pour", "pas", "sur", "avec", "ce"],
+    "es": ["el", "la", "los", "las", "y", "es", "en", "un", "una", "que",
+           "por", "con", "para", "del", "se"],
+    "it": ["il", "la", "di", "che", "e", "un", "una", "per", "non", "sono",
+           "con", "del", "si", "da", "come"],
+}
+
+
+def tokens_col(text_col: Column | str, *, lowercase: bool = True) -> Column:
+    """Whitespace tokenization as an array column (empty array for blank)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    base = F.lower(c) if lowercase else c
+    trimmed = F.trim(base)
+    return F.when(trimmed == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count_col(text_col: Column | str) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokens_col(text_col)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append document quality-scoring features, all Catalyst expressions:
+
+    n_chars, n_tokens, avg_token_len, punct_ratio, digit_ratio, space_ratio,
+    uniq_token_ratio, and a composite [0,1] quality_score (heuristic linear
+    blend — the shape a C4/Gopher-style quality filter takes, minus the
+    model-based parts).
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("double")
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1.0))
+    safe_tokens = F.greatest(n_tokens, F.lit(1.0))
+    count_class = lambda pat: F.length(c) - F.length(
+        F.regexp_replace(c, pat, ""))
+    punct_ratio = count_class(r"[\p{Punct}]") / safe_chars
+    digit_ratio = count_class(r"[0-9]") / safe_chars
+    space_ratio = count_class(r"\s") / safe_chars
+    avg_token_len = (n_chars - count_class(r"\s")) / safe_tokens
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / safe_tokens
+    # crude composite: reward moderate length & lexical diversity, punish
+    # punctuation/digit-heavy rows
+    quality = F.greatest(F.lit(0.0), F.least(F.lit(1.0),
+        F.lit(0.30) * F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.40) * uniq_ratio
+        + F.lit(0.30) * (F.lit(1.0) - F.least(
+            (punct_ratio + digit_ratio) * F.lit(4.0), F.lit(1.0)))))
+    return df.withColumns({
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": F.round(avg_token_len, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "digit_ratio": F.round(digit_ratio, 4),
+        "space_ratio": F.round(space_ratio, 4),
+        "uniq_token_ratio": F.round(uniq_ratio, 4),
+        "quality_score": F.round(quality, 4),
+    })
+
+
+def detect_lang_col(text_col: Column | str = "text",
+                    min_hits: int = 1) -> Column:
+    """Stopword-overlap language-ID heuristic (JVM-only).
+
+    Scores each candidate language by |tokens ∩ stopwords(lang)| and picks
+    the argmax; 'und' (undetermined) when no language reaches ``min_hits``.
+    Deterministic ties break by language order. An honest n-gram-free
+    heuristic: precision is good on natural prose, useless on code — which
+    is the documented contract.
+    """
+    toks = F.array_distinct(tokens_col(text_col))
+    scores = [
+        (lang, F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in words]))))
+        for lang, words in LANG_STOPWORDS.items()
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    for lang, score in reversed(scores):
+        result = F.when((score == best_score) & (best_score >= min_hits),
+                        F.lit(lang)).otherwise(result)
+    return result
+
+
+def doc_fingerprint_col(text_col: Column | str = "text") -> Column:
+    """Normalized-content fingerprint: sha256 of lowercased,
+    whitespace-collapsed text — the exact-dedup key that survives
+    formatting-only edits. Oracle-expressible (DuckDB: sha256 + regexp)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return sha256_hex(normalized)
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text",
+                *, normalized: bool = True) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per (normalized) content hash.
+
+    Distributed shape: one hash-shuffle on the fingerprint (Catalyst
+    partial-agg handles map-side combine); survivors join back by id if the
+    caller wants full rows.
+    """
+    fp = doc_fingerprint_col(text_col) if normalized else sha256_hex(text_col)
+    keepers = df.select(F.col(id_col), fp.alias("__fp")) \
+        .groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keepers.select(id_col), on=id_col, how="left_semi")

@@ -1,0 +1,135 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash — correctness on Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastbloom_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    minhash_dedup,
+    minhash_signature_col,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash64_col,
+    simhash_near_dup_pairs,
+)
+from fastbloom_spark.operators.text import dedup_exact
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Synthetic corpus with planted near-dups: pairs (100+i, 200+i) share
+    ~90% of tokens; everything else is random-vocab noise."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(60)]
+        edited = list(base)
+        for j in range(6):  # ~10% token edits
+            edited[rng.randrange(len(edited))] = rng.choice(vocab)
+        rows.append((100 + i, " ".join(base)))
+        rows.append((200 + i, " ".join(edited)))
+    for i in range(80):
+        rows.append((300 + i, " ".join(rng.choice(vocab) for _ in range(60))))
+    # one exact duplicate pair and one blank
+    rows.append((998, rows[0][1]))
+    rows.append((999, "   "))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_shingles_deterministic_and_shapes(spark, near_dup_docs):
+    out = near_dup_docs.select(
+        "doc_id", F.size(shingles_col("text", 3)).alias("n")).collect()
+    by_id = {r.doc_id: r.n for r in out}
+    assert by_id[100] == 58  # 60 tokens -> 58 3-gram shingles
+    assert by_id[999] == 0   # blank doc -> empty shingles
+
+
+def test_minhash_signature_properties(spark, near_dup_docs):
+    sig = near_dup_docs.select(
+        "doc_id", shingles_col("text", 3).alias("__sh")
+    ).select("doc_id", minhash_signature_col("__sh", 64, seed=1).alias("sig"))
+    rows = {r.doc_id: r.sig for r in sig.collect()}
+    assert all(len(s) == 64 for s in rows.values())
+    # identical docs => identical signatures
+    assert rows[100] == rows[998]
+    # blank doc signs as int64.max
+    assert set(rows[999]) == {np.iinfo(np.int64).max}
+    # near-dups agree on most slots; random docs on few
+    near = np.mean(np.array(rows[100]) == np.array(rows[200]))
+    far = np.mean(np.array(rows[300]) == np.array(rows[301]))
+    assert near > 0.5 and far < 0.2, (near, far)
+
+
+def test_lsh_finds_planted_near_dups(spark, near_dup_docs):
+    pairs = minhash_candidate_pairs(
+        near_dup_docs, "doc_id", "text", num_perm=128, bands=32, seed=42)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(100 + i, 200 + i) for i in range(40)}
+    found = planted & got
+    assert len(found) >= 38, f"recall too low: {len(found)}/40"
+    assert (100, 998) in got  # exact dup always collides
+
+
+def test_jaccard_verification_filters_false_candidates(spark, near_dup_docs):
+    cands = minhash_candidate_pairs(
+        near_dup_docs, "doc_id", "text", num_perm=128, bands=32, seed=42)
+    verified = ngram_jaccard_pairs(cands, near_dup_docs, "doc_id", "text",
+                                   threshold=0.5)
+    rows = verified.collect()
+    planted = {(100 + i, 200 + i) for i in range(40)}
+    got = {(r.id_a, r.id_b) for r in rows}
+    # every surviving pair is a planted near-dup or the exact dup
+    assert got <= planted | {(100, 998), (200, 998)} | \
+        {(100 + i, 998) for i in range(40)}
+    assert len(got & planted) >= 35
+    jac = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert jac.get((100, 998)) == 1.0  # exact dup
+
+
+def test_minhash_dedup_removes_only_dups(spark, near_dup_docs):
+    total = near_dup_docs.count()
+    survivors = minhash_dedup(near_dup_docs, "doc_id", "text",
+                              threshold=0.5, num_perm=128, bands=32)
+    n = survivors.count()
+    # drops ~40 planted near-dups (id_b side) + exact dup 998
+    assert total - n >= 36
+    # noise docs survive
+    noise_kept = survivors.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 380)).count()
+    assert noise_kept == 80
+
+
+def test_dedup_exact_normalized(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        ["doc_id", "text"])
+    out = dedup_exact(df, "doc_id", "text", normalized=True)
+    assert {r.doc_id for r in out.collect()} == {1, 3}
+
+
+def test_simhash_near_dups(spark, near_dup_docs):
+    sims = {r.doc_id: r.s for r in near_dup_docs.select(
+        "doc_id", simhash64_col("text").alias("s")).collect()}
+    assert sims[100] == sims[998]  # identical text, identical simhash
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = [ham(sims[100 + i], sims[200 + i]) for i in range(40)]
+    far = [ham(sims[300 + i], sims[300 + i + 1]) for i in range(0, 40, 2)]
+    assert np.median(near) < np.median(far)
+
+    pairs = simhash_near_dup_pairs(near_dup_docs, "doc_id", "text",
+                                   max_hamming=10, bands=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 998) in got
+    # pigeonhole guarantee: every pair with hamming <= 3 is found
+    exhaustive = {(a, b) for a in sims for b in sims
+                  if a < b and ham(sims[a], sims[b]) <= 3}
+    assert exhaustive <= got | set()

@@ -1,0 +1,176 @@
+"""Similarity search: exact cosine top-k, RHP-LSH ANN recall, near-dup pairs,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastbloom_spark.operators.multimodal import (
+    decode_image,
+    fake_codec,
+    media_dedup_exact,
+    media_features,
+    synth_media_table,
+)
+from fastbloom_spark.operators.similarity import (
+    ann_topk_rhp,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def corpus_np(embeddings):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def exact_topk_np(ids, mat, queries, k):
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    scores = qn @ mn.T
+    out = {}
+    for qi in range(queries.shape[0]):
+        order = np.lexsort((ids, -scores[qi]))[:k]
+        out[qi] = [int(ids[i]) for i in order]
+    return out
+
+
+def test_cosine_topk_matches_numpy_oracle(spark, embeddings, corpus_np):
+    ids, mat = corpus_np
+    queries = mat[:5] + 0.01  # perturbed corpus vectors as queries
+    got = cosine_topk(embeddings.repartition(7), "vec_id", "embedding",
+                      queries, k=10)
+    got_ids = {}
+    for r in got.collect():
+        got_ids.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    want = exact_topk_np(ids, mat, queries, 10)
+    for qi in range(5):
+        mine = [v for _, v in sorted(got_ids[qi])]
+        assert mine == want[qi], qi
+
+
+def test_cosine_topk_self_query_rank1(spark, embeddings, corpus_np):
+    ids, mat = corpus_np
+    queries = mat[10:13]  # exact corpus vectors
+    got = cosine_topk(embeddings, "vec_id", "embedding", queries, k=3)
+    top1 = {r.query_id: r.vec_id for r in got.collect() if r.rank == 1}
+    for qi in range(3):
+        assert top1[qi] == int(ids[10 + qi])
+
+
+def test_ivf_recall_vs_exact(spark, embeddings, corpus_np):
+    """IVF is the general ANN path: decent recall even on this
+    weak-similarity corpus (top-10 cosine ~0.3)."""
+    from fastbloom_spark.operators.similarity import ivf_topk
+
+    ids, mat = corpus_np
+    queries = mat[:8]
+    k = 10
+    want = exact_topk_np(ids, mat, queries, k)
+    got = ivf_topk(embeddings, "vec_id", "embedding", queries, k=k,
+                   n_centroids=16, nprobe=6, seed=42)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(by_q.get(qi, set()) & set(want[qi])) / k
+               for qi in range(8)]
+    assert np.mean(recalls) >= 0.6, recalls
+    # self-vector always found (it shares the query's own cell)
+    top1 = {r.query_id: r.vec_id for r in got.collect() if r.rank == 1}
+    for qi in range(8):
+        assert top1[qi] == int(ids[qi])
+
+
+def test_rhp_ann_on_high_similarity_corpus(spark):
+    """RHP-LSH is the high-similarity tool: near-perfect recall when true
+    neighbors are close (the near-dup retrieval regime it exists for)."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        for j in range(3):  # 3 close variants per base vector
+            rows.append((1000 + 10 * i + j,
+                         (v + 0.05 * rng.standard_normal(32)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = base[:10]
+    got = ann_topk_rhp(df, "vec_id", "embedding", queries, k=4,
+                       num_planes=10, multiprobe_bits=2, seed=42)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = 0
+    for qi in range(10):
+        expected = {qi, 1000 + 10 * qi, 1000 + 10 * qi + 1,
+                    1000 + 10 * qi + 2}
+        hits += len(by_q.get(qi, set()) & expected)
+    assert hits / 40 >= 0.8, hits / 40
+
+
+def test_embedding_near_dup_pairs_finds_planted(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        if i < 10:  # planted near-dups: tiny perturbation
+            rows.append((1000 + i, (v + 0.01 * rng.standard_normal(16))
+                         .tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(df, "vec_id", "embedding",
+                                     threshold=0.98, num_planes=10, seed=1)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert len(got & planted) >= 8, got & planted
+    # verify no false accepts: every reported pair really has cosine>=0.98
+    vecs = {i: np.array(v) for i, v in rows}
+    for a, b in got:
+        va, vb = vecs[a], vecs[b]
+        c = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert c >= 0.98 - 1e-6
+
+
+# ------------------------------------------------------------- multimodal --
+
+
+def test_media_table_and_features(spark):
+    media = synth_media_table(spark, 300, num_partitions=4)
+    assert media.count() == 300
+    feats = media_features(media, feature_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 300
+    for r in rows[:20]:
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 0.01  # normalized histogram
+    # determinism across partitionings
+    feats2 = media_features(synth_media_table(spark, 300, num_partitions=9),
+                            feature_dim=16)
+    a = {r.media_id: tuple(r.feature) for r in rows}
+    b = {r.media_id: tuple(r.feature) for r in feats2.collect()}
+    assert a == b
+
+
+def test_decode_stub_contract(spark):
+    payload = b"\x01\x02\x03" * 50
+    with pytest.raises(NotImplementedError):
+        decode_image(payload)
+    img = decode_image(payload, codec=fake_codec)
+    assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+
+
+def test_media_dedup_exact(spark):
+    media = synth_media_table(spark, 100, num_partitions=3)
+    # payloads are unique by construction -> all dup_count 1
+    out = media_dedup_exact(media)
+    assert out.count() == 100
+    assert out.agg(F.max("dup_count")).collect()[0][0] == 1
