@@ -291,31 +291,20 @@ def bloom_build(
         col = F.col(value_col) if isinstance(value_col, str) else value_col
         prepared = df.select(digest64(col).alias("__digest64"))
 
-    # Adaptive build-partition count: the map-side kernel wants parallelism,
-    # but every extra partition adds one m/8-byte partial to merge traffic —
-    # cap partials by a state budget and (when n is known) by a per-task row
-    # target, then coalesce (narrow, no shuffle) down to it.
-    sc = df.sparkSession.sparkContext
-    p_in = prepared.rdd.getNumPartitions()
-    # partial-state budget: payloads are compressed (sparse partials shrink
-    # 3-20x) and decoded by parallel threads on the driver, so 1 GiB of raw
-    # partial state is comfortably collectable; beyond that, parallelism is
-    # worth more than merge traffic only until the distributed-merge path
-    # (bloom_merge) takes over below
-    state_budget_parts = max(1, (1 << 30) // (cfg.num_words * 8))
-    p_build = min(p_in, max(sc.defaultParallelism, 1), state_budget_parts)
-    if n_hint:
-        # avoid tiny tasks: below ~50k rows/task the fixed per-partial state
-        # cost (alloc + compress + collect) outweighs extra parallelism
-        p_build = min(p_build, max(1, int(n_hint) // 50_000))
-    if p_build < p_in:
-        prepared = prepared.coalesce(p_build)
+    # plan parallelism + merge topology (see plans/planner.py for the model)
+    from ..plans import plan_bloom_build
 
-    # merge strategy by partial-state volume: small states collect straight
-    # to the driver (one Arrow hop, zero shuffle — on one box this moves at
-    # memory speed); beyond ~1 GiB the range-sharded merge takes over so no
-    # single node (driver included) ever holds P * m/8 bytes
-    if p_build * cfg.num_words * 8 > (1 << 30):
+    sc = df.sparkSession.sparkContext
+    plan = plan_bloom_build(
+        cfg,
+        input_partitions=prepared.rdd.getNumPartitions(),
+        default_parallelism=sc.defaultParallelism,
+        expected_items=n_hint,
+    )
+    if plan.build_partitions < prepared.rdd.getNumPartitions():
+        prepared = prepared.coalesce(plan.build_partitions)
+
+    if plan.merge_strategy == "range_sharded":
         sharded = bloom_partials_sharded(prepared, "__digest64", cfg)
         return bloom_merge_sharded(sharded, cfg)
 

@@ -150,3 +150,17 @@ def test_empty_input_build(spark):
     empty = spark.range(0).select(F.col("id").cast("string").alias("v"))
     f = bloom_build(empty, "v", CFG)
     assert f.rows_seen == 0 and not f.words.any()
+
+
+def test_sharded_merge_bitwise_equals_driver_merge(spark, docs):
+    """The range-sharded merge (cluster path for large m) produces exactly
+    the same words as the driver-collect path."""
+    from fastbloom_spark.operators import (bloom_merge_sharded,
+                                           bloom_partials_sharded)
+
+    prepared = docs.repartition(5).select(digest64("text").alias("d"))
+    sharded = bloom_partials_sharded(prepared, "d", CFG, num_shards=9)
+    got = bloom_merge_sharded(sharded, CFG)
+    want = bloom_build(docs, "text", CFG)
+    assert np.array_equal(got.words, want.words)
+    assert got.rows_seen == want.rows_seen
