@@ -91,6 +91,14 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     facts["bloom_build_mrows_per_s"] = round(
         n_code / times["bloom_build_merge"] / 1e6, 3)
 
+    # beyond-reference register-blocked layout: one memory touch per row
+    blk_cfg = BloomConfig.block64_from_false_pos(
+        0.001, expected_items=n_code, seed=SEED)
+    bloom_blk = timed("bloom_build_block64",
+                      lambda: bloom_build(code, "content", blk_cfg), runs=2)
+    facts["bloom_build_block64_mrows_per_s"] = round(
+        n_code / times["bloom_build_block64"] / 1e6, 3)
+
     # probe the full table against the built filter (vectorized short-circuit)
     digests = code.select(digest64("content").alias("d")).persist()
     digests.count()
@@ -99,6 +107,11 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     facts["bloom_probe_mrows_per_s"] = round(
         n_code / times["bloom_probe"] / 1e6, 3)
     assert n_probe_true == n_code, "false negatives in bench probe!"
+    n_blk_true = timed("bloom_probe_block64", lambda: digests.filter(
+        bloom_contains_col(spark, bloom_blk, "d")).count(), runs=2)
+    assert n_blk_true == n_code, "false negatives in block64 probe!"
+    facts["bloom_probe_block64_mrows_per_s"] = round(
+        n_code / times["bloom_probe_block64"] / 1e6, 3)
     digests.unpersist()
 
     # grouped per-lang sketches over the code table
@@ -174,14 +187,17 @@ def scaling_run(cpus: int, rows: int) -> dict[str, float]:
             return best
 
         t_build = best_of(lambda: bloom_build(code, "content", cfg))
+        blk_cfg = BloomConfig.block64_from_false_pos(
+            0.001, expected_items=n, seed=SEED)
+        t_build_blk = best_of(lambda: bloom_build(code, "content", blk_cfg))
         t_digest = best_of(lambda: code.select(
             digest64("content").alias("d")).agg(F.count("d")).collect())
         t_probe = best_of(lambda: code.select(
             digest64("content").alias("d"))
             .filter(bloom_contains_col(spark, bloom, "d")).count())
         code.unpersist()
-        return {"build": n / t_build, "digest_scan": n / t_digest,
-                "probe": n / t_probe}
+        return {"build": n / t_build, "build_block64": n / t_build_blk,
+                "digest_scan": n / t_digest, "probe": n / t_probe}
     finally:
         spark.stop()
         gc.collect()

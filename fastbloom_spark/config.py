@@ -80,6 +80,34 @@ def expected_false_pos(num_hashes: int, density: float) -> float:
     return density ** float(num_hashes)
 
 
+def expected_false_pos_block64(num_hashes: int, num_bits: int,
+                               num_items: int) -> float:
+    """Theoretical FPR for the register-blocked (64-bit block) layout.
+
+    Items distribute over W = m/64 words ~ uniformly; the load of one word is
+    Poisson(n/W), and a probe false-positives iff its k (not necessarily
+    distinct) bit picks are all set in its word. Conditional on j items in
+    the word, the density is d_j = 1 - (1 - 1/64)^(k*j) and the per-probe FP
+    is d_j^k; the bound is the Poisson mixture sum_j P(j) * d_j^k (truncated
+    at 12 sigma)."""
+    if num_items <= 0:
+        return 0.0
+    w = max(num_bits // WORD_BITS, 1)
+    lam = float(num_items) / w
+    k = num_hashes
+    # truncate the Poisson sum well past the mass
+    j_max = int(lam + 12.0 * math.sqrt(lam) + 25)
+    log_p = -lam  # log P(0)
+    total = 0.0
+    base = 1.0 - 1.0 / WORD_BITS
+    for j in range(j_max + 1):
+        if j > 0:
+            log_p += math.log(lam) - math.log(j)
+        d_j = 1.0 - base ** (k * j)
+        total += math.exp(log_p) * d_j**k
+    return total
+
+
 def round_up_bits(num_bits: int) -> int:
     """Round a bit count up to the reference's 64-bit word granularity
     (``src/lib.rs:83``: num_u64s = (num_bits + 63) // 64)."""
@@ -91,24 +119,40 @@ def round_up_bits(num_bits: int) -> int:
 
 @dataclass(frozen=True)
 class BloomConfig:
-    """Immutable sketch geometry: (m, k, seed).
+    """Immutable sketch geometry: (m, k, seed, layout).
 
     This is the Spark-side analogue of the reference's builder output — the
     filter "schema" of SURVEY.md §1.3. ``seed`` replaces the pluggable
     ``BuildHasher``: all probe indexes derive from one 64-bit source hash
     (sha256-based digest mixed with ``seed``), exactly mirroring the
     reference's single-source-hash design (``src/lib.rs:221-225``).
+
+    ``layout``:
+
+    * ``"flat"`` (default) — the reference-parity layout: k independent
+      Lemire-indexed bits across the whole array.
+    * ``"block64"`` — beyond-reference register-blocked layout (the
+      split-block family fastbloom's README benchmarks against): one Lemire
+      index selects a 64-bit word, all k bits land inside it. One memory
+      touch per row instead of k — the ingest-throughput layout; costs
+      ~1.3-2x bits for the same FPR (exact bound via
+      :func:`expected_false_pos_block64`).
     """
 
     num_bits: int
     num_hashes: int
     seed: int = 0
+    layout: str = "flat"
 
     def __post_init__(self) -> None:
         object.__setattr__(self, "num_bits", round_up_bits(self.num_bits))
         # k = 0 coerced to 1, parity with src/builder.rs:83
         object.__setattr__(self, "num_hashes", max(int(self.num_hashes), 1))
         object.__setattr__(self, "seed", int(self.seed) & U64_MASK)
+        if self.layout not in ("flat", "block64"):
+            raise ValueError(f"unknown layout {self.layout!r}")
+        if self.layout == "block64" and self.num_hashes > 32:
+            raise ValueError("block64 layout supports k <= 32")
 
     # -- builder-path constructors -------------------------------------------------
 
@@ -143,11 +187,50 @@ class BloomConfig:
 
     # -- derived -------------------------------------------------------------------
 
+    @classmethod
+    def block64_from_false_pos(cls, fp: float, *, expected_items: int,
+                               seed: int = 0) -> "BloomConfig":
+        """Size a block64-layout filter for a target FPR: for each k, binary-
+        search the smallest word count whose Poisson-mixture bound meets fp;
+        keep the (m, k) minimizing m."""
+        n = max(int(expected_items), 1)
+        best: tuple[int, int] | None = None
+        for k in range(2, 17):
+            lo, hi = max(n // 64, 1), None
+            w = max(n // 8, 1)
+            while expected_false_pos_block64(k, w * WORD_BITS, n) > fp:
+                w *= 2
+                if w > (1 << 40):
+                    break
+            else:
+                hi = w
+            if hi is None:
+                continue
+            lo = max(hi // 2, 1)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if expected_false_pos_block64(k, mid * WORD_BITS, n) <= fp:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            if best is None or hi < best[0]:
+                best = (hi, k)
+        if best is None:
+            raise ValueError("cannot satisfy fp with block64 layout")
+        return cls(num_bits=best[0] * WORD_BITS, num_hashes=best[1],
+                   seed=seed, layout="block64")
+
     @property
     def num_words(self) -> int:
         return self.num_bits // WORD_BITS
 
     def expected_false_pos(self, num_items: int) -> float:
-        """Theoretical FPR bound at n items (reference ``src/lib.rs:228-231``)."""
+        """Theoretical FPR bound at n items.
+
+        flat: the reference's density^k (``src/lib.rs:228-231``);
+        block64: Poisson-mixture block bound."""
+        if self.layout == "block64":
+            return expected_false_pos_block64(
+                self.num_hashes, self.num_bits, num_items)
         d = expected_density(self.num_hashes, self.num_bits, num_items)
         return expected_false_pos(self.num_hashes, d)

@@ -138,14 +138,56 @@ def _check_bits(words: np.ndarray, bit_idx: np.ndarray) -> np.ndarray:
     return (words[w] & masks) != U64(0)
 
 
-def insert_hashes(words: np.ndarray, hashes: np.ndarray, num_hashes: int) -> None:
+def _block64_word_mask(hashes: np.ndarray, num_hashes: int, num_words: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Register-blocked addressing: the source hash Lemire-selects ONE word;
+    k bit picks come from the top-6 bits of k K-M stream values (the source
+    hash's top bits are spent on word selection, so picks start at next()).
+    Returns (word_idx int64, 64-bit mask uint64) per row — pure vector ops,
+    no scatter."""
+    h = hashes.astype(U64, copy=False)
+    word_idx = mulhi64(h, num_words).astype(np.int64)
+    with np.errstate(over="ignore"):
+        h2 = h * _KM_MULT
+        hj = h.copy()
+        tmp = np.empty_like(hj)
+        mask = np.zeros(h.shape, dtype=U64)
+        for _ in range(num_hashes):
+            np.right_shift(hj, _ROT_INV, out=tmp)
+            np.left_shift(hj, _ROT, out=hj)
+            np.bitwise_or(hj, tmp, out=hj)
+            np.add(hj, h2, out=hj)
+            mask |= _ONE << (hj >> U64(58))
+    return word_idx, mask
+
+
+def insert_hashes_block64(words: np.ndarray, hashes: np.ndarray,
+                          num_hashes: int) -> None:
+    """Blocked-layout batch insert: ONE scatter per row (vs k for flat)."""
+    word_idx, mask = _block64_word_mask(hashes, num_hashes, words.size)
+    np.bitwise_or.at(words, word_idx, mask)
+
+
+def contains_hashes_block64(words: np.ndarray, hashes: np.ndarray,
+                            num_hashes: int) -> np.ndarray:
+    """Blocked-layout batch probe: ONE gather per row."""
+    word_idx, mask = _block64_word_mask(hashes, num_hashes, words.size)
+    return (words[word_idx] & mask) == mask
+
+
+def insert_hashes(words: np.ndarray, hashes: np.ndarray, num_hashes: int,
+                  layout: str = "flat") -> None:
     """Batch insert of pre-computed source hashes.
 
     Vectorized replica of ``insert_hash`` (``src/lib.rs:261-270``): the source
     hash addresses bit ``index(m, h)``; the remaining k-1 probes come from the
     double-hash stream. ``words`` is mutated in place; ``m`` is derived from
-    ``words.size * 64``.
+    ``words.size * 64``. ``layout="block64"`` dispatches to the
+    register-blocked kernel (beyond-reference ingest layout).
     """
+    if layout == "block64":
+        insert_hashes_block64(words, hashes, num_hashes)
+        return
     m = words.size * 64
     h = hashes.astype(U64, copy=False)
     _set_bits(words, mulhi64(h, m))
@@ -163,15 +205,19 @@ def insert_hashes(words: np.ndarray, hashes: np.ndarray, num_hashes: int) -> Non
                 _set_bits(words, mulhi64(hj, m))
 
 
-def contains_hashes(words: np.ndarray, hashes: np.ndarray, num_hashes: int) -> np.ndarray:
+def contains_hashes(words: np.ndarray, hashes: np.ndarray, num_hashes: int,
+                    layout: str = "flat") -> np.ndarray:
     """Batch membership probe of pre-computed source hashes.
 
     Vectorized replica of ``contains_hash`` (``src/lib.rs:180-191``) including
     the short-circuit: the first probe (the source hash's own bit) is checked
     for the whole batch, and the k-1 derived probes are evaluated only for
     surviving rows (numpy boolean compression reproduces the reference's
-    early-exit batch-wise).
+    early-exit batch-wise). ``layout="block64"`` dispatches to the
+    register-blocked kernel.
     """
+    if layout == "block64":
+        return contains_hashes_block64(words, hashes, num_hashes)
     m = words.size * 64
     h = hashes.astype(U64, copy=False)
     result = _check_bits(words, mulhi64(h, m))

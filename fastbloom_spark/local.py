@@ -124,8 +124,9 @@ class BloomFilter:
         """Insert one value. Returns True iff all k bits were already set —
         "may have been previously present" (``src/lib.rs:261-270``)."""
         h = self._hash_value(val)
-        prev = bool(contains_hashes(self.words, h, self.num_hashes)[0])
-        insert_hashes(self.words, h, self.num_hashes)
+        prev = bool(contains_hashes(self.words, h, self.num_hashes,
+                                    self.config.layout)[0])
+        insert_hashes(self.words, h, self.num_hashes, self.config.layout)
         self.rows_seen += 1
         return prev
 
@@ -136,16 +137,19 @@ class BloomFilter:
     def insert_digests(self, digests) -> None:
         """Vectorized bulk insert of a digest64 vector (the hot path)."""
         d = np.asarray(digests)
-        insert_hashes(self.words, self.source_hashes(d), self.num_hashes)
+        insert_hashes(self.words, self.source_hashes(d), self.num_hashes,
+                      self.config.layout)
         self.rows_seen += d.size
 
     def contains(self, val) -> bool:
-        return bool(contains_hashes(self.words, self._hash_value(val), self.num_hashes)[0])
+        return bool(contains_hashes(self.words, self._hash_value(val),
+                                    self.num_hashes, self.config.layout)[0])
 
     def contains_digests(self, digests) -> np.ndarray:
         """Vectorized bulk probe of a digest64 vector → bool array."""
-        return contains_hashes(self.words, self.source_hashes(np.asarray(digests)),
-                               self.num_hashes)
+        return contains_hashes(self.words,
+                               self.source_hashes(np.asarray(digests)),
+                               self.num_hashes, self.config.layout)
 
     # -- set algebra --------------------------------------------------------------
 
@@ -156,6 +160,8 @@ class BloomFilter:
             raise ValueError("expected same number of bits")
         if self.seed != other.seed:
             raise ValueError("expected same seed")
+        if self.config.layout != other.config.layout:
+            raise ValueError("expected same layout")
 
     def union(self, other: "BloomFilter") -> "BloomFilter":
         self._check_compatible(other)

@@ -74,7 +74,7 @@ def bloom_partials(
     schema = (key_schema + ", " if key_schema else "") + \
         "partition_id int, " + SKETCH_FIELDS
     m, k, seed = cfg.num_bits, cfg.num_hashes, cfg.seed
-    num_words = cfg.num_words
+    num_words, layout = cfg.num_words, cfg.layout
     seed_signed = seed - (1 << 64) if seed >= (1 << 63) else seed
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,7 +87,7 @@ def bloom_partials(
             if not keys:
                 words, seen = acc.setdefault(
                     (), (np.zeros(num_words, dtype=U64), 0))
-                insert_hashes(words, hashes_all, k)
+                insert_hashes(words, hashes_all, k, layout)
                 acc[()] = (words, seen + len(pdf))
             else:
                 for key_vals, idx in pdf.groupby(keys, sort=False,
@@ -96,7 +96,7 @@ def bloom_partials(
                         key_vals = (key_vals,)
                     words, seen = acc.setdefault(
                         key_vals, (np.zeros(num_words, dtype=U64), 0))
-                    insert_hashes(words, hashes_all[idx], k)
+                    insert_hashes(words, hashes_all[idx], k, layout)
                     acc[key_vals] = (words, seen + len(idx))
         if not acc:
             return
@@ -152,7 +152,7 @@ def bloom_partials_sharded(
     rows_seen is recorded on shard 0 only (so sums stay correct).
     """
     m, k, seed = cfg.num_bits, cfg.num_hashes, cfg.seed
-    num_words = cfg.num_words
+    num_words, layout = cfg.num_words, cfg.layout
     shards = num_shards or min(64, max(8, num_words // 131072))
     bounds = np.linspace(0, num_words, shards + 1).astype(np.int64)
 
@@ -164,7 +164,7 @@ def bloom_partials_sharded(
         seen = 0
         for pdf in batches:
             hashes = source_hash(_digests_to_u64(pdf[digest_col]), seed)
-            insert_hashes(words, hashes, k)
+            insert_hashes(words, hashes, k, layout)
             seen += len(pdf)
         if seen == 0:
             return
@@ -302,7 +302,12 @@ def bloom_build(
         expected_items=n_hint,
     )
     if plan.build_partitions < prepared.rdd.getNumPartitions():
-        prepared = prepared.coalesce(plan.build_partitions)
+        if plan.scan_strategy == "shuffle":
+            # digest column is 8 B/row: repartition keeps the sha2 scan at
+            # full parallelism and ships only digests to the build tasks
+            prepared = prepared.repartition(plan.build_partitions)
+        else:
+            prepared = prepared.coalesce(plan.build_partitions)
 
     if plan.merge_strategy == "range_sharded":
         sharded = bloom_partials_sharded(prepared, "__digest64", cfg)
@@ -350,13 +355,13 @@ def bloom_contains_col(
     filter. ``digest_col`` must be a digest64 (long) column — compose with
     :func:`digest64` for raw values."""
     words_bc = spark.sparkContext.broadcast(bloom.to_bytes())
-    k, seed = bloom.num_hashes, bloom.seed
+    k, seed, layout = bloom.num_hashes, bloom.seed, bloom.config.layout
 
     @F.pandas_udf(BooleanType())
     def probe(digests: pd.Series) -> pd.Series:
         words = words_from_bytes(words_bc.value)
         hashes = source_hash(_digests_to_u64(digests), seed)
-        return pd.Series(contains_hashes(words, hashes, k))
+        return pd.Series(contains_hashes(words, hashes, k, layout))
 
     c = F.col(digest_col) if isinstance(digest_col, str) else digest_col
     return probe(c)
@@ -365,13 +370,13 @@ def bloom_contains_col(
 def register_bloom_sql(spark: SparkSession, name: str, bloom: BloomFilter) -> str:
     """Register ``bloom_contains_<name>(digest64_col)`` for use from SQL."""
     words_bc = spark.sparkContext.broadcast(bloom.to_bytes())
-    k, seed = bloom.num_hashes, bloom.seed
+    k, seed, layout = bloom.num_hashes, bloom.seed, bloom.config.layout
 
     @F.pandas_udf(BooleanType())
     def probe(digests: pd.Series) -> pd.Series:
         words = words_from_bytes(words_bc.value)
         hashes = source_hash(_digests_to_u64(digests), seed)
-        return pd.Series(contains_hashes(words, hashes, k))
+        return pd.Series(contains_hashes(words, hashes, k, layout))
 
     fn_name = f"bloom_contains_{name}"
     spark.udf.register(fn_name, probe)

@@ -30,6 +30,13 @@ MIN_ROWS_PER_TASK = 50_000
 #: raw partial-state bytes above which the merge must not converge on one node
 DRIVER_MERGE_BUDGET = 1 << 30
 
+#: measured steady-state kernel rates (rows/s/core) on the bench box —
+#: coarse constants are fine: P* depends on their square root
+KERNEL_RATE = {"flat": 1.5e6, "block64": 8.0e6}
+
+#: sketch-state transport rate (Arrow collect / shuffle), bytes/s
+TRANSPORT_RATE = 1.5e9
+
 
 @dataclass(frozen=True)
 class BuildPlan:
@@ -37,6 +44,12 @@ class BuildPlan:
     build_partitions: int
     merge_strategy: str  # "driver_collect" | "range_sharded"
     partial_state_bytes: int
+    #: "coalesce" narrows scan+build together; "shuffle" keeps the expensive
+    #: scan/digest stage at full input parallelism and repartitions only the
+    #: 8-byte digests down to the build tasks (digests are ~100x smaller than
+    #: the content they came from — the shuffle is cheap, the scan speedup
+    #: is not)
+    scan_strategy: str = "coalesce"
 
     @property
     def per_partial_bytes(self) -> int:
@@ -50,18 +63,48 @@ def plan_bloom_build(
     default_parallelism: int,
     expected_items: int | None = None,
 ) -> BuildPlan:
-    """Choose build parallelism and merge topology for a global Bloom build."""
-    p_build = min(input_partitions, max(default_parallelism, 1))
-    state_budget_parts = max(1, DRIVER_MERGE_BUDGET // (cfg.num_words * 8))
+    """Choose build parallelism and merge topology for a global Bloom build.
+
+    Cost model: kernel wall ~ n / (P * kernel_rate); merge transport ~
+    P * m/8 / transport_rate. The continuous optimum is
+    ``P* = sqrt(n * transport_rate / (kernel_rate * m_bytes))`` — faster
+    kernels (block64) and bigger filters both push P* DOWN, because partials
+    cost more than the parallelism they buy.
+    """
+    import math
+
+    m_bytes = cfg.num_words * 8
+    p_max = max(min(input_partitions, max(default_parallelism, 1)), 1)
     if expected_items:
-        p_build = min(p_build, max(1, int(expected_items) // MIN_ROWS_PER_TASK))
-    p_build = max(p_build, 1)
-    state_bytes = p_build * cfg.num_words * 8
-    strategy = ("driver_collect" if p_build <= state_budget_parts
-                else "range_sharded")
+        n = int(expected_items)
+        p_max = max(min(p_max, n // MIN_ROWS_PER_TASK), 1)
+        rate = KERNEL_RATE.get(cfg.layout, KERNEL_RATE["flat"])
+        p_star = max(1, round(math.sqrt(
+            n * TRANSPORT_RATE / (rate * max(m_bytes, 1)))))
+    else:
+        p_star = p_max
+
+    if min(p_star, p_max) * m_bytes <= DRIVER_MERGE_BUDGET:
+        # driver-merge regime: transport converges on one node, so the
+        # cost-model optimum P* caps parallelism
+        p_build = min(p_max, p_star)
+        strategy = "driver_collect"
+    else:
+        # sharded regime: merge transport is parallel across shard reducers,
+        # so keep full kernel parallelism
+        p_build = p_max
+        strategy = "range_sharded"
+    state_bytes = p_build * m_bytes
+    # narrowing the build below the cores available would also narrow the
+    # scan/digest stage (the dominant per-row cost); shuffling the 8-byte
+    # digests instead keeps the scan wide and only the kernel narrow
+    scan_strategy = ("shuffle"
+                     if p_build < min(input_partitions, default_parallelism)
+                     else "coalesce")
     return BuildPlan(
         config=cfg,
         build_partitions=p_build,
         merge_strategy=strategy,
         partial_state_bytes=state_bytes,
+        scan_strategy=scan_strategy,
     )

@@ -14,13 +14,29 @@ def test_small_job_few_partitions():
     assert plan.merge_strategy == "driver_collect"
 
 
-def test_large_rows_full_parallelism():
+def test_large_rows_cost_model_parallelism():
     cfg = BloomConfig.from_false_pos(0.001, expected_items=16_000_000)
     plan = plan_bloom_build(cfg, input_partitions=64,
                             default_parallelism=32,
                             expected_items=16_000_000)
-    assert plan.build_partitions == 32
-    assert plan.merge_strategy == "driver_collect"  # 32 * 28.7MB < 1GiB
+    # P* = sqrt(n * TR / (rate * m_bytes)) ~ 24 for flat at this geometry
+    assert 16 <= plan.build_partitions <= 32
+    assert plan.merge_strategy == "driver_collect"
+
+
+def test_block64_wants_fewer_partials():
+    """A 5x faster kernel shifts the optimum toward fewer, bigger tasks."""
+    flat = BloomConfig.from_false_pos(0.001, expected_items=16_000_000)
+    blk = BloomConfig.block64_from_false_pos(0.001,
+                                             expected_items=16_000_000)
+    p_flat = plan_bloom_build(flat, input_partitions=64,
+                              default_parallelism=32,
+                              expected_items=16_000_000)
+    p_blk = plan_bloom_build(blk, input_partitions=64,
+                             default_parallelism=32,
+                             expected_items=16_000_000)
+    assert p_blk.build_partitions < p_flat.build_partitions
+    assert p_blk.merge_strategy == "driver_collect"
 
 
 def test_huge_filter_triggers_sharded_merge():
