@@ -242,21 +242,86 @@ def bloom_agg(
     *,
     digest_precomputed: bool = False,
     fanin: int = 16,
+    strategy: str = "auto",
+    distinct_keys_hint: int | None = None,
 ) -> DataFrame:
     """Grouped Bloom aggregation: one sketch row per distinct key tuple.
 
     ``SELECT keys..., bloom_union_agg(digest64(value)) GROUP BY keys`` in
-    spirit: partial per (key, partition) map-side, then the two-phase merge.
-    Sketches are re-aggregable: per-repo outputs roll up to per-lang/global
-    by further union (the reference's ``union``, ``src/lib.rs:286-317``).
+    spirit. Sketches are re-aggregable: per-repo outputs roll up to
+    per-lang/global by further union (the reference's ``union``,
+    ``src/lib.rs:286-317``).
+
+    Strategies (SURVEY.md §2 #14 note):
+
+    * ``"partial"`` — per-(key, partition) map-side partials, then the
+      two-phase merge. Zero row shuffle; row-count skew is absorbed map-side
+      (a hot key's rows never move). Right for LOW-cardinality keys (lang):
+      partial volume = P * distinct_keys * m/8.
+    * ``"shuffle"`` — hash-repartition the (key, digest) pairs (16 B/row) by
+      key, build exactly ONE sketch per key in place. Right for
+      HIGH-cardinality keys (repo): partial volume equals the final output,
+      and the shuffled rows are digests, never content. Skewed hot keys cost
+      row movement but each task still builds serially at kernel speed.
+    * ``"auto"`` — shuffle when estimated partial inflation
+      (min(distinct_keys, P) * P * m/8) exceeds 1 GiB, else partial. Pass
+      ``distinct_keys_hint`` to avoid a countDistinct job.
     """
+    keys = list(key_cols)
     if digest_precomputed and isinstance(value_col, str):
-        prepared = df.select(*key_cols, F.col(value_col).alias("__digest64"))
+        prepared = df.select(*keys, F.col(value_col).alias("__digest64"))
     else:
         col = F.col(value_col) if isinstance(value_col, str) else value_col
-        prepared = df.select(*key_cols, digest64(col).alias("__digest64"))
-    partials = bloom_partials(prepared, "__digest64", cfg, key_cols)
-    return bloom_merge(partials, key_cols, fanin=fanin)
+        prepared = df.select(*keys, digest64(col).alias("__digest64"))
+
+    if strategy == "auto" and keys:
+        n_keys = distinct_keys_hint
+        if n_keys is None:
+            n_keys = prepared.select(*keys).distinct().count()
+        p_in = prepared.rdd.getNumPartitions()
+        inflation = min(n_keys, p_in) * p_in * cfg.num_words * 8
+        strategy = "shuffle" if inflation > (1 << 30) else "partial"
+    elif strategy == "auto":
+        strategy = "partial"
+
+    if strategy == "shuffle" and keys:
+        return _bloom_agg_shuffled(prepared, keys, cfg)
+    partials = bloom_partials(prepared, "__digest64", cfg, keys)
+    return bloom_merge(partials, keys, fanin=fanin)
+
+
+def _bloom_agg_shuffled(
+    prepared: DataFrame, keys: list[str], cfg: BloomConfig,
+) -> DataFrame:
+    """One-shuffle grouped build: repartition (key, digest) rows by key,
+    then fold each co-located group into exactly one sketch."""
+    key_schema = _key_schema(prepared, keys)
+    schema = key_schema + ", " + SKETCH_FIELDS
+    m, k, seed = cfg.num_bits, cfg.num_hashes, cfg.seed
+    num_words, layout = cfg.num_words, cfg.layout
+    seed_signed = seed - (1 << 64) if seed >= (1 << 63) else seed
+
+    def build_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, tuple[np.ndarray, int]] = {}
+        for pdf in batches:
+            hashes_all = source_hash(_digests_to_u64(pdf["__digest64"]), seed)
+            for key_vals, idx in pdf.groupby(keys, sort=False,
+                                             dropna=False).indices.items():
+                if not isinstance(key_vals, tuple):
+                    key_vals = (key_vals,)
+                words, seen = acc.setdefault(
+                    key_vals, (np.zeros(num_words, dtype=U64), 0))
+                insert_hashes(words, hashes_all[idx], k, layout)
+                acc[key_vals] = (words, seen + len(idx))
+        if not acc:
+            return
+        yield pd.DataFrame(
+            [(*kv, m, k, seed_signed, seen, encode_words(words))
+             for kv, (words, seen) in acc.items()],
+            columns=[*keys, "m", "k", "seed", "rows_seen", "sketch"])
+
+    return prepared.repartition(*[F.col(c) for c in keys]) \
+        .mapInPandas(build_groups, schema)
 
 
 def bloom_build(
@@ -413,18 +478,8 @@ def bloom_semi_join(
         bloom_contains_col(spark, bloom, digest64(F.col(left_on))))
     if not exact:
         return pre
-    return pre.join(
-        F.broadcast(right.select(F.col(right_on).alias(left_on)).distinct())
-        if _is_broadcastable(right) else
-        right.select(F.col(right_on).alias(left_on)).distinct(),
-        on=left_on, how="left_semi")
-
-
-def _is_broadcastable(df: DataFrame) -> bool:
-    """Heuristic: leave the decision to AQE unless obviously tiny.
-
-    We only force broadcast when statistics are unavailable; AQE's runtime
-    size stats make a better call than a driver-side count here, so default
-    to False and let the optimizer pick broadcast-hash-join on its own.
-    """
-    return False
+    # left_semi already deduplicates the build side — no .distinct() (it
+    # would add a useless aggregate + exchange); AQE picks broadcast-hash
+    # when the filtered build side is small at runtime
+    return pre.join(right.select(F.col(right_on).alias(left_on)),
+                    on=left_on, how="left_semi")

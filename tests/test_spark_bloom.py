@@ -164,3 +164,38 @@ def test_sharded_merge_bitwise_equals_driver_merge(spark, docs):
     want = bloom_build(docs, "text", CFG)
     assert np.array_equal(got.words, want.words)
     assert got.rows_seen == want.rows_seen
+
+
+def test_grouped_agg_shuffle_strategy_bitwise_equals_partial(spark, docs):
+    """The high-cardinality 'shuffle' strategy and the map-side 'partial'
+    strategy produce identical sketch rows, key for key."""
+    a = {r.lang: (r.rows_seen, bytes(r.sketch))
+         for r in bloom_agg(docs, ["lang"], "text", CFG,
+                            strategy="partial").collect()}
+    b = {r.lang: (r.rows_seen, bytes(r.sketch))
+         for r in bloom_agg(docs, ["lang"], "text", CFG,
+                            strategy="shuffle").collect()}
+    from fastbloom_spark.kernel import decode_words
+    assert a.keys() == b.keys()
+    for lang in a:
+        assert a[lang][0] == b[lang][0]
+        assert np.array_equal(decode_words(a[lang][1]),
+                              decode_words(b[lang][1])), lang
+
+
+def test_grouped_agg_auto_picks_shuffle_for_high_cardinality(spark):
+    """Auto strategy: many distinct keys with a large m -> shuffle."""
+    from fastbloom_spark.sources import synth_code_table
+
+    code = synth_code_table(spark, 20_000, num_repos=500, num_partitions=8)
+    big_cfg = BloomConfig.with_num_bits(1 << 23, num_hashes=4, seed=1)
+    # inflation = min(500, 8) * 8 * 1MB = 64MB < 1GB -> partial; force check
+    # with a bigger m: 1<<28 bits = 32MB/partial -> 8*8*32MB = 2GB -> shuffle
+    huge_cfg = BloomConfig.with_num_bits(1 << 28, num_hashes=4, seed=1)
+    out = bloom_agg(code, ["repo"], "content", huge_cfg,
+                    distinct_keys_hint=500)
+    # row per distinct repo, rows_seen adds up
+    rows = out.select(F.sum("rows_seen").alias("s"),
+                      F.count("*").alias("c")).collect()[0]
+    assert rows.s == 20_000
+    assert rows.c == code.select("repo").distinct().count()
