@@ -403,6 +403,83 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.element_at("feature", 2), 6).alias("f1"))
 
 
+def q_bloom_union_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union zero-FN through SQL: two disjoint-ish order-key filters are
+    built separately and UNIONed (word-wise OR, the reference's merge);
+    every true member of either set must probe true in the union, so the
+    member-probe count equals the exact distinct-union count."""
+    from fastbloom_spark import BloomConfig, BloomFilter
+    from fastbloom_spark.functions import digest64
+    from fastbloom_spark.operators import bloom_build, bloom_contains_col
+
+    orders = _read(spark, sf_dir, "orders")
+    cfg = BloomConfig.with_num_bits(1 << 17, num_hashes=6, seed=42)
+    a = bloom_build(orders.filter(F.col("o_totalprice") > 150000),
+                    F.col("o_orderkey").cast("string"), cfg)
+    b = bloom_build(orders.filter(F.col("o_orderstatus") == "O"),
+                    F.col("o_orderkey").cast("string"), cfg)
+    u = a.copy().union(b)
+    members = orders.filter(
+        (F.col("o_totalprice") > 150000) | (F.col("o_orderstatus") == "O")
+    ).select(digest64(F.col("o_orderkey").cast("string")).alias("d"))
+    return members.filter(bloom_contains_col(spark, u, "d")) \
+        .agg(F.count("*").alias("n_member"))
+
+
+def q_bloom_intersect_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersect upper-bound semantics through SQL: members of BOTH sets
+    always probe true in the intersect filter (no false negatives for the
+    true intersection), so the probe count over exact-intersection members
+    equals the exact intersection count."""
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.functions import digest64
+    from fastbloom_spark.operators import bloom_build, bloom_contains_col
+
+    orders = _read(spark, sf_dir, "orders")
+    cfg = BloomConfig.with_num_bits(1 << 17, num_hashes=6, seed=42)
+    a = bloom_build(orders.filter(F.col("o_totalprice") > 100000),
+                    F.col("o_orderkey").cast("string"), cfg)
+    b = bloom_build(orders.filter(F.col("o_orderstatus") == "O"),
+                    F.col("o_orderkey").cast("string"), cfg)
+    i = a.copy().intersect(b)
+    both = orders.filter(
+        (F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "O")
+    ).select(digest64(F.col("o_orderkey").cast("string")).alias("d"))
+    return both.filter(bloom_contains_col(spark, i, "d")) \
+        .agg(F.count("*").alias("n_member"))
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-table join + aggregation (engine join/agg anchor;
+    deterministic: full group list, decimal revenue)."""
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    return li.join(orders, li.l_orderkey == orders.o_orderkey) \
+        .join(cust, orders.o_custkey == cust.c_custkey) \
+        .groupBy("l_orderkey") \
+        .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"),
+             F.count("*").alias("n_lines"))
+
+
+def q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function anchor: each user's highest-value event
+    (deterministic tie-break on event_id)."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id"))
+    return ev.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") == 1) \
+        .select("user_id", "event_id",
+                F.round("value", 6).alias("top_value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "digest_parity": q_digest_parity,
@@ -430,6 +507,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
+        "bloom_union_semantics": q_bloom_union_semantics,
+        "bloom_intersect_semantics": q_bloom_intersect_semantics,
+        "q3_shipping_priority": q3_shipping_priority,
+        "user_top_event": q_user_top_event,
     }
 
 
@@ -535,6 +616,36 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY score DESC, vec_id)
                         AS INT) AS rank
             FROM scored QUALIFY rank <= 5
+        """,
+        "bloom_union_semantics": """
+            SELECT count(*) AS n_member FROM orders
+            WHERE o_totalprice > 150000 OR o_orderstatus = 'O'
+        """,
+        "bloom_intersect_semantics": """
+            SELECT count(*) AS n_member FROM orders
+            WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DECIMAL(18,4)) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+        """,
+        "user_top_event": """
+            SELECT user_id, event_id, round(value, 6) AS top_value
+            FROM (SELECT user_id, event_id, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY value DESC, event_id)
+                             AS rn
+                  FROM events)
+            WHERE rn = 1
         """,
         # bloom_fpr_envelope, per_lang_bloom, quality_scores, lang_detect,
         # minhash_near_dups, simhash, ivf_topk, media_features: engine-defined
