@@ -1,9 +1,21 @@
 from .checkpoint import read_checkpoint, resume_bloom_build, write_checkpoint
 from .codetable import synth_code_table
+from .sink import (
+    read_code_table,
+    read_repo,
+    repo_bucket_col,
+    write_code_table,
+    write_sketch_table,
+)
 
 __all__ = [
     "synth_code_table",
     "write_checkpoint",
     "read_checkpoint",
     "resume_bloom_build",
+    "write_code_table",
+    "read_code_table",
+    "read_repo",
+    "repo_bucket_col",
+    "write_sketch_table",
 ]
