@@ -78,11 +78,26 @@ class CountMinSketch:
         return math.e / self.width * total_count
 
     def serialize(self, counters: np.ndarray) -> bytes:
-        return bytes([_MAGIC, self.depth, self.log2_width]) + \
-            counters.astype("<i8", copy=False).tobytes()
+        head = bytes([_MAGIC, self.depth, self.log2_width]) + \
+            int(self.seed & ((1 << 64) - 1)).to_bytes(8, "little")
+        return head + counters.astype("<i8", copy=False).tobytes()
 
     def deserialize(self, buf: bytes) -> np.ndarray:
         b = bytes(buf)
         if b[0] != _MAGIC or b[1] != self.depth or b[2] != self.log2_width:
             raise ValueError("not a compatible CMS buffer")
-        return np.frombuffer(b, dtype="<i8", offset=3).astype(np.int64)
+        seed = int.from_bytes(b[3:11], "little")
+        if seed != (self.seed & ((1 << 64) - 1)):
+            raise ValueError("CMS seed mismatch")
+        return np.frombuffer(b, dtype="<i8", offset=11).astype(np.int64)
+
+    @classmethod
+    def from_buffer(cls, buf: bytes) -> tuple["CountMinSketch", np.ndarray]:
+        """Self-describing hydrate: (impl, counters) from a serialized
+        buffer (the SQL-function path)."""
+        b = bytes(buf)
+        if b[0] != _MAGIC:
+            raise ValueError("not a CMS buffer")
+        impl = cls(depth=b[1], log2_width=b[2],
+                   seed=int.from_bytes(b[3:11], "little"))
+        return impl, impl.deserialize(b)

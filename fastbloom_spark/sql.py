@@ -1,0 +1,123 @@
+"""SQL surface: sketch tables queryable from pure Spark SQL.
+
+``register_sketch_sql(spark)`` registers vectorized pandas UDFs over the
+self-describing sketch buffers produced by ``bloom_agg`` / ``sketch_agg`` /
+checkpoints, so a persisted sketch table answers estimates without any
+Python driver code::
+
+    SELECT lang, hll_estimate(sketch) FROM hll_by_lang
+    SELECT bloom_probe(sketch, k, seed, digest64(key)) FROM blooms, probes
+    SELECT kll_quantile(sketch, 0.5) FROM kll_by_segment
+
+All functions are Arrow-batched; per-row work is numpy over the deserialized
+state (states are KB-to-MB; deserialize cost is amortized per distinct
+buffer via a tiny cache).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DoubleType, LongType
+
+from .kernel import U64, contains_hashes, decode_words, source_hash
+
+
+def _cached(fn):
+    cache: dict[bytes, object] = {}
+
+    def get(buf: bytes):
+        if buf not in cache:
+            if len(cache) > 64:
+                cache.clear()
+            cache[buf] = fn(buf)
+        return cache[buf]
+
+    return get
+
+
+def register_sketch_sql(spark: SparkSession) -> list[str]:
+    """Register all sketch SQL functions; returns their names."""
+
+    @F.pandas_udf(DoubleType())
+    def hll_estimate(sketch: pd.Series) -> pd.Series:
+        from .sketch.hll import HllSketch
+
+        @_cached
+        def est(buf: bytes) -> float:
+            p = buf[1]
+            impl = HllSketch(precision=p)
+            return float(impl.estimate(impl.deserialize(buf)))
+
+        return sketch.map(lambda b: est(bytes(b)))
+
+    @F.pandas_udf(LongType())
+    def cms_estimate(sketch: pd.Series, digest: pd.Series) -> pd.Series:
+        from .sketch.cms import CountMinSketch
+
+        @_cached
+        def load(buf: bytes):
+            return CountMinSketch.from_buffer(buf)
+
+        out = np.empty(len(sketch), dtype=np.int64)
+        for i, (b, d) in enumerate(zip(sketch, digest)):
+            impl, counters = load(bytes(b))
+            out[i] = int(impl.query(counters,
+                                    np.array([d], dtype=np.int64))[0])
+        return pd.Series(out)
+
+    @F.pandas_udf(DoubleType())
+    def tdigest_quantile(sketch: pd.Series, q: pd.Series) -> pd.Series:
+        import struct
+
+        from .sketch.tdigest import TDigestSketch
+
+        def quant(b: bytes, qq: float) -> float:
+            delta = struct.unpack_from("<H", b, 1)[0]
+            impl = TDigestSketch(delta=delta)
+            return impl.quantile(impl.deserialize(b), qq)
+
+        return pd.Series([quant(bytes(b), float(qq))
+                          for b, qq in zip(sketch, q)])
+
+    @F.pandas_udf(DoubleType())
+    def kll_quantile(sketch: pd.Series, q: pd.Series) -> pd.Series:
+        import struct
+
+        from .sketch.kll import KllSketch
+
+        def quant(b: bytes, qq: float) -> float:
+            k = struct.unpack_from("<H", b, 1)[0]
+            impl = KllSketch(k=k)
+            return impl.quantile(impl.deserialize(b), qq)
+
+        return pd.Series([quant(bytes(b), float(qq))
+                          for b, qq in zip(sketch, q)])
+
+    @F.pandas_udf(BooleanType())
+    def bloom_probe(sketch: pd.Series, k: pd.Series, seed: pd.Series,
+                    digest: pd.Series) -> pd.Series:
+        @_cached
+        def words_of(buf: bytes) -> np.ndarray:
+            return decode_words(buf)
+
+        out = np.zeros(len(sketch), dtype=bool)
+        for i, (b, kk, ss, d) in enumerate(zip(sketch, k, seed, digest)):
+            words = words_of(bytes(b))
+            h = source_hash(np.array([d], dtype=np.int64),
+                            int(ss) & ((1 << 64) - 1))
+            out[i] = bool(contains_hashes(words, h, int(kk))[0])
+        return pd.Series(out)
+
+    fns = {
+        "hll_estimate": hll_estimate,
+        "cms_estimate": cms_estimate,
+        "tdigest_quantile": tdigest_quantile,
+        "kll_quantile": kll_quantile,
+        "bloom_probe": bloom_probe,
+    }
+    for name, fn in fns.items():
+        spark.udf.register(name, fn)
+    return sorted(fns)
