@@ -1,0 +1,85 @@
+"""Hypothesis property tests: merge associativity over random partitionings
+and merge trees (the reference's loom-model guarantee, fastbloom
+src/lib.rs:775-809, generalized: ANY split of the input into ANY merge tree
+yields bitwise-identical words)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fastbloom_spark import BloomConfig, BloomFilter
+from fastbloom_spark.sketch import CountMinSketch, HllSketch
+
+CFG = BloomConfig.with_num_bits(1 << 12, num_hashes=4, seed=13)
+
+
+def _random_tree_merge(filters, rng):
+    """Merge a list of filters in a random binary-tree order."""
+    nodes = list(filters)
+    while len(nodes) > 1:
+        i = rng.integers(0, len(nodes) - 1)
+        a = nodes.pop(int(i))
+        b = nodes.pop(int(i) if int(i) < len(nodes) else 0)
+        nodes.append(a.copy().union(b))
+    return nodes[0]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=4000),
+    n_parts=st.integers(min_value=1, max_value=12),
+    tree_seed=st.integers(min_value=0, max_value=2**31 - 1),
+    perm_seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bloom_merge_tree_invariance(n, n_parts, tree_seed, perm_seed):
+    data = np.random.default_rng(99).integers(
+        0, 1 << 63, size=n, dtype=np.uint64).view(np.int64)
+    whole = BloomFilter(CFG)
+    whole.insert_digests(data)
+
+    rng = np.random.default_rng(perm_seed)
+    shuffled = data[rng.permutation(n)]
+    cuts = np.sort(rng.integers(0, n + 1, size=min(n_parts, n) - 1)) \
+        if min(n_parts, n) > 1 else np.array([], dtype=int)
+    parts = np.split(shuffled, cuts)
+
+    filters = []
+    for p in parts:
+        f = BloomFilter(CFG)
+        f.insert_digests(p)
+        filters.append(f)
+    merged = _random_tree_merge(filters, np.random.default_rng(tree_seed))
+    assert np.array_equal(merged.words, whole.words)
+    assert merged.rows_seen == n
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=3000),
+    n_parts=st.integers(min_value=1, max_value=8),
+    perm_seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_hll_cms_merge_invariance(n, n_parts, perm_seed):
+    data = np.random.default_rng(7).integers(
+        0, 1 << 63, size=n, dtype=np.uint64).view(np.int64)
+    rng = np.random.default_rng(perm_seed)
+    shuffled = data[rng.permutation(n)]
+    cuts = np.sort(rng.integers(0, n + 1, size=min(n_parts, n) - 1)) \
+        if min(n_parts, n) > 1 else np.array([], dtype=int)
+    parts = np.split(shuffled, cuts)
+
+    hll = HllSketch(precision=10, seed=5)
+    cms = CountMinSketch(depth=3, log2_width=10, seed=5)
+
+    import functools
+    hll_whole = hll.update(hll.empty(), data)
+    hll_merged = functools.reduce(
+        hll.merge, [hll.update(hll.empty(), p) for p in parts])
+    assert np.array_equal(hll_whole, hll_merged)
+
+    cms_whole = cms.update(cms.empty(), data)
+    cms_merged = functools.reduce(
+        cms.merge, [cms.update(cms.empty(), p) for p in parts])
+    assert np.array_equal(cms_whole, cms_merged)
