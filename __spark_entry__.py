@@ -23,6 +23,11 @@ SF001 = "/root/testdata/sf0.001"
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # every query funnels through here: guarantee executors can import the
+    # package even when the driver runs from an unrelated cwd
+    from fastbloom_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

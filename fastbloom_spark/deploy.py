@@ -39,6 +39,24 @@ def make_pyfiles_zip(out_path: str, package_dir: str | None = None) -> str:
     return out_path
 
 
+def ensure_shipped(spark) -> None:
+    """Make the package importable on executors regardless of driver cwd.
+
+    Driver-side ``sys.path`` does NOT propagate to Python workers; when the
+    package was imported from a plain directory (not --py-files / a
+    site-packages install), ship it once via ``addPyFile``. Idempotent per
+    SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_fastbloom_shipped", False):
+        return
+    import tempfile
+
+    zip_path = os.path.join(tempfile.mkdtemp(prefix="fastbloom_pyfiles_"),
+                            "fastbloom_spark.zip")
+    sc.addPyFile(make_pyfiles_zip(zip_path))
+    sc._fastbloom_shipped = True
+
+
 if __name__ == "__main__":
     import argparse
 

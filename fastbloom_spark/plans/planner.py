@@ -37,6 +37,11 @@ KERNEL_RATE = {"flat": 1.5e6, "block64": 8.0e6}
 #: sketch-state transport rate (Arrow collect / shuffle), bytes/s
 TRANSPORT_RATE = 1.5e9
 
+#: scan+digest per-core rate (rows/s) and digest-shuffle rate (rows/s) —
+#: coarse measured constants for the coalesce-vs-shuffle decision
+SCAN_RATE_CORE = 0.5e6
+DIGEST_SHUFFLE_RATE = 8.0e6
+
 
 @dataclass(frozen=True)
 class BuildPlan:
@@ -95,12 +100,18 @@ def plan_bloom_build(
         p_build = p_max
         strategy = "range_sharded"
     state_bytes = p_build * m_bytes
-    # narrowing the build below the cores available would also narrow the
-    # scan/digest stage (the dominant per-row cost); shuffling the 8-byte
-    # digests instead keeps the scan wide and only the kernel narrow
-    scan_strategy = ("shuffle"
-                     if p_build < min(input_partitions, default_parallelism)
-                     else "coalesce")
+    # narrowing the build below the cores available also narrows the
+    # scan/digest stage; shuffling the 8-byte digests keeps the scan wide
+    # but pays a shuffle. Choose by estimated cost: coalesce penalty =
+    # n/scan_rate * (1/p_build - 1/p_wide) vs shuffle = n/shuffle_rate.
+    scan_strategy = "coalesce"
+    p_wide = min(input_partitions, max(default_parallelism, 1))
+    if expected_items and p_build < p_wide:
+        n = int(expected_items)
+        coalesce_penalty = n / SCAN_RATE_CORE * (1.0 / p_build - 1.0 / p_wide)
+        shuffle_cost = n / DIGEST_SHUFFLE_RATE
+        if coalesce_penalty > shuffle_cost:
+            scan_strategy = "shuffle"
     return BuildPlan(
         config=cfg,
         build_partitions=p_build,
