@@ -471,6 +471,39 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("*").alias("n_lines"))
 
 
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume lineage (rows-only): write a partial checkpoint
+    missing half the partitions, resume, and report that the resumed filter
+    is bitwise-identical to a direct build (the from_vec surface,
+    reference src/lib.rs:148-150, 698-713)."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.functions import digest64
+    from fastbloom_spark.operators import bloom_build, bloom_partials
+    from fastbloom_spark.sources import resume_bloom_build, write_checkpoint
+
+    docs = _read(spark, sf_dir, "documents").repartition(6)
+    cfg = BloomConfig.with_num_bits(1 << 14, num_hashes=5, seed=42)
+    prepared = docs.select(digest64("text").alias("__digest64"))
+    partials = bloom_partials(prepared, "__digest64", cfg)
+    path = tempfile.mkdtemp(prefix="fb_ckpt_") + "/ckpt"
+    write_checkpoint(partials.filter(F.col("partition_id") < 3), path)
+    direct = bloom_build(docs, "text", cfg)
+    resumed, metrics = resume_bloom_build(spark, path, docs, "text", cfg)
+    return spark.createDataFrame(pd.DataFrame([{
+        "partitions_total": metrics["partitions_total"],
+        "partitions_resumed": metrics["partitions_resumed"],
+        "partitions_rebuilt": metrics["partitions_rebuilt"],
+        "bitwise_equal_direct": bool(np.array_equal(resumed.words,
+                                                    direct.words)),
+        "rows_seen": int(resumed.rows_seen),
+    }]))
+
+
 def q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function anchor: each user's highest-value event
     (deterministic tie-break on event_id)."""
@@ -516,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_intersect_semantics": q_bloom_intersect_semantics,
         "q3_shipping_priority": q3_shipping_priority,
         "user_top_event": q_user_top_event,
+        "checkpoint_resume": q_checkpoint_resume,
     }
 
 

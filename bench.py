@@ -86,7 +86,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     cfg = BloomConfig.from_false_pos(0.001, expected_items=n_code, seed=SEED)
 
     bloom = timed("bloom_build_merge",
-                  lambda: bloom_build(code, "content", cfg), runs=2)
+                  lambda: bloom_build(code, "content", cfg), runs=3)
     facts["bloom_build_rows"] = n_code
     facts["bloom_build_mrows_per_s"] = round(
         n_code / times["bloom_build_merge"] / 1e6, 3)
