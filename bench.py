@@ -140,6 +140,26 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     timed("tdigest_price", lambda: sketch_build(
         lineitem, "l_extendedprice", TDigestSketch(delta=200)), runs=2)
 
+    # training-data pipeline anchors: near-dup dedup + similarity search
+    docs = read("documents")
+    from fastbloom_spark.operators.dedup import (minhash_candidate_pairs,
+                                                 ngram_jaccard_pairs)
+    timed("minhash_dedup", lambda: ngram_jaccard_pairs(
+        minhash_candidate_pairs(docs, "doc_id", "text", num_perm=128,
+                                bands=32, seed=SEED),
+        docs, "doc_id", "text", threshold=0.5).count())
+    facts["minhash_docs"] = docs.count()
+
+    import numpy as np
+
+    from fastbloom_spark.operators.similarity import cosine_topk
+    emb = read("embeddings")
+    qvecs = np.array([r.embedding for r in
+                      emb.filter("vec_id < 8").collect()], dtype=np.float64)
+    timed("cosine_topk", lambda: cosine_topk(
+        emb, "vec_id", "embedding", qvecs, k=10).count())
+    facts["ann_corpus_rows"] = emb.count()
+
     # classic aggregation anchor (pure Catalyst)
     timed("q1_pricing", lambda: lineitem.filter(
         F.col("l_shipdate") <= F.lit("1998-09-02"))
