@@ -504,6 +504,48 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     }]))
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming stateful Bloom dedup (rows-only: streaming is
+    not SQL-expressible for the oracle; exactness asserted in
+    tests/test_streaming.py). Feeds the documents table twice through a
+    file-source stream — the second pass must emit nothing."""
+    import tempfile
+
+    import pandas as pd
+
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.streaming import streaming_bloom_dedup
+
+    work = tempfile.mkdtemp(prefix="fb_stream_")
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        cfg = BloomConfig.with_num_bits(1 << 16, num_hashes=6, seed=42)
+        deduped = streaming_bloom_dedup(stream, "text", cfg, num_shards=4,
+                                        id_cols=["doc_id"])
+        q = (deduped.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_once()
+    first_pass = spark.read.parquet(out).count()
+    docs.coalesce(2).write.mode("append").parquet(src)  # replay same rows
+    run_once()
+    total_after_replay = spark.read.parquet(out).count()
+    n_distinct = docs.select("text").distinct().count()
+    return spark.createDataFrame(pd.DataFrame([{
+        "rows_in": docs.count() * 2,
+        "first_pass_out": first_pass,
+        "replay_emitted": total_after_replay - first_pass,
+        "distinct_texts": n_distinct,
+        "state_dedup_held": bool(total_after_replay == first_pass),
+    }]))
+
+
 def q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function anchor: each user's highest-value event
     (deterministic tie-break on event_id)."""
@@ -550,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "user_top_event": q_user_top_event,
         "checkpoint_resume": q_checkpoint_resume,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 

@@ -111,7 +111,33 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
             out[i] = bool(contains_hashes(words, h, int(kk))[0])
         return pd.Series(out)
 
+    @F.pandas_udf("binary")
+    def bloom_intersect(sketch_a: pd.Series, sketch_b: pd.Series) -> pd.Series:
+        """Word-wise AND of two compatible bloom payloads (upper-bound
+        intersection semantics, fastbloom src/lib.rs:343-350)."""
+        from .kernel import encode_words, intersect_words
+
+        out = []
+        for a, b in zip(sketch_a, sketch_b):
+            out.append(encode_words(intersect_words(
+                decode_words(bytes(a)), decode_words(bytes(b)))))
+        return pd.Series(out)
+
+    @F.pandas_udf("binary")
+    def bloom_union(sketch_a: pd.Series, sketch_b: pd.Series) -> pd.Series:
+        """Word-wise OR of two compatible bloom payloads (FP-preserving
+        union, fastbloom src/lib.rs:310-317)."""
+        from .kernel import encode_words, union_words
+
+        out = []
+        for a, b in zip(sketch_a, sketch_b):
+            out.append(encode_words(union_words(
+                decode_words(bytes(a)), decode_words(bytes(b)))))
+        return pd.Series(out)
+
     fns = {
+        "bloom_union": bloom_union,
+        "bloom_intersect": bloom_intersect,
         "hll_estimate": hll_estimate,
         "cms_estimate": cms_estimate,
         "tdigest_quantile": tdigest_quantile,

@@ -197,3 +197,16 @@ def test_equality_ignores_seed():
     a = BloomFilter.with_num_bits(256, num_hashes=2, seed=1)
     b = BloomFilter.with_num_bits(256, num_hashes=2, seed=2)
     assert a == b  # both empty: equal despite different seeds
+
+
+def test_fpr_heavier_point():
+    """One heavier grid point toward the reference's envelope
+    (n=10^6, fp=10^-4, 2M trials; src/lib.rs:485-515)."""
+    n = 1_000_000
+    target_fp = 1e-4
+    f = BloomFilter.with_false_pos(target_fp, expected_items=n, seed=17)
+    f.insert_digests(member_stream(n).view(np.int64))
+    assert f.contains_digests(member_stream(n).view(np.int64)).all()
+    fp = false_pos_rate(f, trials=2_000_000)
+    if fp > target_fp:
+        assert (fp - target_fp) / target_fp < 1.0, fp

@@ -17,8 +17,9 @@ from fastbloom_spark.sql import register_sketch_sql
 @pytest.fixture(scope="module", autouse=True)
 def _register(spark):
     names = register_sketch_sql(spark)
-    assert names == ["bloom_probe", "cms_estimate", "hll_estimate",
-                     "kll_quantile", "tdigest_quantile"]
+    assert names == ["bloom_intersect", "bloom_probe", "bloom_union",
+                     "cms_estimate", "hll_estimate", "kll_quantile",
+                     "tdigest_quantile"]
 
 
 def test_sql_hll_estimate(spark, sf_dir):
@@ -87,3 +88,26 @@ def test_sql_cms_estimate(spark, sf_dir):
     for t, e in exact.items():
         assert got[t] >= e
         assert got[t] - e <= max(impl.error_bound(total), 1)
+
+
+def test_sql_union_intersect(spark, sf_dir):
+    """bloom_union / bloom_intersect as SQL expressions over sketch rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = BloomConfig.with_num_bits(1 << 14, num_hashes=5, seed=42)
+    bloom_agg(docs, ["lang"], "text", cfg).createOrReplaceTempView("bl")
+    # union of all per-lang sketches == global sketch, probed via SQL
+    from fastbloom_spark.functions import digest64
+    from fastbloom_spark.operators import bloom_build
+    import numpy as np
+    from fastbloom_spark.kernel import decode_words
+
+    row = spark.sql("""
+        SELECT bloom_union(a.sketch, b.sketch) AS u,
+               bloom_intersect(a.sketch, b.sketch) AS i,
+               a.sketch AS sa, b.sketch AS sb
+        FROM bl a CROSS JOIN bl b
+        WHERE a.lang = 'en' AND b.lang = 'de'
+    """).collect()[0]
+    wa, wb = decode_words(bytes(row.sa)), decode_words(bytes(row.sb))
+    assert np.array_equal(decode_words(bytes(row.u)), wa | wb)
+    assert np.array_equal(decode_words(bytes(row.i)), wa & wb)
