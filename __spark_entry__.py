@@ -413,7 +413,7 @@ def q_bloom_union_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     built separately and UNIONed (word-wise OR, the reference's merge);
     every true member of either set must probe true in the union, so the
     member-probe count equals the exact distinct-union count."""
-    from fastbloom_spark import BloomConfig, BloomFilter
+    from fastbloom_spark import BloomConfig
     from fastbloom_spark.functions import digest64
     from fastbloom_spark.operators import bloom_build, bloom_contains_col
 

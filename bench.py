@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,7 +47,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     from fastbloom_spark.operators import (bloom_agg, bloom_build,
                                            bloom_contains_col,
                                            bloom_semi_join)
-    from fastbloom_spark.operators.sketch_agg import sketch_agg, sketch_build
+    from fastbloom_spark.operators.sketch_agg import sketch_build
     from fastbloom_spark.sketch import (CountMinSketch, HllSketch,
                                         TDigestSketch)
     from fastbloom_spark.sources import synth_code_table

@@ -23,7 +23,7 @@ Topology (SURVEY.md §3.3, §4):
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd

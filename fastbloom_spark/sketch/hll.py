@@ -15,7 +15,7 @@ import math
 
 import numpy as np
 
-from ..kernel import U64, source_hash
+from ..kernel import source_hash
 
 _MAGIC = 0x48  # 'H'
 

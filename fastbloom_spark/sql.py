@@ -22,7 +22,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, DoubleType, LongType
 
-from .kernel import U64, contains_hashes, decode_words, source_hash
+from .kernel import contains_hashes, decode_words, source_hash
 
 
 def _cached(fn):

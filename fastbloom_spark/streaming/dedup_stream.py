@@ -15,7 +15,7 @@ exact ``dropDuplicates`` + watermark for loss-free small-window dedup.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Iterable, Iterator, Tuple
 
 import numpy as np
 import pandas as pd
