@@ -72,14 +72,17 @@ def bloom_partials(
     keys = list(key_cols)
     key_schema = _key_schema(df, keys)
     schema = (key_schema + ", " if key_schema else "") + \
-        "partition_id int, " + SKETCH_FIELDS
+        "partition_id int, build_ms double, " + SKETCH_FIELDS
     m, k, seed = cfg.num_bits, cfg.num_hashes, cfg.seed
     num_words, layout = cfg.num_words, cfg.layout
     seed_signed = seed - (1 << 64) if seed >= (1 << 63) else seed
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
         from pyspark import TaskContext
 
+        t_start = time.perf_counter()
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         acc: dict[tuple, tuple[np.ndarray, int]] = {}
         for pdf in batches:
@@ -100,13 +103,14 @@ def bloom_partials(
                     acc[key_vals] = (words, seen + len(idx))
         if not acc:
             return
+        build_ms = (time.perf_counter() - t_start) * 1000.0
         rows = []
         for key_vals, (words, seen) in acc.items():
-            rows.append((*key_vals, pid, m, k, seed_signed, seen,
-                         encode_words(words)))
+            rows.append((*key_vals, pid, round(build_ms, 3), m, k,
+                         seed_signed, seen, encode_words(words)))
         yield pd.DataFrame(
-            rows, columns=[*keys, "partition_id", "m", "k", "seed",
-                           "rows_seen", "sketch"])
+            rows, columns=[*keys, "partition_id", "build_ms", "m", "k",
+                           "seed", "rows_seen", "sketch"])
 
     return df.mapInPandas(build, schema)
 

@@ -58,11 +58,14 @@ def write_checkpoint(
     keys = list(group_cols)
     group_key = (F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
                  if keys else F.lit("__global__"))
+    build_ms = (F.col("build_ms") if "build_ms" in partials.columns
+                else F.lit(None).cast("double"))
     out = partials.select(
         F.lit(sketch_kind).alias("sketch_kind"),
         group_key.alias("group_key"),
         F.col("partition_id"),
         F.col("rows_seen"),
+        build_ms.alias("build_ms"),
         F.col("m"), F.col("k"), F.col("seed"),
         _bytes_to_longs(F.col("sketch")).alias("words"),
         F.current_timestamp().alias("written_at"),
@@ -74,7 +77,7 @@ def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
     """Load a checkpoint back into partial-sketch shape (binary words)."""
     df = spark.read.parquet(path)
     return df.select(
-        "sketch_kind", "group_key", "partition_id", "rows_seen",
+        "sketch_kind", "group_key", "partition_id", "rows_seen", "build_ms",
         "m", "k", "seed",
         _longs_to_bytes(F.col("words")).alias("sketch"),
         "written_at",
