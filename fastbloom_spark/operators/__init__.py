@@ -6,6 +6,7 @@ from .bloom import (
     bloom_merge_sharded,
     bloom_partials,
     bloom_partials_sharded,
+    bloom_rollup,
     bloom_semi_join,
     register_bloom_sql,
     sketch_row_to_filter,
@@ -19,6 +20,7 @@ __all__ = [
     "bloom_merge_sharded",
     "bloom_partials",
     "bloom_partials_sharded",
+    "bloom_rollup",
     "bloom_semi_join",
     "register_bloom_sql",
     "sketch_row_to_filter",

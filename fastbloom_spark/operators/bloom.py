@@ -328,6 +328,54 @@ def _bloom_agg_shuffled(
         .mapInPandas(build_groups, schema)
 
 
+def bloom_rollup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str | Column,
+    cfg: BloomConfig,
+    *,
+    digest_precomputed: bool = False,
+    fanin: int = 16,
+) -> DataFrame:
+    """Hierarchical rollup of sketches: one sketch per prefix level of
+    ``key_cols`` — (k1, k2, ..., kn), (k1, ..., k_{n-1}), ..., (), with
+    nulls marking rolled-up columns (the ``rollup`` shape).
+
+    Rows are read ONCE (the finest level); every coarser level is a pure
+    sketch union of the level below — the re-aggregability the reference's
+    ``union`` provides (fastbloom src/lib.rs:286-317). At 10^12-file scale
+    this is the difference between n-row scans per level and KB-sized merges.
+    """
+    keys = list(key_cols)
+    finest = bloom_agg(df, keys, value_col, cfg,
+                       digest_precomputed=digest_precomputed, fanin=fanin)
+    finest = finest.persist()
+    levels = [finest.withColumn("rollup_level", F.lit(len(keys)))]
+    current = finest
+    for level in range(len(keys) - 1, -1, -1):
+        coarser_keys = keys[:level]
+        grouped = (current.groupBy(*coarser_keys) if coarser_keys
+                   else current.groupBy())
+        key_schema = _key_schema(finest, coarser_keys)
+        merged = grouped.applyInPandas(
+            _merge_fn(coarser_keys),
+            (key_schema + ", " if key_schema else "") + SKETCH_FIELDS)
+        current = merged
+        padded = merged
+        for k_name in keys[level:]:
+            padded = padded.withColumn(
+                k_name, F.lit(None).cast(
+                    dict(finest.dtypes)[k_name]))
+        levels.append(padded.select(*keys, "m", "k", "seed", "rows_seen",
+                                    "sketch")
+                      .withColumn("rollup_level", F.lit(level)))
+    out = levels[0].select(*keys, "m", "k", "seed", "rows_seen", "sketch",
+                           "rollup_level")
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def bloom_build(
     df: DataFrame,
     value_col: str | Column,

@@ -174,3 +174,25 @@ def test_media_dedup_exact(spark):
     out = media_dedup_exact(media)
     assert out.count() == 100
     assert out.agg(F.max("dup_count")).collect()[0][0] == 1
+
+
+def test_cosine_topk_k_exceeds_corpus(spark):
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_topk(df, "vec_id", "embedding",
+                      np.array([rows[0][1]]), k=50)
+    assert out.count() == 6  # clamped to corpus size
+
+
+def test_ann_zero_multiprobe(spark):
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal((20, 16))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)],
+        ["vec_id", "embedding"])
+    out = ann_topk_rhp(df, "vec_id", "embedding", base[:3], k=3,
+                       num_planes=8, multiprobe_bits=0, seed=2)
+    top1 = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
+    for qi in range(3):  # self-vector always shares its own bucket
+        assert top1[qi] == qi

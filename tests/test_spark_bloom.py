@@ -199,3 +199,35 @@ def test_grouped_agg_auto_picks_shuffle_for_high_cardinality(spark):
                       F.count("*").alias("c")).collect()[0]
     assert rows.s == 20_000
     assert rows.c == code.select("repo").distinct().count()
+
+
+def test_bloom_rollup_levels_bitwise(spark, docs):
+    """Rollup levels are pure unions of the finest level: every level's
+    sketch is bitwise-identical to a direct build over its slice."""
+    from fastbloom_spark.operators import bloom_rollup
+    from fastbloom_spark.kernel import decode_words
+
+    with_src = docs.withColumn("src_bucket",
+                               (F.col("doc_id") % 2).cast("string"))
+    out = bloom_rollup(with_src, ["lang", "src_bucket"], "text", CFG).collect()
+    levels = {r.rollup_level for r in out}
+    assert levels == {0, 1, 2}
+
+    rows = with_src.select("lang", "src_bucket", "text").collect()
+    by_pair, by_lang, everything = {}, {}, []
+    for r in rows:
+        by_pair.setdefault((r.lang, r.src_bucket), []).append(r.text)
+        by_lang.setdefault(r.lang, []).append(r.text)
+        everything.append(r.text)
+
+    for r in out:
+        w = decode_words(bytes(r.sketch))
+        if r.rollup_level == 2:
+            expect = local_build_from_texts(by_pair[(r.lang, r.src_bucket)], CFG)
+        elif r.rollup_level == 1:
+            expect = local_build_from_texts(by_lang[r.lang], CFG)
+        else:
+            expect = local_build_from_texts(everything, CFG)
+            assert r.lang is None and r.src_bucket is None
+        assert np.array_equal(w, expect.words), (r.rollup_level, r.lang)
+        assert r.rows_seen == expect.rows_seen
