@@ -141,11 +141,64 @@ def sketch_agg(
     *,
     digest_precomputed: bool = False,
     fanin: int = 16,
+    strategy: str = "auto",
+    distinct_keys_hint: int | None = None,
 ) -> DataFrame:
-    """Grouped sketch aggregation → (keys..., rows_seen, sketch binary)."""
+    """Grouped sketch aggregation → (keys..., rows_seen, sketch binary).
+
+    ``strategy`` mirrors :func:`fastbloom_spark.operators.bloom.bloom_agg`:
+    ``"partial"`` (per-key-per-partition map-side states, zero row shuffle)
+    for low-cardinality keys; ``"shuffle"`` (repartition (key, value) rows,
+    exactly one state per key) for high-cardinality keys; ``"auto"`` decides
+    by estimated partial-state inflation vs 1 GiB (state size sampled from
+    an empty sketch).
+    """
+    keys = list(key_cols)
+    if strategy == "auto" and keys:
+        n_keys = distinct_keys_hint
+        if n_keys is None:
+            n_keys = df.select(*keys).distinct().count()
+        p_in = df.rdd.getNumPartitions()
+        state_bytes = len(impl.serialize(impl.empty()))
+        inflation = min(n_keys, p_in) * p_in * max(state_bytes, 1)
+        strategy = "shuffle" if inflation > (1 << 30) else "partial"
+    elif strategy == "auto":
+        strategy = "partial"
+
+    if strategy == "shuffle" and keys:
+        prepared = _prepare(df, value_col, impl, keys, digest_precomputed)
+        return _sketch_agg_shuffled(prepared, keys, impl)
     partials = sketch_partials(df, value_col, impl, key_cols,
                                digest_precomputed=digest_precomputed)
     return sketch_merge(partials, impl, key_cols, fanin=fanin)
+
+
+def _sketch_agg_shuffled(prepared: DataFrame, keys: list[str], impl) -> DataFrame:
+    """One-shuffle grouped build: co-locate each key's rows, fold to exactly
+    one state per key."""
+    key_schema = _key_schema(prepared, keys)
+    schema = key_schema + ", rows_seen long, sketch binary"
+
+    def build_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, tuple[object, int]] = {}
+        for pdf in batches:
+            vals_all = _values_np(pdf["__value"], impl)
+            for key_vals, idx in pdf.groupby(keys, sort=False,
+                                             dropna=False).indices.items():
+                if not isinstance(key_vals, tuple):
+                    key_vals = (key_vals,)
+                state, seen = acc.setdefault(key_vals, (impl.empty(), 0))
+                acc[key_vals] = (impl.update(state, vals_all[idx]),
+                                 seen + len(idx))
+        if not acc:
+            return
+        yield pd.DataFrame(
+            [(*k, seen, impl.serialize(state))
+             for k, (state, seen) in acc.items()],
+            columns=[*keys, "rows_seen", "sketch"])
+
+    return prepared.repartition(*[F.col(c) for c in keys]) \
+        .mapInPandas(build_groups, schema)
 
 
 def sketch_build(

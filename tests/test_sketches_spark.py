@@ -127,3 +127,22 @@ def test_partials_then_merge_explicit(spark, events):
     merged = sketch_merge(parts, impl).collect()
     assert len(merged) == 1
     assert merged[0].rows_seen == events.count()
+
+
+def test_sketch_agg_shuffle_strategy_matches_partial(spark, events):
+    """Shuffle and partial strategies produce identical HLL/CMS states."""
+    for impl in (HllSketch(precision=11, seed=4),
+                 CountMinSketch(depth=4, log2_width=12, seed=4)):
+        a = {r.event_type: (r.rows_seen, bytes(r.sketch))
+             for r in sketch_agg(events, ["event_type"],
+                                 F.col("user_id").cast("string"), impl,
+                                 strategy="partial").collect()}
+        b = {r.event_type: (r.rows_seen, bytes(r.sketch))
+             for r in sketch_agg(events, ["event_type"],
+                                 F.col("user_id").cast("string"), impl,
+                                 strategy="shuffle").collect()}
+        assert a.keys() == b.keys()
+        for key in a:
+            assert a[key][0] == b[key][0]
+            assert np.array_equal(impl.deserialize(a[key][1]),
+                                  impl.deserialize(b[key][1])), (impl.name, key)
