@@ -546,6 +546,39 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     }]))
 
 
+def q_bloom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical sketch rollup (rows-only: sketch-state output; level
+    bitwise-parity vs direct builds asserted in tests). One row scan at the
+    finest level; coarser levels are pure sketch unions."""
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.operators import bloom_rollup
+
+    docs = _read(spark, sf_dir, "documents")
+    cfg = BloomConfig.with_num_bits(1 << 14, num_hashes=5, seed=42)
+    return bloom_rollup(docs, ["lang", "source"], "text", cfg) \
+        .select("rollup_level", "lang", "source", "rows_seen", "m", "k")
+
+
+def q_sketch_sql_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches queried from PURE SQL (rows-only): per-event-type HLL
+    estimates via the registered hll_estimate() SQL function over a
+    persisted-shape sketch view."""
+    from fastbloom_spark.operators.sketch_agg import sketch_agg
+    from fastbloom_spark.sketch import HllSketch
+    from fastbloom_spark.sql import register_sketch_sql
+
+    register_sketch_sql(spark)
+    events = _read(spark, sf_dir, "events")
+    sketch_agg(events, ["event_type"], F.col("user_id").cast("string"),
+               HllSketch(precision=12, seed=42)) \
+        .createOrReplaceTempView("hll_users_by_type")
+    return spark.sql("""
+        SELECT event_type, rows_seen,
+               round(hll_estimate(sketch), 1) AS est_users
+        FROM hll_users_by_type
+    """)
+
+
 def q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function anchor: each user's highest-value event
     (deterministic tie-break on event_id)."""
@@ -593,6 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_top_event": q_user_top_event,
         "checkpoint_resume": q_checkpoint_resume,
         "streaming_dedup": q_streaming_dedup,
+        "bloom_rollup": q_bloom_rollup,
+        "sketch_sql_estimates": q_sketch_sql_estimates,
     }
 
 

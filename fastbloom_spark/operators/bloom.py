@@ -287,6 +287,8 @@ def bloom_agg(
         strategy = "shuffle" if inflation > (1 << 30) else "partial"
     elif strategy == "auto":
         strategy = "partial"
+    if strategy not in ("partial", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     if strategy == "shuffle" and keys:
         return _bloom_agg_shuffled(prepared, keys, cfg)

@@ -164,6 +164,8 @@ def sketch_agg(
         strategy = "shuffle" if inflation > (1 << 30) else "partial"
     elif strategy == "auto":
         strategy = "partial"
+    if strategy not in ("partial", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     if strategy == "shuffle" and keys:
         prepared = _prepare(df, value_col, impl, keys, digest_precomputed)
