@@ -52,6 +52,7 @@ def write_checkpoint(
     sketch_kind: str = "bloom",
     group_cols: Sequence[str] = (),
     mode: str = "overwrite",
+    layout: str = "flat",
 ) -> None:
     """Persist partial sketch rows (output of ``bloom_partials``) as a
     resumable Parquet checkpoint with lineage."""
@@ -67,6 +68,7 @@ def write_checkpoint(
         F.col("rows_seen"),
         build_ms.alias("build_ms"),
         F.col("m"), F.col("k"), F.col("seed"),
+        F.lit(layout).alias("layout"),
         _bytes_to_longs(F.col("sketch")).alias("words"),
         F.current_timestamp().alias("written_at"),
     )
@@ -76,9 +78,11 @@ def write_checkpoint(
 def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
     """Load a checkpoint back into partial-sketch shape (binary words)."""
     df = spark.read.parquet(path)
+    layout = (F.col("layout") if "layout" in df.columns
+              else F.lit("flat"))
     return df.select(
         "sketch_kind", "group_key", "partition_id", "rows_seen", "build_ms",
-        "m", "k", "seed",
+        "m", "k", "seed", layout.alias("layout"),
         _longs_to_bytes(F.col("words")).alias("sketch"),
         "written_at",
     )
@@ -108,7 +112,8 @@ def resume_bloom_build(
     ckpt = read_checkpoint(spark, checkpoint_path) \
         .filter(F.col("sketch_kind") == "bloom") \
         .filter(F.col("group_key") == "__global__") \
-        .filter((F.col("m") == cfg.num_bits) & (F.col("k") == cfg.num_hashes))
+        .filter((F.col("m") == cfg.num_bits) & (F.col("k") == cfg.num_hashes)
+                & (F.col("layout") == cfg.layout))
     done_rows = ckpt.select("partition_id", "rows_seen").collect()
     done_ids = {r.partition_id for r in done_rows}
 

@@ -89,3 +89,18 @@ def test_resume_rejects_mismatched_geometry(spark, docs, tmp_path):
     resumed, metrics = resume_bloom_build(spark, path, docs, "text", CFG)
     assert metrics["partitions_resumed"] == 0  # geometry filter excluded all
     assert np.array_equal(resumed.words, direct.words)
+
+
+def test_resume_rejects_layout_mismatch(spark, docs, tmp_path):
+    """A block64 checkpoint with identical (m, k) must NOT contaminate a
+    flat resume (bit layouts are incompatible even at equal geometry)."""
+    blk_cfg = BloomConfig(num_bits=CFG.num_bits, num_hashes=CFG.num_hashes,
+                          seed=CFG.seed, layout="block64")
+    prepared = docs.select(digest64("text").alias("__digest64"))
+    path = str(tmp_path / "blk")
+    write_checkpoint(bloom_partials(prepared, "__digest64", blk_cfg), path,
+                     layout="block64")
+    direct = bloom_build(docs, "text", CFG)  # flat
+    resumed, metrics = resume_bloom_build(spark, path, docs, "text", CFG)
+    assert metrics["partitions_resumed"] == 0  # layout filter excluded all
+    assert np.array_equal(resumed.words, direct.words)
