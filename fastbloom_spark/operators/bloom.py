@@ -45,7 +45,8 @@ from ..kernel import (
 from ..local import BloomFilter
 
 #: sketch-row payload columns appended after the group keys
-SKETCH_FIELDS = "m long, k int, seed long, rows_seen long, sketch binary"
+SKETCH_FIELDS = ("m long, k int, seed long, layout string, "
+                 "rows_seen long, sketch binary")
 
 
 def _key_schema(df: DataFrame, key_cols: Sequence[str]) -> str:
@@ -107,10 +108,10 @@ def bloom_partials(
         rows = []
         for key_vals, (words, seen) in acc.items():
             rows.append((*key_vals, pid, round(build_ms, 3), m, k,
-                         seed_signed, seen, encode_words(words)))
+                         seed_signed, layout, seen, encode_words(words)))
         yield pd.DataFrame(
             rows, columns=[*keys, "partition_id", "build_ms", "m", "k",
-                           "seed", "rows_seen", "sketch"])
+                           "seed", "layout", "rows_seen", "sketch"])
 
     return df.mapInPandas(build, schema)
 
@@ -127,6 +128,7 @@ def _merge_fn(group_cols: Sequence[str]):
         out.update(
             m=[int(pdf["m"].iloc[0])], k=[int(pdf["k"].iloc[0])],
             seed=[int(pdf["seed"].iloc[0])],
+            layout=[str(pdf["layout"].iloc[0])],
             rows_seen=[int(pdf["rows_seen"].sum())],
             sketch=[encode_words(merged)],
         )
@@ -322,9 +324,10 @@ def _bloom_agg_shuffled(
         if not acc:
             return
         yield pd.DataFrame(
-            [(*kv, m, k, seed_signed, seen, encode_words(words))
+            [(*kv, m, k, seed_signed, layout, seen, encode_words(words))
              for kv, (words, seen) in acc.items()],
-            columns=[*keys, "m", "k", "seed", "rows_seen", "sketch"])
+            columns=[*keys, "m", "k", "seed", "layout", "rows_seen",
+                     "sketch"])
 
     return prepared.repartition(*[F.col(c) for c in keys]) \
         .mapInPandas(build_groups, schema)
@@ -460,7 +463,9 @@ def bloom_build(
 def sketch_row_to_filter(row) -> BloomFilter:
     """Hydrate a sketch row (from bloom_agg / checkpoint) into a filter."""
     seed = int(row.seed) & ((1 << 64) - 1)
-    cfg = BloomConfig(num_bits=int(row.m), num_hashes=int(row.k), seed=seed)
+    layout = getattr(row, "layout", None) or "flat"
+    cfg = BloomConfig(num_bits=int(row.m), num_hashes=int(row.k), seed=seed,
+                      layout=layout)
     return BloomFilter(cfg, decode_words(bytes(row.sketch)),
                        rows_seen=int(row.rows_seen))
 

@@ -61,6 +61,8 @@ def write_checkpoint(
                  if keys else F.lit("__global__"))
     build_ms = (F.col("build_ms") if "build_ms" in partials.columns
                 else F.lit(None).cast("double"))
+    layout_col = (F.col("layout") if "layout" in partials.columns
+                  else F.lit(layout))
     out = partials.select(
         F.lit(sketch_kind).alias("sketch_kind"),
         group_key.alias("group_key"),
@@ -68,7 +70,7 @@ def write_checkpoint(
         F.col("rows_seen"),
         build_ms.alias("build_ms"),
         F.col("m"), F.col("k"), F.col("seed"),
-        F.lit(layout).alias("layout"),
+        layout_col.alias("layout"),
         _bytes_to_longs(F.col("sketch")).alias("words"),
         F.current_timestamp().alias("written_at"),
     )
@@ -139,11 +141,9 @@ def resume_bloom_build(
         todo = prepared
 
     new_partials = bloom_partials(todo, "__digest64", cfg)
-    old_partials = ckpt.select("partition_id", "m", "k", "seed",
-                               "rows_seen", "sketch")
-    all_partials = new_partials.select(
-        "partition_id", "m", "k", "seed", "rows_seen", "sketch"
-    ).unionByName(old_partials)
+    cols = ["partition_id", "m", "k", "seed", "layout", "rows_seen", "sketch"]
+    all_partials = new_partials.select(*cols) \
+        .unionByName(ckpt.select(*cols))
     merged = bloom_merge(all_partials, [], fanin=fanin).collect()
     metrics = {
         "partitions_total": n_parts,

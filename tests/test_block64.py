@@ -108,3 +108,24 @@ def test_distributed_block64_equals_local(spark, sf_dir):
     n_true = docs.select(digest64("text").alias("d")) \
         .filter(bloom_contains_col(spark, dist, "d")).count()
     assert n_true == len(texts)
+
+
+def test_block64_sketch_rows_hydrate_correctly(spark, sf_dir):
+    """bloom_agg sketch rows carry the layout: hydrating a block64 grouped
+    sketch probes correctly (regression for layout-less sketch rows)."""
+    from fastbloom_spark.operators import bloom_agg, sketch_row_to_filter
+    from fastbloom_spark.kernel import digest64_bytes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = BloomConfig(num_bits=1 << 15, num_hashes=6, seed=42,
+                      layout="block64")
+    rows = bloom_agg(docs, ["lang"], "text", cfg).collect()
+    texts_by_lang = {}
+    for r in docs.select("lang", "text").collect():
+        texts_by_lang.setdefault(r.lang, []).append(r.text)
+    for r in rows:
+        f = sketch_row_to_filter(r)
+        assert f.config.layout == "block64"
+        digests = np.array([digest64_bytes(t.encode())
+                            for t in texts_by_lang[r.lang]], dtype=np.int64)
+        assert f.contains_digests(digests).all(), r.lang
