@@ -6,7 +6,8 @@ checkpoints, so a persisted sketch table answers estimates without any
 Python driver code::
 
     SELECT lang, hll_estimate(sketch) FROM hll_by_lang
-    SELECT bloom_probe(sketch, k, seed, digest64(key)) FROM blooms, probes
+    SELECT bloom_probe(sketch, k, seed, layout, digest64(key))
+        FROM blooms, probes
     SELECT kll_quantile(sketch, 0.5) FROM kll_by_segment
 
 All functions are Arrow-batched; per-row work is numpy over the deserialized
@@ -98,17 +99,19 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
 
     @F.pandas_udf(BooleanType())
     def bloom_probe(sketch: pd.Series, k: pd.Series, seed: pd.Series,
-                    digest: pd.Series) -> pd.Series:
+                    layout: pd.Series, digest: pd.Series) -> pd.Series:
         @_cached
         def words_of(buf: bytes) -> np.ndarray:
             return decode_words(buf)
 
         out = np.zeros(len(sketch), dtype=bool)
-        for i, (b, kk, ss, d) in enumerate(zip(sketch, k, seed, digest)):
+        for i, (b, kk, ss, lay, d) in enumerate(
+                zip(sketch, k, seed, layout, digest)):
             words = words_of(bytes(b))
             h = source_hash(np.array([d], dtype=np.int64),
                             int(ss) & ((1 << 64) - 1))
-            out[i] = bool(contains_hashes(words, h, int(kk))[0])
+            out[i] = bool(contains_hashes(words, h, int(kk),
+                                          str(lay) or "flat")[0])
         return pd.Series(out)
 
     @F.pandas_udf("binary")

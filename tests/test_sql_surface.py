@@ -49,7 +49,7 @@ def test_sql_bloom_probe(spark, sf_dir):
     n = spark.sql("""
         SELECT count(*) AS c
         FROM doc_digests d JOIN bloom_by_lang b ON d.lang = b.lang
-        WHERE bloom_probe(b.sketch, b.k, b.seed, d.d)
+        WHERE bloom_probe(b.sketch, b.k, b.seed, b.layout, d.d)
     """).collect()[0].c
     assert n == docs.count()
 
@@ -111,3 +111,22 @@ def test_sql_union_intersect(spark, sf_dir):
     wa, wb = decode_words(bytes(row.sa)), decode_words(bytes(row.sb))
     assert np.array_equal(decode_words(bytes(row.u)), wa | wb)
     assert np.array_equal(decode_words(bytes(row.i)), wa & wb)
+
+
+def test_sql_bloom_probe_block64(spark, sf_dir):
+    """SQL probe honors the layout column for block64 sketch tables."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = BloomConfig(num_bits=1 << 15, num_hashes=6, seed=42,
+                      layout="block64")
+    bloom_agg(docs, ["lang"], "text", cfg) \
+        .createOrReplaceTempView("blk_by_lang")
+    from fastbloom_spark.functions import digest64
+
+    docs.select("lang", digest64("text").alias("d")) \
+        .createOrReplaceTempView("dd2")
+    n = spark.sql("""
+        SELECT count(*) AS c
+        FROM dd2 d JOIN blk_by_lang b USING (lang)
+        WHERE bloom_probe(b.sketch, b.k, b.seed, b.layout, d.d)
+    """).collect()[0].c
+    assert n == docs.count()
