@@ -228,13 +228,14 @@ def bloom_merge(
     keys = list(key_cols)
     key_schema = _key_schema(partials, keys)
     bucket_schema = (key_schema + ", " if key_schema else "") + \
-        "bucket int, " + SKETCH_FIELDS
+        "__fanin_bucket int, " + SKETCH_FIELDS
     final_schema = (key_schema + ", " if key_schema else "") + SKETCH_FIELDS
 
     with_bucket = partials.withColumn(
-        "bucket", F.pmod(F.col("partition_id"), F.lit(fanin)).cast("int"))
-    phase1 = with_bucket.groupBy(*keys, "bucket").applyInPandas(
-        _merge_fn([*keys, "bucket"]), bucket_schema)
+        "__fanin_bucket",
+        F.pmod(F.col("partition_id"), F.lit(fanin)).cast("int"))
+    phase1 = with_bucket.groupBy(*keys, "__fanin_bucket").applyInPandas(
+        _merge_fn([*keys, "__fanin_bucket"]), bucket_schema)
     if keys:
         return phase1.groupBy(*keys).applyInPandas(_merge_fn(keys), final_schema)
     return phase1.groupBy().applyInPandas(_merge_fn([]), final_schema)

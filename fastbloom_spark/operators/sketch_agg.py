@@ -122,13 +122,14 @@ def sketch_merge(
     keys = list(key_cols)
     key_schema = _key_schema(partials, keys)
     bucket_schema = (key_schema + ", " if key_schema else "") + \
-        "bucket int, rows_seen long, sketch binary"
+        "__fanin_bucket int, rows_seen long, sketch binary"
     final_schema = (key_schema + ", " if key_schema else "") + \
         "rows_seen long, sketch binary"
     with_bucket = partials.withColumn(
-        "bucket", F.pmod(F.col("partition_id"), F.lit(fanin)).cast("int"))
-    phase1 = with_bucket.groupBy(*keys, "bucket").applyInPandas(
-        _merge_fn(impl, [*keys, "bucket"]), bucket_schema)
+        "__fanin_bucket",
+        F.pmod(F.col("partition_id"), F.lit(fanin)).cast("int"))
+    phase1 = with_bucket.groupBy(*keys, "__fanin_bucket").applyInPandas(
+        _merge_fn(impl, [*keys, "__fanin_bucket"]), bucket_schema)
     grouped = phase1.groupBy(*keys) if keys else phase1.groupBy()
     return grouped.applyInPandas(_merge_fn(impl, keys), final_schema)
 
@@ -201,6 +202,48 @@ def _sketch_agg_shuffled(prepared: DataFrame, keys: list[str], impl) -> DataFram
 
     return prepared.repartition(*[F.col(c) for c in keys]) \
         .mapInPandas(build_groups, schema)
+
+
+def sketch_rollup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str | Column,
+    impl,
+    *,
+    digest_precomputed: bool = False,
+    fanin: int = 16,
+) -> DataFrame:
+    """Hierarchical rollup for any mergeable sketch: one sketch per prefix
+    level of ``key_cols`` (nulls mark rolled-up columns). Rows are scanned
+    once at the finest level; coarser levels re-aggregate sketch state only
+    — valid for every impl because merge is the aggregator's own associative
+    combine (register max, counter add, centroid/compactor merge)."""
+    keys = list(key_cols)
+    finest = sketch_agg(df, keys, value_col, impl,
+                        digest_precomputed=digest_precomputed,
+                        fanin=fanin).persist()
+    dtype_of = dict(finest.dtypes)
+    levels = [finest.withColumn("rollup_level", F.lit(len(keys)))]
+    current = finest
+    for level in range(len(keys) - 1, -1, -1):
+        coarser = keys[:level]
+        grouped = current.groupBy(*coarser) if coarser else current.groupBy()
+        key_schema = _key_schema(finest, coarser)
+        merged = grouped.applyInPandas(
+            _merge_fn(impl, coarser),
+            (key_schema + ", " if key_schema else "")
+            + "rows_seen long, sketch binary")
+        current = merged
+        padded = merged
+        for k_name in keys[level:]:
+            padded = padded.withColumn(
+                k_name, F.lit(None).cast(dtype_of[k_name]))
+        levels.append(padded.select(*keys, "rows_seen", "sketch")
+                      .withColumn("rollup_level", F.lit(level)))
+    out = levels[0].select(*keys, "rows_seen", "sketch", "rollup_level")
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
 
 
 def sketch_build(

@@ -146,3 +146,58 @@ def test_sketch_agg_shuffle_strategy_matches_partial(spark, events):
             assert a[key][0] == b[key][0]
             assert np.array_equal(impl.deserialize(a[key][1]),
                                   impl.deserialize(b[key][1])), (impl.name, key)
+
+
+def test_sketch_rollup_hll(spark, events):
+    """HLL rollup: per-(type, bucket) sketches union exactly to per-type and
+    global registers (register max is associative)."""
+    from fastbloom_spark.operators.sketch_agg import sketch_rollup
+
+    impl = HllSketch(precision=11, seed=6)
+    ev = events.withColumn("bucket", (F.col("user_id") % 3).cast("string"))
+    out = sketch_rollup(ev, ["event_type", "bucket"],
+                        F.col("user_id").cast("string"), impl).collect()
+    levels = {}
+    for r in out:
+        levels.setdefault(r.rollup_level, []).append(r)
+    assert set(levels) == {0, 1, 2}
+    assert len(levels[0]) == 1 and levels[0][0].event_type is None
+
+    # level-0 state == direct global build, bitwise
+    global_state, _ = sketch_build(ev, F.col("user_id").cast("string"), impl)
+    assert np.array_equal(
+        impl.deserialize(bytes(levels[0][0].sketch)), global_state)
+    # rows_seen conserved at every level
+    n = ev.count()
+    for lv, rows in levels.items():
+        assert sum(r.rows_seen for r in rows) == n, lv
+    # per-type estimates at level 1 track exact distincts
+    exact = {r.event_type: r.c for r in ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("c")).collect()}
+    for r in levels[1]:
+        est = impl.estimate(impl.deserialize(bytes(r.sketch)))
+        assert abs(est - exact[r.event_type]) / exact[r.event_type] \
+            < 5 * impl.relative_error()
+
+
+def test_quantile_merge_tree_estimates_stable(spark, customer):
+    """t-digest/KLL are not bitwise order-invariant (randomized/clustered
+    compaction) — but estimates from ANY merge tree stay within bounds."""
+    import functools
+
+    vals = np.sort(np.array(
+        [r.c_acctbal for r in customer.select("c_acctbal").collect()]))
+    n = len(vals)
+    rng = np.random.default_rng(13)
+    for impl in (TDigestSketch(delta=200), KllSketch(k=200, seed=3)):
+        data = np.array(vals)
+        for trial in range(3):
+            shuffled = data[rng.permutation(n)]
+            parts = np.array_split(shuffled, int(rng.integers(2, 9)))
+            order = rng.permutation(len(parts))
+            states = [impl.update(impl.empty(), parts[i]) for i in order]
+            merged = functools.reduce(impl.merge, states)
+            for q in (0.1, 0.5, 0.9):
+                est = impl.quantile(merged, q)
+                rank = np.searchsorted(vals, est) / n
+                assert abs(rank - q) < 0.03, (impl.name, trial, q, rank)
