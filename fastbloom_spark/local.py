@@ -71,18 +71,25 @@ class BloomFilter:
         return cls(BloomConfig.from_false_pos(fp, expected_items=expected_items, seed=seed))
 
     @classmethod
-    def from_vec(cls, words, *, num_hashes: int, seed: int = 0) -> "BloomFilter":
-        """Rebuild from raw words (reference ``from_vec``, ``src/lib.rs:148-150``)."""
+    def from_vec(cls, words, *, num_hashes: int, seed: int = 0,
+                 layout: str = "flat") -> "BloomFilter":
+        """Rebuild from raw words (reference ``from_vec``, ``src/lib.rs:148-150``).
+        Geometry (k, seed, layout) must be re-supplied, exactly as the
+        reference requires seed + hashes on its round trip
+        (``src/lib.rs:141-147``)."""
         arr = words_from_longs(words) if not isinstance(words, (bytes, bytearray)) \
             else words_from_bytes(bytes(words))
         if arr.size == 0:
             raise ValueError("bit vector must be non-empty")
-        cfg = BloomConfig(num_bits=arr.size * 64, num_hashes=num_hashes, seed=seed)
+        cfg = BloomConfig(num_bits=arr.size * 64, num_hashes=num_hashes,
+                          seed=seed, layout=layout)
         return cls(cfg, arr)
 
     @classmethod
-    def from_bytes(cls, buf: bytes, *, num_hashes: int, seed: int = 0) -> "BloomFilter":
-        return cls.from_vec(buf, num_hashes=num_hashes, seed=seed)
+    def from_bytes(cls, buf: bytes, *, num_hashes: int, seed: int = 0,
+                   layout: str = "flat") -> "BloomFilter":
+        return cls.from_vec(buf, num_hashes=num_hashes, seed=seed,
+                            layout=layout)
 
     # -- geometry -----------------------------------------------------------------
 

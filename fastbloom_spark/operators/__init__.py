@@ -65,3 +65,16 @@ __all__ += [
     "dedup_exact", "detect_lang_col", "doc_fingerprint_col",
     "quality_features", "token_count_col",
 ]
+
+from .sketch_agg import (
+    sketch_agg,
+    sketch_build,
+    sketch_merge,
+    sketch_partials,
+    sketch_rollup,
+)
+
+__all__ += [
+    "sketch_agg", "sketch_build", "sketch_merge", "sketch_partials",
+    "sketch_rollup",
+]

@@ -129,3 +129,16 @@ def test_block64_sketch_rows_hydrate_correctly(spark, sf_dir):
         digests = np.array([digest64_bytes(t.encode())
                             for t in texts_by_lang[r.lang]], dtype=np.int64)
         assert f.contains_digests(digests).all(), r.lang
+
+
+def test_block64_bytes_roundtrip():
+    cfg = BloomConfig(num_bits=1 << 13, num_hashes=6, seed=9,
+                      layout="block64")
+    f = BloomFilter(cfg)
+    data = member_stream(2000).view(np.int64)
+    f.insert_digests(data)
+    g = BloomFilter.from_bytes(f.to_bytes(), num_hashes=6, seed=9,
+                               layout="block64")
+    assert g.config.layout == "block64"
+    assert np.array_equal(g.words, f.words)
+    assert g.contains_digests(data).all()
