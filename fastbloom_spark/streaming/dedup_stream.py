@@ -54,6 +54,7 @@ def streaming_bloom_dedup(
         StructField("words", BinaryType()),
     ])
     num_words, k, seed = cfg.num_words, cfg.num_hashes, cfg.seed
+    layout = cfg.layout
 
     def dedup_fn(
         key: Tuple,
@@ -72,10 +73,10 @@ def streaming_bloom_dedup(
             # first occurrence within the batch AND not already in state:
             # probe-then-insert per batch; intra-batch dups resolved by
             # keeping the first index of each digest
-            seen_before = contains_hashes(words, hashes, k)
+            seen_before = contains_hashes(words, hashes, k, layout)
             first_idx = pdf.index[~pdf["digest64"].duplicated()]
             fresh_mask = ~seen_before & pdf.index.isin(first_idx)
-            insert_hashes(words, hashes, k)
+            insert_hashes(words, hashes, k, layout)
             rows_seen += len(pdf)
             out = pdf.loc[fresh_mask, ids + ["digest64"]]
             if len(out):

@@ -110,3 +110,24 @@ def test_windowed_distinct_estimate(spark, tmp_path):
     for minute, est in got.items():
         exact = 100 * (minute + 1)
         assert abs(est - exact) / exact < 0.1, (minute, est)
+
+
+def test_streaming_dedup_block64_layout(spark, tmp_path):
+    """The streaming dedup honors a block64 config (layout audit)."""
+    from fastbloom_spark.streaming import streaming_bloom_dedup
+
+    src = str(tmp_path / "bsrc")
+    rows = [(i, f"v-{i % 40}") for i in range(160)]
+    spark.createDataFrame(rows, SCHEMA).coalesce(2) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    cfg = BloomConfig(num_bits=1 << 14, num_hashes=6, seed=3,
+                      layout="block64")
+    deduped = streaming_bloom_dedup(stream, "payload", cfg, num_shards=2,
+                                    id_cols=["event_id"])
+    out_dir = str(tmp_path / "bout")
+    q = (deduped.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "bck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 40
