@@ -171,9 +171,15 @@ def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02"))
     dec = lambda c: F.col(c).cast("decimal(18,2)")
+    # Sums accumulate in decimal (exact, partition-order-independent); the
+    # OUTPUT is a rounded DOUBLE so both engines canonicalize identically
+    # (decimal rendering differs across clients; rounded doubles do not —
+    # the true value has exactly 2 decimals, so round(...,2) has no
+    # halfway ambiguity).
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-        F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+        F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(dec("l_extendedprice")).cast("double"), 2)
+            .alias("sum_base_price"),
         F.count("*").alias("count_order"),
     )
 
@@ -464,10 +470,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * (F.lit(1).cast("decimal(18,2)")
               - F.col("l_discount").cast("decimal(18,2)")))
+    # Decimal accumulation for exactness; rounded-DOUBLE output for
+    # cross-engine canonical equality (true value is exact at scale 4).
     return li.join(orders, li.l_orderkey == orders.o_orderkey) \
         .join(cust, orders.o_custkey == cust.c_custkey) \
         .groupBy("l_orderkey") \
-        .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"),
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
              F.count("*").alias("n_lines"))
 
 
@@ -682,10 +690,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-                        AS DECIMAL(18,2)) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                        AS DECIMAL(18,2)) AS sum_base_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS sum_base_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -744,10 +752,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * (CAST(1 AS DECIMAL(18,2))
-                               - CAST(l_discount AS DECIMAL(18,2))))
-                        AS DECIMAL(18,4)) AS revenue,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (CAST(1 AS DECIMAL(18,2))
+                                     - CAST(l_discount AS DECIMAL(18,2))))
+                              AS DOUBLE), 4) AS revenue,
                    count(*) AS n_lines
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey

@@ -372,11 +372,14 @@ def bloom_rollup(
             padded = padded.withColumn(
                 k_name, F.lit(None).cast(
                     dict(finest.dtypes)[k_name]))
-        levels.append(padded.select(*keys, "m", "k", "seed", "rows_seen",
-                                    "sketch")
+        levels.append(padded.select(*keys, "m", "k", "seed", "layout",
+                                    "rows_seen", "sketch")
                       .withColumn("rollup_level", F.lit(level)))
-    out = levels[0].select(*keys, "m", "k", "seed", "rows_seen", "sketch",
-                           "rollup_level")
+    # Layout must ride through every level: dropping it would hydrate
+    # block64 rollup rows as flat (wrong membership) and diverge the
+    # schema from bloom_agg.
+    out = levels[0].select(*keys, "m", "k", "seed", "layout", "rows_seen",
+                           "sketch", "rollup_level")
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out

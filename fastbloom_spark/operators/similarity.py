@@ -88,12 +88,15 @@ def cosine_topk(
         partial_topk, f"query_id int, {id_col} long, score double")
     from pyspark.sql.window import Window
 
+    # Round BEFORE ranking so the tie-break domain matches oracles that
+    # rank on the rounded score (candidates differing only past 6 decimals
+    # would otherwise rank differently across engines).
+    rounded = partials.withColumn("score", F.round("score", 6))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(id_col))
-    return partials.withColumn("rank", F.row_number().over(w)) \
+    return rounded.withColumn("rank", F.row_number().over(w)) \
         .filter(F.col("rank") <= k) \
-        .select("query_id", id_col, F.round("score", 6).alias("score"),
-                "rank")
+        .select("query_id", id_col, "score", "rank")
 
 
 def rhp_signature_col(vec_col: str, num_planes: int, dim: int,

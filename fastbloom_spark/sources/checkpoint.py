@@ -111,11 +111,17 @@ def resume_bloom_build(
     from ..functions.digest import digest64
     from ..operators.bloom import bloom_merge, bloom_partials
 
+    # Seed is part of the filter geometry: partials hashed under a different
+    # seed probe false under this cfg, so a seed-mismatched checkpoint must
+    # NOT be resumed (the local union() rejects seed mismatch for the same
+    # reason). Parquet stores seed as signed int64 — convert cfg.seed.
+    seed_signed = (cfg.seed - (1 << 64)) if cfg.seed >= (1 << 63) else cfg.seed
     ckpt = read_checkpoint(spark, checkpoint_path) \
         .filter(F.col("sketch_kind") == "bloom") \
         .filter(F.col("group_key") == "__global__") \
         .filter((F.col("m") == cfg.num_bits) & (F.col("k") == cfg.num_hashes)
-                & (F.col("layout") == cfg.layout))
+                & (F.col("layout") == cfg.layout)
+                & (F.col("seed") == F.lit(seed_signed).cast("long")))
     done_rows = ckpt.select("partition_id", "rows_seen").collect()
     done_ids = {r.partition_id for r in done_rows}
 
@@ -142,8 +148,15 @@ def resume_bloom_build(
 
     new_partials = bloom_partials(todo, "__digest64", cfg)
     cols = ["partition_id", "m", "k", "seed", "layout", "rows_seen", "sketch"]
+    # Only partials whose partitions were actually SKIPPED contribute; when
+    # done_ids was cleared (partition layout changed → full rebuild) the
+    # checkpoint contributes nothing — otherwise stale bits would inflate
+    # FPR and rows_seen would double-count.
+    ckpt_used = ckpt.filter(
+        F.col("partition_id").isin([int(i) for i in done_ids])
+        if done_ids else F.lit(False))
     all_partials = new_partials.select(*cols) \
-        .unionByName(ckpt.select(*cols))
+        .unionByName(ckpt_used.select(*cols))
     merged = bloom_merge(all_partials, [], fanin=fanin).collect()
     metrics = {
         "partitions_total": n_parts,

@@ -62,11 +62,17 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         def load(buf: bytes):
             return CountMinSketch.from_buffer(buf)
 
+        # Batch-vectorized: a probe table typically joins ONE sketch row
+        # against many keys, so each Arrow batch holds few distinct buffers.
+        # Group by buffer identity and query each group's digests as one
+        # numpy vector (one kernel call per distinct sketch, not per row).
         out = np.empty(len(sketch), dtype=np.int64)
-        for i, (b, d) in enumerate(zip(sketch, digest)):
-            impl, counters = load(bytes(b))
-            out[i] = int(impl.query(counters,
-                                    np.array([d], dtype=np.int64))[0])
+        codes, uniques = pd.factorize(sketch)
+        digs = digest.to_numpy(np.int64)
+        for gi, buf in enumerate(uniques):
+            impl, counters = load(bytes(buf))
+            mask = codes == gi
+            out[mask] = impl.query(counters, digs[mask])
         return pd.Series(out)
 
     @F.pandas_udf(DoubleType())
@@ -104,14 +110,21 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         def words_of(buf: bytes) -> np.ndarray:
             return decode_words(buf)
 
+        # Batch-vectorized: group rows by distinct (sketch, k, seed, layout)
+        # and run the kernel ONCE per group over all that group's digests —
+        # a probe table joined against one sketch row costs one vectorized
+        # contains_hashes per Arrow batch instead of a per-row Python loop.
         out = np.zeros(len(sketch), dtype=bool)
-        for i, (b, kk, ss, lay, d) in enumerate(
-                zip(sketch, k, seed, layout, digest)):
-            words = words_of(bytes(b))
-            h = source_hash(np.array([d], dtype=np.int64),
-                            int(ss) & ((1 << 64) - 1))
-            out[i] = bool(contains_hashes(words, h, int(kk),
-                                          str(lay) or "flat")[0])
+        key = pd.Series(
+            list(zip(sketch, k, seed, layout)), dtype=object)
+        codes, uniques = pd.factorize(key)
+        digs = digest.to_numpy(np.int64)
+        for gi, (buf, kk, ss, lay) in enumerate(uniques):
+            words = words_of(bytes(buf))
+            mask = codes == gi
+            h = source_hash(digs[mask], int(ss) & ((1 << 64) - 1))
+            out[mask] = contains_hashes(
+                words, h, int(kk), "flat" if lay is None else str(lay))
         return pd.Series(out)
 
     @F.pandas_udf("binary")

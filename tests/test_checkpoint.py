@@ -104,3 +104,40 @@ def test_resume_rejects_layout_mismatch(spark, docs, tmp_path):
     resumed, metrics = resume_bloom_build(spark, path, docs, "text", CFG)
     assert metrics["partitions_resumed"] == 0  # layout filter excluded all
     assert np.array_equal(resumed.words, direct.words)
+
+
+def test_resume_rejects_seed_mismatch(spark, docs, tmp_path):
+    """A checkpoint with the same (m, k, layout) but a DIFFERENT seed must
+    not be resumed: its partials were hashed under the old seed and would
+    probe false under the new cfg (silent false negatives). Mirrors the
+    local union() seed check."""
+    other_seed = BloomConfig.with_num_bits(CFG.num_bits,
+                                           num_hashes=CFG.num_hashes,
+                                           seed=12345)
+    prepared = docs.select(digest64("text").alias("__digest64"))
+    path = str(tmp_path / "seed_mismatch")
+    write_checkpoint(bloom_partials(prepared, "__digest64", other_seed), path)
+    direct = bloom_build(docs, "text", CFG)
+    resumed, metrics = resume_bloom_build(spark, path, docs, "text", CFG)
+    assert metrics["partitions_resumed"] == 0  # seed filter excluded all
+    assert np.array_equal(resumed.words, direct.words)
+    assert resumed.rows_seen == direct.rows_seen
+
+
+def test_resume_stale_partition_ids_full_rebuild(spark, docs, tmp_path):
+    """Checkpoint partition ids beyond the current partition count mean the
+    input layout changed: the ENTIRE checkpoint must be discarded (full
+    rebuild), contributing no stale bits and no double-counted rows_seen."""
+    wide = docs.repartition(12)
+    prepared = wide.select(digest64("text").alias("__digest64"))
+    partials = bloom_partials(prepared, "__digest64", CFG)
+    path = str(tmp_path / "stale")
+    # persist partials for partitions 0..11; the resume input has only 6
+    write_checkpoint(partials, path)
+
+    direct = bloom_build(docs, "text", CFG)  # 6 partitions
+    resumed, metrics = resume_bloom_build(spark, path, docs, "text", CFG)
+    assert metrics["partitions_resumed"] == 0
+    assert metrics["partitions_rebuilt"] == 6
+    assert resumed.rows_seen == direct.rows_seen  # no double count
+    assert np.array_equal(resumed.words, direct.words)  # no stale bits

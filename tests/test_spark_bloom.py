@@ -231,3 +231,31 @@ def test_bloom_rollup_levels_bitwise(spark, docs):
             assert r.lang is None and r.src_bucket is None
         assert np.array_equal(w, expect.words), (r.rollup_level, r.lang)
         assert r.rows_seen == expect.rows_seen
+
+
+def test_bloom_rollup_block64_layout_rides_through(spark, docs):
+    """Rollup rows carry the layout column end to end: a block64 rollup row
+    hydrated via sketch_row_to_filter probes with block64 indexing (zero FN
+    at every level) and the schema matches bloom_agg's."""
+    from fastbloom_spark.operators import bloom_agg, bloom_rollup
+
+    blk = BloomConfig(num_bits=1 << 14, num_hashes=6, seed=42,
+                      layout="block64")
+    with_src = docs.withColumn("src_bucket",
+                               (F.col("doc_id") % 2).cast("string"))
+    out = bloom_rollup(with_src, ["lang", "src_bucket"], "text", blk)
+    agg_cols = set(bloom_agg(with_src, ["lang", "src_bucket"], "text",
+                             blk).columns)
+    assert set(out.columns) - {"rollup_level"} == agg_cols
+    rows = out.collect()
+    assert all(r.layout == "block64" for r in rows)
+
+    texts = [r.text for r in docs.select("text").collect()]
+    digests = np.array([digest64_bytes(t.encode("utf-8")) for t in texts],
+                       dtype=np.int64)
+    for r in rows:
+        if r.rollup_level != 0:
+            continue
+        f = sketch_row_to_filter(r)
+        assert f.config.layout == "block64"
+        assert f.contains_digests(digests).all()  # zero FN global level

@@ -113,6 +113,96 @@ def test_sql_union_intersect(spark, sf_dir):
     assert np.array_equal(decode_words(bytes(row.i)), wa & wb)
 
 
+def test_sql_bloom_probe_vectorized_parity_and_speed(spark, sf_dir):
+    """SQL probe surface at >=100k rows, two forms:
+
+    * broadcast form (``register_bloom_sql``) — state crosses the wire ONCE
+      per executor; must match ``bloom_contains_col`` and land within ~2x
+      of its wall time (they share the same kernel path).
+    * sketch-column form (``bloom_probe``) — state rides as a column
+      (needed when each row group has its OWN sketch); batch-vectorized by
+      distinct buffer, must match row-for-row. Its wall time is dominated
+      by shipping the duplicated buffer through the join, so the bound is
+      transport-honest, not kernel-bound.
+    """
+    import time
+
+    from fastbloom_spark.functions import digest64
+    from fastbloom_spark.kernel import encode_words
+    from fastbloom_spark.operators import (bloom_build, bloom_contains_col,
+                                           register_bloom_sql)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bloom = bloom_build(orders.limit(5000),
+                        F.col("o_orderkey").cast("string"),
+                        BloomConfig.with_num_bits(1 << 16, num_hashes=5,
+                                                  seed=42))
+    n_probe = 150_000
+    probes = spark.range(n_probe).select(
+        digest64(F.concat(F.lit("key:"), F.col("id"))).alias("d"))
+    probes.cache().count()
+    probes.createOrReplaceTempView("probe_digests")
+
+    def best_of(fn, n=3):
+        times, vals = [], []
+        for _ in range(n):
+            t0 = time.time()
+            vals.append(fn())
+            times.append(time.time() - t0)
+        assert len(set(vals)) == 1
+        return min(times), vals[0]
+
+    t_api, api_hits = best_of(lambda: probes.filter(
+        bloom_contains_col(spark, bloom, "d")).count())
+
+    fn_name = register_bloom_sql(spark, "speedtest", bloom)
+    t_bcast, bcast_hits = best_of(lambda: spark.sql(f"""
+        SELECT count(*) AS c FROM probe_digests
+        WHERE {fn_name}(d)
+    """).collect()[0].c)
+
+    seed_signed = (bloom.seed - (1 << 64) if bloom.seed >= (1 << 63)
+                   else bloom.seed)
+    spark.createDataFrame(
+        [(encode_words(bloom.words), bloom.num_hashes, seed_signed,
+          bloom.config.layout)],
+        "sketch binary, k int, seed long, layout string"
+    ).createOrReplaceTempView("one_bloom")
+    t_col, col_hits = best_of(lambda: spark.sql("""
+        SELECT count(*) AS c FROM probe_digests p CROSS JOIN one_bloom b
+        WHERE bloom_probe(b.sketch, b.k, b.seed, b.layout, p.d)
+    """).collect()[0].c)
+
+    assert bcast_hits == api_hits == col_hits
+    # broadcast SQL form == same kernel, state shipped once: ~2x of the API
+    assert t_bcast <= max(2.0 * t_api, 2.0), (t_bcast, t_api)
+    # column form: vectorized grouping keeps it within transport cost
+    # (~10x of API here because the 8 KiB buffer is duplicated per row by
+    # the join; the old per-row Python loop was ~100x)
+    assert t_col <= max(12.0 * t_api, 10.0), (t_col, t_api)
+    probes.unpersist()
+
+
+def test_sql_bloom_probe_mixed_buffers(spark, sf_dir):
+    """Batches containing MANY distinct sketch buffers (per-lang join) still
+    probe correctly through the group-by-buffer path, including zero-FN."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = BloomConfig.with_num_bits(1 << 14, num_hashes=5, seed=7)
+    from fastbloom_spark.functions import digest64
+
+    bloom_agg(docs, ["lang"], "text", cfg) \
+        .createOrReplaceTempView("mix_blooms")
+    docs.select("lang", digest64("text").alias("d")) \
+        .repartition(1).createOrReplaceTempView("mix_digests")
+    # one partition => every lang's sketch appears in the same Arrow batch
+    n = spark.sql("""
+        SELECT count(*) AS c
+        FROM mix_digests d JOIN mix_blooms b USING (lang)
+        WHERE bloom_probe(b.sketch, b.k, b.seed, b.layout, d.d)
+    """).collect()[0].c
+    assert n == docs.count()
+
+
 def test_sql_bloom_probe_block64(spark, sf_dir):
     """SQL probe honors the layout column for block64 sketch tables."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
