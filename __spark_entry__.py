@@ -385,6 +385,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", simhash64_col("text").alias("simhash"))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via pigeonhole banding + exact popcount verify
+    (rows-only: simhash values derive from Spark's xxhash64, no DuckDB
+    counterpart; banding guarantees + degenerate-corpus caps asserted in
+    tests/test_dedup.py)."""
+    from fastbloom_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text",
+                                  max_hamming=3, bands=4)
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (rows-only: recall vs exact asserted in
     tests/test_similarity.py)."""
@@ -626,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": q_lang_detect,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "bloom_union_semantics": q_bloom_union_semantics,
@@ -640,6 +653,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ----------------------------------------------------------------- oracles --
+
+# Engine configs mirrored as literals in the oracles (geometry is part of
+# the query contract): (num_bits, num_hashes).
+_PER_LANG_CFG = (28800, 10)   # BloomConfig.from_false_pos(0.001, 2000)
+_ROLLUP_CFG = (16384, 5)      # BloomConfig.with_num_bits(1 << 14, 5)
+
+# DuckDB replica of fastbloom_spark.operators.text.quality_features —
+# identical expression tree (same literals, same left-assoc order) so the
+# doubles are bit-equal before round(); [[:punct:]] == Java \p{Punct} on
+# ASCII (both POSIX).
+_QUALITY_ORACLE_SQL = r"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CASE WHEN trim(lower(text)) = '' THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(len(string_split_regex(trim(lower(text)),
+                                                   '\s+')) AS DOUBLE)
+             END AS n_tokens,
+             CASE WHEN trim(lower(text)) = '' THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(len(list_distinct(string_split_regex(
+                           trim(lower(text)), '\s+'))) AS DOUBLE)
+             END AS n_uniq,
+             CAST(length(text) - length(regexp_replace(
+                      text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(length(text) - length(regexp_replace(
+                      text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id, n_tokens,
+             n_punct / greatest(n_chars, 1.0) AS punct_r,
+             n_digit / greatest(n_chars, 1.0) AS digit_r,
+             n_uniq / greatest(n_tokens, 1.0) AS uniq_r
+      FROM feats
+    )
+    SELECT doc_id,
+           round(greatest(0.0, least(1.0,
+               0.30 * least(n_tokens / 64.0, 1.0)
+               + 0.40 * uniq_r
+               + 0.30 * (1.0 - least((punct_r + digit_r) * 4.0, 1.0)))), 4)
+               AS quality_score,
+           round(uniq_r, 4) AS uniq_token_ratio,
+           round(punct_r, 4) AS punct_ratio
+    FROM ratios
+"""
+
+
+def _lang_detect_oracle_sql() -> str:
+    """DuckDB replica of detect_lang_col: stopword-overlap argmax with
+    first-language-wins tie-break (dict order), min_hits=1."""
+    from fastbloom_spark.operators.text import LANG_STOPWORDS
+
+    score_cols = []
+    case_arms = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(f"len(list_intersect(t, [{lst}])) AS s_{lang}")
+        case_arms.append(f"WHEN s_{lang} = b AND b >= 1 THEN '{lang}'")
+    best = ", ".join(f"s_{lang}" for lang in LANG_STOPWORDS)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(string_split_regex(trim(lower(text)),
+                                                        '\s+'))
+             END AS t
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, {", ".join(score_cols)} FROM toks
+    )
+    SELECT doc_id,
+           CASE {" ".join(case_arms)} ELSE 'und' END AS lang_guess
+    FROM (SELECT *, greatest({best}) AS b FROM scores)
+    """
+
+
+_LANG_DETECT_ORACLE_SQL = _lang_detect_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -772,8 +861,33 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE rn = 1
         """,
-        # bloom_fpr_envelope, per_lang_bloom, quality_scores, lang_detect,
-        # minhash_near_dups, simhash, ivf_topk, media_features: engine-defined
-        # heuristics / sketch-state / approximate outputs — rows-only, with
-        # bounds and determinism asserted in tests/.
+        "per_lang_bloom": f"""
+            SELECT lang, count(*) AS rows_seen,
+                   CAST({_PER_LANG_CFG[0]} AS BIGINT) AS m,
+                   CAST({_PER_LANG_CFG[1]} AS INT) AS k
+            FROM documents GROUP BY lang
+        """,
+        "bloom_rollup": f"""
+            SELECT CAST(2 - grouping(lang) - grouping(source) AS INT)
+                       AS rollup_level,
+                   lang, source, count(*) AS rows_seen,
+                   CAST({_ROLLUP_CFG[0]} AS BIGINT) AS m,
+                   CAST({_ROLLUP_CFG[1]} AS INT) AS k
+            FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "streaming_dedup": """
+            SELECT CAST(count(*) * 2 AS BIGINT) AS rows_in,
+                   CAST(count(DISTINCT text) AS BIGINT) AS first_pass_out,
+                   CAST(0 AS BIGINT) AS replay_emitted,
+                   CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
+                   true AS state_dedup_held
+            FROM documents
+        """,
+        "quality_scores": _QUALITY_ORACLE_SQL,
+        "lang_detect": _LANG_DETECT_ORACLE_SQL,
+        # bloom_fpr_envelope, minhash_near_dups, simhash, simhash_pairs,
+        # ivf_topk, media_features, checkpoint_resume, hll/cms/tdigest/kll
+        # estimates, sketch_sql_estimates: engine-defined heuristics /
+        # sketch-state / approximate outputs — rows-only, with bounds and
+        # determinism asserted in tests/.
     }

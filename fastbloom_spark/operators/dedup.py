@@ -247,12 +247,21 @@ def simhash_near_dup_pairs(
     *,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit simhash into ``bands``
     16-bit chunks (pigeonhole: hamming <= bands-1 guarantees a shared exact
     chunk; default max_hamming=3 with 4 bands), bucket-join, verify with
-    exact popcount(xor) <= max_hamming."""
-    sh = df.select(F.col(id_col), simhash64_col(text_col).alias("__sim"))
+    exact popcount(xor) <= max_hamming.
+
+    Degeneracy guardrails (same as ``minhash_candidate_pairs``): empty
+    documents all simhash to 0 — every band collides and the self-join
+    goes quadratic on boilerplate-heavy corpora — so token-less docs are
+    dropped before banding, and buckets larger than ``max_bucket_size``
+    are skipped (identical boilerplate clusters; the surviving bands still
+    catch genuinely-near pairs through their other chunks)."""
+    sh = df.filter(F.size(tokens_col(text_col)) > 0) \
+        .select(F.col(id_col), simhash64_col(text_col).alias("__sim"))
     width = 64 // bands
     chunks = F.array(*[
         F.struct(F.lit(i).alias("band_idx"),
@@ -261,10 +270,17 @@ def simhash_near_dup_pairs(
         for i in range(bands)])
     banded = sh.select(id_col, "__sim", F.explode(chunks).alias("c")) \
         .select(id_col, "__sim", "c.band_idx", "c.band_val")
-    a = banded.select(F.col(id_col).alias("id_a"),
+    from pyspark.sql.window import Window
+
+    sized = banded.withColumn(
+        "__bucket_n",
+        F.count("*").over(Window.partitionBy("band_idx", "band_val")))
+    capped = sized.filter(F.col("__bucket_n") <= max_bucket_size) \
+        .drop("__bucket_n")
+    a = capped.select(F.col(id_col).alias("id_a"),
                       F.col("__sim").alias("__sim_a"),
                       "band_idx", "band_val")
-    b = banded.select(F.col(id_col).alias("id_b"),
+    b = capped.select(F.col(id_col).alias("id_b"),
                       F.col("__sim").alias("__sim_b"),
                       "band_idx", "band_val")
     pairs = a.join(b, ["band_idx", "band_val"]) \

@@ -199,7 +199,17 @@ def kmeans_centroids(
     numpy. At 100 TB the sample (not the corpus) bounds driver work — a
     20k-row sample trains a 64-256-way quantizer fine; assignment runs
     distributed."""
-    sample = df.select(vec_col).limit(sample_rows).toPandas()
+    # Seeded RANDOM sample — .limit() would take the first partitions only,
+    # biasing the quantizer to one shard of the corpus and silently
+    # degrading IVF recall at scale. Fraction is estimated from a cheap
+    # count; the cap keeps driver memory bounded regardless.
+    n_total = df.count()
+    if n_total > sample_rows:
+        frac = min(1.0, (sample_rows * 1.2) / n_total)
+        sample = df.select(vec_col).sample(fraction=frac, seed=seed) \
+            .limit(sample_rows).toPandas()
+    else:
+        sample = df.select(vec_col).toPandas()
     dim = len(sample[vec_col].iloc[0])
     mat = _normalize_rows(_vectors_from_series(sample[vec_col], dim))
     rng = np.random.default_rng(seed)
@@ -290,19 +300,31 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     num_planes: int = 12,
     seed: int = 42,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Corpus self near-dup pairs at a cosine threshold: RHP bucket
     self-join → exact cosine verify. Vectors this similar collide in the
     same bucket with probability (1 - theta/pi)^planes; tests assert recall
-    against the exact all-pairs baseline at sf scale."""
+    against the exact all-pairs baseline at sf scale.
+
+    Guardrail (same as the MinHash/SimHash paths): a degenerate corpus —
+    zero vectors, constant embeddings — collapses into one bucket and the
+    self-join goes quadratic; buckets larger than ``max_bucket_size`` are
+    skipped so candidate count stays O(corpus * bucket_cap)."""
     first = df.select(vec_col).first()
     dim = len(first[0])
     corpus = df.select(
         id_col, vec_col,
         rhp_signature_col(vec_col, num_planes, dim, seed).alias("bucket"))
-    a = corpus.select(F.col(id_col).alias("id_a"),
+    from pyspark.sql.window import Window
+
+    sized = corpus.withColumn(
+        "__bucket_n", F.count("*").over(Window.partitionBy("bucket")))
+    capped = sized.filter(F.col("__bucket_n") <= max_bucket_size) \
+        .drop("__bucket_n")
+    a = capped.select(F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("__va"), "bucket")
-    b = corpus.select(F.col(id_col).alias("id_b"),
+    b = capped.select(F.col(id_col).alias("id_b"),
                       F.col(vec_col).alias("__vb"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
 

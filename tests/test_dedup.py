@@ -133,3 +133,44 @@ def test_simhash_near_dups(spark, near_dup_docs):
     exhaustive = {(a, b) for a in sims for b in sims
                   if a < b and ham(sims[a], sims[b]) <= 3}
     assert exhaustive <= got | set()
+
+
+def test_simhash_degenerate_corpus_bounded(spark):
+    """500 empty/boilerplate docs must NOT go quadratic: empty docs are
+    dropped before banding, and oversized identical-boilerplate buckets are
+    capped — the candidate count stays bounded and the job completes."""
+    rows = [(i, "") for i in range(250)]
+    rows += [(1000 + i, "   \t  ") for i in range(250)]
+    # identical boilerplate cluster larger than the cap
+    rows += [(2000 + i, "lorem ipsum dolor sit amet") for i in range(50)]
+    # a real duplicate pair that must still be found (hamming 0 —
+    # guaranteed under any banding; its bucket of 2 is under the cap)
+    rows += [(9001, "alpha beta gamma delta epsilon zeta"),
+             (9002, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=8,
+                                   bands=4, max_bucket_size=20)
+    got = pairs.collect()
+    # no empty-doc pair can appear, and the boilerplate cluster was capped
+    ids = {r.id_a for r in got} | {r.id_b for r in got}
+    assert all(i >= 2000 for i in ids)
+    assert not any(2000 <= i < 2050 for i in ids)  # capped out
+    assert (9001, 9002) in {(r.id_a, r.id_b) for r in got}
+    # bounded: nowhere near the ~125k pairs of a quadratic empty-doc join
+    assert len(got) < 100
+
+
+def test_minhash_degenerate_corpus_bounded(spark):
+    """Same guardrail on the MinHash path (regression for the cap)."""
+    rows = [(i, "") for i in range(300)]
+    rows += [(5000 + i, "the same exact boilerplate text here") for i in range(60)]
+    rows += [(9001, "alpha beta gamma delta epsilon zeta eta theta"),
+             (9002, "alpha beta gamma delta epsilon zeta eta iota")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_candidate_pairs(df, "doc_id", "text", shingle_n=3,
+                                    num_perm=64, bands=16,
+                                    max_bucket_size=20)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (9001, 9002) in got
+    assert len(got) < 100

@@ -196,3 +196,22 @@ def test_ann_zero_multiprobe(spark):
     top1 = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
     for qi in range(3):  # self-vector always shares its own bucket
         assert top1[qi] == qi
+
+
+def test_embedding_near_dup_degenerate_corpus_bounded(spark):
+    """A constant-embedding corpus collapses into one RHP bucket; the
+    bucket cap keeps the self-join from going quadratic while planted
+    near-dups in small buckets are still found."""
+    rng = np.random.default_rng(3)
+    const = rng.standard_normal(16)
+    rows = [(i, (const + 0.0).tolist()) for i in range(400)]
+    a = rng.standard_normal(16)
+    rows += [(9001, a.tolist()), (9002, (a + 0.001).tolist())]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(df, "vec_id", "embedding",
+                                     threshold=0.99, num_planes=8,
+                                     max_bucket_size=50)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (9001, 9002) in got
+    # the 400-row constant cluster (79800 pairs if quadratic) was capped
+    assert len(got) < 200
