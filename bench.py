@@ -113,6 +113,24 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
         n_code / times["bloom_probe_block64"] / 1e6, 3)
     digests.unpersist()
 
+    # pluggable digest strategy: the digest scan is the measured bottleneck
+    # stage of the build (BENCH/BASELINE.md), so the xxh64 option's speedup
+    # is a headline fact — sha256 stays the default for the content-hash
+    # invariant
+    timed("digest_scan_sha256", lambda: code.select(
+        digest64("content").alias("d")).agg(F.count("d")).collect(), runs=2)
+    timed("digest_scan_xxh64", lambda: code.select(
+        digest64("content", "xxh64").alias("d"))
+        .agg(F.count("d")).collect(), runs=2)
+    facts["digest_xxh64_speedup"] = round(
+        times["digest_scan_sha256"] / times["digest_scan_xxh64"], 2)
+    xxh_cfg = BloomConfig.from_false_pos(0.001, expected_items=n_code,
+                                         seed=SEED, digest="xxh64")
+    timed("bloom_build_xxh64",
+          lambda: bloom_build(code, "content", xxh_cfg), runs=2)
+    facts["bloom_build_xxh64_mrows_per_s"] = round(
+        n_code / times["bloom_build_xxh64"] / 1e6, 3)
+
     # grouped per-lang sketches over the code table
     lang_cfg = BloomConfig.from_false_pos(
         0.001, expected_items=max(n_code // 7, 1), seed=SEED)

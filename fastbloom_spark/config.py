@@ -141,25 +141,39 @@ class BloomConfig:
 
     num_bits: int
     num_hashes: int
-    seed: int = 0
+    seed: int | None = None
     layout: str = "flat"
+    digest: str = "sha256"
 
     def __post_init__(self) -> None:
         object.__setattr__(self, "num_bits", round_up_bits(self.num_bits))
         # k = 0 coerced to 1, parity with src/builder.rs:83
         object.__setattr__(self, "num_hashes", max(int(self.num_hashes), 1))
+        if self.seed is None:
+            # reference parity: an unseeded filter draws a fresh random key
+            # (src/hasher.rs:50-75) so its bit pattern is not globally
+            # predictable/precomputable. Drawn ONCE here on the driver; the
+            # value rides in the (frozen) config through every closure, so
+            # all executors and merges agree.
+            import os as _os
+
+            object.__setattr__(
+                self, "seed", int.from_bytes(_os.urandom(8), "little"))
         object.__setattr__(self, "seed", int(self.seed) & U64_MASK)
         if self.layout not in ("flat", "block64"):
             raise ValueError(f"unknown layout {self.layout!r}")
         if self.layout == "block64" and self.num_hashes > 32:
             raise ValueError("block64 layout supports k <= 32")
+        if self.digest not in ("sha256", "xxh64"):
+            raise ValueError(f"unknown digest strategy {self.digest!r}")
 
     # -- builder-path constructors -------------------------------------------------
 
     @classmethod
     def with_num_bits(
         cls, num_bits: int, *, num_hashes: int | None = None,
-        expected_items: int | None = None, seed: int = 0,
+        expected_items: int | None = None, seed: int | None = None,
+        digest: str = "sha256",
     ) -> "BloomConfig":
         """Explicit-geometry path (reference ``with_num_bits().hashes()`` /
         ``.expected_items()``, ``src/lib.rs:129-131`` + ``src/builder.rs:80-106``)."""
@@ -168,12 +182,14 @@ class BloomConfig:
             if expected_items is None:
                 raise ValueError("provide num_hashes or expected_items")
             num_hashes = optimal_hashes(m, max(int(expected_items), 1))
-        return cls(num_bits=m, num_hashes=num_hashes, seed=seed)
+        return cls(num_bits=m, num_hashes=num_hashes, seed=seed,
+                   digest=digest)
 
     @classmethod
     def from_false_pos(
         cls, fp: float, *, expected_items: int,
-        num_hashes: int | None = None, seed: int = 0,
+        num_hashes: int | None = None, seed: int | None = None,
+        digest: str = "sha256",
     ) -> "BloomConfig":
         """FPR-driven path (reference ``with_false_pos().expected_items()``,
         ``src/lib.rs:116-118`` + ``src/builder.rs:212-218``)."""
@@ -183,13 +199,15 @@ class BloomConfig:
         m = optimal_size(n, fp)
         if num_hashes is None:
             num_hashes = optimal_hashes(m, n)
-        return cls(num_bits=m, num_hashes=num_hashes, seed=seed)
+        return cls(num_bits=m, num_hashes=num_hashes, seed=seed,
+                   digest=digest)
 
     # -- derived -------------------------------------------------------------------
 
     @classmethod
     def block64_from_false_pos(cls, fp: float, *, expected_items: int,
-                               seed: int = 0) -> "BloomConfig":
+                               seed: int | None = None,
+                               digest: str = "sha256") -> "BloomConfig":
         """Size a block64-layout filter for a target FPR: for each k, binary-
         search the smallest word count whose Poisson-mixture bound meets fp;
         keep the (m, k) minimizing m."""
@@ -218,7 +236,7 @@ class BloomConfig:
         if best is None:
             raise ValueError("cannot satisfy fp with block64 layout")
         return cls(num_bits=best[0] * WORD_BITS, num_hashes=best[1],
-                   seed=seed, layout="block64")
+                   seed=seed, layout="block64", digest=digest)
 
     @property
     def num_words(self) -> int:

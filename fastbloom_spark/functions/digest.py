@@ -31,15 +31,29 @@ def sha256_hex(col: Column | str) -> Column:
     return F.sha2(c.cast("string"), 256)
 
 
-def digest64(col: Column | str) -> Column:
-    """First 8 bytes of sha256(col) as a signed int64 (two's complement).
+def digest64(col: Column | str, strategy: str = "sha256") -> Column:
+    """Per-row digest as a signed int64 — the filter's pluggable hasher
+    surface (reference ``Builder::hasher``, fastbloom src/builder.rs:60-65).
 
-    The unsigned hex value is parsed with ``conv(hex, 16, 10)`` into a
-    decimal(20,0) (which holds the full u64 range), then wrapped into the
-    signed 64-bit domain so executors can reinterpret it with
-    ``ndarray.view(uint64)`` losslessly.
+    * ``"sha256"`` (default): first 8 bytes of sha256(col), big-endian.
+      The unsigned hex value is parsed with ``conv(hex, 16, 10)`` into a
+      decimal(20,0) (which holds the full u64 range), then wrapped into
+      the signed 64-bit domain so executors can reinterpret it with
+      ``ndarray.view(uint64)`` losslessly. Keeps the content-sha256
+      invariant; the right default for content-addressed dedup.
+    * ``"xxh64"``: Spark's built-in ``xxhash64`` (one JVM intrinsic, no
+      hex round-trip) — ~an order of magnitude cheaper per row; the right
+      choice for short/numeric keys where the digest scan dominates.
+
+    Both are whole-stage-codegen'd Catalyst expressions; local parity via
+    :func:`fastbloom_spark.kernel.digest64_bytes(data, strategy)`.
     """
-    hex16 = F.substring(sha256_hex(col), 1, 16)
+    c = F.col(col) if isinstance(col, str) else col
+    if strategy == "xxh64":
+        return F.xxhash64(c.cast("string"))
+    if strategy != "sha256":
+        raise ValueError(f"unknown digest strategy {strategy!r}")
+    hex16 = F.substring(sha256_hex(c), 1, 16)
     dec = F.conv(hex16, 16, 10).cast("decimal(20,0)")
     wrapped = F.when(dec >= F.lit(_TWO63), dec - F.lit(_TWO64)).otherwise(dec)
     return wrapped.cast("long")

@@ -62,17 +62,23 @@ class BloomFilter:
 
     @classmethod
     def with_num_bits(cls, num_bits: int, *, num_hashes: int | None = None,
-                      expected_items: int | None = None, seed: int = 0) -> "BloomFilter":
+                      expected_items: int | None = None,
+                      seed: int | None = None,
+                      digest: str = "sha256") -> "BloomFilter":
         return cls(BloomConfig.with_num_bits(
-            num_bits, num_hashes=num_hashes, expected_items=expected_items, seed=seed))
+            num_bits, num_hashes=num_hashes, expected_items=expected_items,
+            seed=seed, digest=digest))
 
     @classmethod
-    def with_false_pos(cls, fp: float, *, expected_items: int, seed: int = 0) -> "BloomFilter":
-        return cls(BloomConfig.from_false_pos(fp, expected_items=expected_items, seed=seed))
+    def with_false_pos(cls, fp: float, *, expected_items: int,
+                       seed: int | None = None,
+                       digest: str = "sha256") -> "BloomFilter":
+        return cls(BloomConfig.from_false_pos(
+            fp, expected_items=expected_items, seed=seed, digest=digest))
 
     @classmethod
     def from_vec(cls, words, *, num_hashes: int, seed: int = 0,
-                 layout: str = "flat") -> "BloomFilter":
+                 layout: str = "flat", digest: str = "sha256") -> "BloomFilter":
         """Rebuild from raw words (reference ``from_vec``, ``src/lib.rs:148-150``).
         Geometry (k, seed, layout) must be re-supplied, exactly as the
         reference requires seed + hashes on its round trip
@@ -82,14 +88,14 @@ class BloomFilter:
         if arr.size == 0:
             raise ValueError("bit vector must be non-empty")
         cfg = BloomConfig(num_bits=arr.size * 64, num_hashes=num_hashes,
-                          seed=seed, layout=layout)
+                          seed=seed, layout=layout, digest=digest)
         return cls(cfg, arr)
 
     @classmethod
     def from_bytes(cls, buf: bytes, *, num_hashes: int, seed: int = 0,
-                   layout: str = "flat") -> "BloomFilter":
+                   layout: str = "flat", digest: str = "sha256") -> "BloomFilter":
         return cls.from_vec(buf, num_hashes=num_hashes, seed=seed,
-                            layout=layout)
+                            layout=layout, digest=digest)
 
     # -- geometry -----------------------------------------------------------------
 
@@ -116,9 +122,9 @@ class BloomFilter:
 
     def _hash_value(self, val) -> np.ndarray:
         if isinstance(val, (bytes, bytearray)):
-            d = digest64_bytes(bytes(val))
+            d = digest64_bytes(bytes(val), self.config.digest)
         elif isinstance(val, str):
-            d = digest64_bytes(val.encode("utf-8"))
+            d = digest64_bytes(val.encode("utf-8"), self.config.digest)
         elif isinstance(val, (int, np.integer)):
             d = int(val) & U64_MASK
         else:
@@ -169,6 +175,8 @@ class BloomFilter:
             raise ValueError("expected same seed")
         if self.config.layout != other.config.layout:
             raise ValueError("expected same layout")
+        if self.config.digest != other.config.digest:
+            raise ValueError("expected same digest strategy")
 
     def union(self, other: "BloomFilter") -> "BloomFilter":
         self._check_compatible(other)

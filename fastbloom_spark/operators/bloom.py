@@ -46,7 +46,7 @@ from ..local import BloomFilter
 
 #: sketch-row payload columns appended after the group keys
 SKETCH_FIELDS = ("m long, k int, seed long, layout string, "
-                 "rows_seen long, sketch binary")
+                 "digest string, rows_seen long, sketch binary")
 
 
 def _key_schema(df: DataFrame, key_cols: Sequence[str]) -> str:
@@ -76,6 +76,7 @@ def bloom_partials(
         "partition_id int, build_ms double, " + SKETCH_FIELDS
     m, k, seed = cfg.num_bits, cfg.num_hashes, cfg.seed
     num_words, layout = cfg.num_words, cfg.layout
+    digest_kind = cfg.digest
     seed_signed = seed - (1 << 64) if seed >= (1 << 63) else seed
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -108,10 +109,12 @@ def bloom_partials(
         rows = []
         for key_vals, (words, seen) in acc.items():
             rows.append((*key_vals, pid, round(build_ms, 3), m, k,
-                         seed_signed, layout, seen, encode_words(words)))
+                         seed_signed, layout, digest_kind, seen,
+                         encode_words(words)))
         yield pd.DataFrame(
             rows, columns=[*keys, "partition_id", "build_ms", "m", "k",
-                           "seed", "layout", "rows_seen", "sketch"])
+                           "seed", "layout", "digest", "rows_seen",
+                           "sketch"])
 
     return df.mapInPandas(build, schema)
 
@@ -129,6 +132,7 @@ def _merge_fn(group_cols: Sequence[str]):
             m=[int(pdf["m"].iloc[0])], k=[int(pdf["k"].iloc[0])],
             seed=[int(pdf["seed"].iloc[0])],
             layout=[str(pdf["layout"].iloc[0])],
+            digest=[str(pdf["digest"].iloc[0])],
             rows_seen=[int(pdf["rows_seen"].sum())],
             sketch=[encode_words(merged)],
         )
@@ -279,7 +283,8 @@ def bloom_agg(
         prepared = df.select(*keys, F.col(value_col).alias("__digest64"))
     else:
         col = F.col(value_col) if isinstance(value_col, str) else value_col
-        prepared = df.select(*keys, digest64(col).alias("__digest64"))
+        prepared = df.select(*keys,
+                             digest64(col, cfg.digest).alias("__digest64"))
 
     if strategy == "auto" and keys:
         n_keys = distinct_keys_hint
@@ -308,6 +313,7 @@ def _bloom_agg_shuffled(
     schema = key_schema + ", " + SKETCH_FIELDS
     m, k, seed = cfg.num_bits, cfg.num_hashes, cfg.seed
     num_words, layout = cfg.num_words, cfg.layout
+    digest_kind = cfg.digest
     seed_signed = seed - (1 << 64) if seed >= (1 << 63) else seed
 
     def build_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -325,10 +331,11 @@ def _bloom_agg_shuffled(
         if not acc:
             return
         yield pd.DataFrame(
-            [(*kv, m, k, seed_signed, layout, seen, encode_words(words))
+            [(*kv, m, k, seed_signed, layout, digest_kind, seen,
+              encode_words(words))
              for kv, (words, seen) in acc.items()],
-            columns=[*keys, "m", "k", "seed", "layout", "rows_seen",
-                     "sketch"])
+            columns=[*keys, "m", "k", "seed", "layout", "digest",
+                     "rows_seen", "sketch"])
 
     return prepared.repartition(*[F.col(c) for c in keys]) \
         .mapInPandas(build_groups, schema)
@@ -373,13 +380,13 @@ def bloom_rollup(
                 k_name, F.lit(None).cast(
                     dict(finest.dtypes)[k_name]))
         levels.append(padded.select(*keys, "m", "k", "seed", "layout",
-                                    "rows_seen", "sketch")
+                                    "digest", "rows_seen", "sketch")
                       .withColumn("rollup_level", F.lit(level)))
     # Layout must ride through every level: dropping it would hydrate
     # block64 rollup rows as flat (wrong membership) and diverge the
     # schema from bloom_agg.
-    out = levels[0].select(*keys, "m", "k", "seed", "layout", "rows_seen",
-                           "sketch", "rollup_level")
+    out = levels[0].select(*keys, "m", "k", "seed", "layout", "digest",
+                           "rows_seen", "sketch", "rollup_level")
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
@@ -393,6 +400,7 @@ def bloom_build(
     fp: float | None = None,
     expected_items: int | None = None,
     seed: int = 0,
+    digest: str = "sha256",
     digest_precomputed: bool = False,
     fanin: int = 16,
 ) -> BloomFilter:
@@ -409,13 +417,13 @@ def bloom_build(
             raise ValueError("provide cfg or fp")
         n_hint = expected_items if expected_items is not None else df.count()
         cfg = BloomConfig.from_false_pos(fp, expected_items=max(n_hint, 1),
-                                         seed=seed)
+                                         seed=seed, digest=digest)
 
     if digest_precomputed and isinstance(value_col, str):
         prepared = df.select(F.col(value_col).alias("__digest64"))
     else:
         col = F.col(value_col) if isinstance(value_col, str) else value_col
-        prepared = df.select(digest64(col).alias("__digest64"))
+        prepared = df.select(digest64(col, cfg.digest).alias("__digest64"))
 
     # plan parallelism + merge topology (see plans/planner.py for the model)
     from ..plans import plan_bloom_build
@@ -468,8 +476,9 @@ def sketch_row_to_filter(row) -> BloomFilter:
     """Hydrate a sketch row (from bloom_agg / checkpoint) into a filter."""
     seed = int(row.seed) & ((1 << 64) - 1)
     layout = getattr(row, "layout", None) or "flat"
+    digest = getattr(row, "digest", None) or "sha256"
     cfg = BloomConfig(num_bits=int(row.m), num_hashes=int(row.k), seed=seed,
-                      layout=layout)
+                      layout=layout, digest=digest)
     return BloomFilter(cfg, decode_words(bytes(row.sketch)),
                        rows_seen=int(row.rows_seen))
 
@@ -519,6 +528,7 @@ def bloom_semi_join(
     *,
     fp: float = 0.001,
     seed: int = 42,
+    digest: str = "sha256",
     exact: bool = True,
 ) -> DataFrame:
     """Sketch-accelerated semi-join: Bloom-prefilter the probe side with the
@@ -536,9 +546,10 @@ def bloom_semi_join(
     spark = left.sparkSession
     bloom = bloom_build(
         right.select(F.col(right_on).alias("__key")), "__key",
-        fp=fp, seed=seed)
+        fp=fp, seed=seed, digest=digest)
     pre = left.filter(
-        bloom_contains_col(spark, bloom, digest64(F.col(left_on))))
+        bloom_contains_col(spark, bloom,
+                           digest64(F.col(left_on), bloom.config.digest)))
     if not exact:
         return pre
     # left_semi already deduplicates the build side — no .distinct() (it

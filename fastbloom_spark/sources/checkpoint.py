@@ -63,6 +63,8 @@ def write_checkpoint(
                 else F.lit(None).cast("double"))
     layout_col = (F.col("layout") if "layout" in partials.columns
                   else F.lit(layout))
+    digest_col = (F.col("digest") if "digest" in partials.columns
+                  else F.lit("sha256"))
     out = partials.select(
         F.lit(sketch_kind).alias("sketch_kind"),
         group_key.alias("group_key"),
@@ -71,6 +73,7 @@ def write_checkpoint(
         build_ms.alias("build_ms"),
         F.col("m"), F.col("k"), F.col("seed"),
         layout_col.alias("layout"),
+        digest_col.alias("digest"),
         _bytes_to_longs(F.col("sketch")).alias("words"),
         F.current_timestamp().alias("written_at"),
     )
@@ -82,9 +85,11 @@ def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     layout = (F.col("layout") if "layout" in df.columns
               else F.lit("flat"))
+    digest = (F.col("digest") if "digest" in df.columns
+              else F.lit("sha256"))
     return df.select(
         "sketch_kind", "group_key", "partition_id", "rows_seen", "build_ms",
-        "m", "k", "seed", layout.alias("layout"),
+        "m", "k", "seed", layout.alias("layout"), digest.alias("digest"),
         _longs_to_bytes(F.col("words")).alias("sketch"),
         "written_at",
     )
@@ -121,6 +126,7 @@ def resume_bloom_build(
         .filter(F.col("group_key") == "__global__") \
         .filter((F.col("m") == cfg.num_bits) & (F.col("k") == cfg.num_hashes)
                 & (F.col("layout") == cfg.layout)
+                & (F.col("digest") == cfg.digest)
                 & (F.col("seed") == F.lit(seed_signed).cast("long")))
     done_rows = ckpt.select("partition_id", "rows_seen").collect()
     done_ids = {r.partition_id for r in done_rows}
@@ -128,7 +134,8 @@ def resume_bloom_build(
     if digest_precomputed:
         prepared = df.select(F.col(value_col).alias("__digest64"))
     else:
-        prepared = df.select(digest64(F.col(value_col)).alias("__digest64"))
+        prepared = df.select(
+            digest64(F.col(value_col), cfg.digest).alias("__digest64"))
     n_parts = prepared.rdd.getNumPartitions()
 
     if done_ids - set(range(n_parts)):
@@ -147,7 +154,8 @@ def resume_bloom_build(
         todo = prepared
 
     new_partials = bloom_partials(todo, "__digest64", cfg)
-    cols = ["partition_id", "m", "k", "seed", "layout", "rows_seen", "sketch"]
+    cols = ["partition_id", "m", "k", "seed", "layout", "digest",
+            "rows_seen", "sketch"]
     # Only partials whose partitions were actually SKIPPED contribute; when
     # done_ids was cleared (partition layout changed → full rebuild) the
     # checkpoint contributes nothing — otherwise stale bits would inflate

@@ -83,7 +83,8 @@ def streaming_bloom_dedup(
                 yield out
         state.update((rows_seen, words.astype("<u8").tobytes()))
 
-    prepared = stream.withColumn("digest64", digest64(F.col(value_col))) \
+    prepared = stream.withColumn(
+        "digest64", digest64(F.col(value_col), cfg.digest)) \
         .withColumn("__shard",
                     F.pmod(F.col("digest64"), F.lit(num_shards)).cast("int"))
     return prepared.groupBy("__shard").applyInPandasWithState(

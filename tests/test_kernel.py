@@ -142,3 +142,23 @@ def test_words_roundtrip_bytes_and_longs():
     assert np.array_equal(words_from_longs(words_to_longs(w)), w)
     with pytest.raises(ValueError):
         words_from_bytes(b"")
+
+
+def test_xxh64_bytes_known_lengths():
+    """xxh64_bytes is deterministic and distinct across inputs/lengths
+    (engine parity is asserted in test_spark_bloom with a live session)."""
+    from fastbloom_spark.kernel import xxh64_bytes
+
+    vals = [b"", b"a", b"abc", b"x" * 31, b"x" * 32, b"x" * 33, b"y" * 100]
+    hashes = [xxh64_bytes(v) for v in vals]
+    assert len(set(hashes)) == len(hashes)
+    assert hashes == [xxh64_bytes(v) for v in vals]  # deterministic
+    assert all(-(1 << 63) <= h < (1 << 63) for h in hashes)
+    assert xxh64_bytes(b"abc", seed=1) != xxh64_bytes(b"abc", seed=2)
+
+
+def test_digest64_bytes_strategies():
+    from fastbloom_spark.kernel import digest64_bytes, xxh64_bytes
+
+    assert digest64_bytes(b"hello") != digest64_bytes(b"hello", "xxh64")
+    assert digest64_bytes(b"hello", "xxh64") == xxh64_bytes(b"hello")

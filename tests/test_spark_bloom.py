@@ -259,3 +259,84 @@ def test_bloom_rollup_block64_layout_rides_through(spark, docs):
         f = sketch_row_to_filter(r)
         assert f.config.layout == "block64"
         assert f.contains_digests(digests).all()  # zero FN global level
+
+
+def test_xxh64_digest_engine_parity(spark):
+    """kernel.xxh64_bytes == F.xxhash64 bit-for-bit on the deployed engine
+    (including the engine's own PRIME64_2 constant), across lengths spanning
+    every code path (empty/tail/4-byte/8-byte/32-byte-lane)."""
+    from fastbloom_spark.kernel import xxh64_bytes
+
+    vals = [("x" * n) for n in range(0, 70)] + \
+        ["hello world", "üñïçødé テスト", "long string " * 25]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]) \
+        .select("v", F.xxhash64("v").alias("h"))
+    for r in df.collect():
+        assert xxh64_bytes(r.v.encode("utf-8")) == r.h, repr(r.v)
+
+
+def test_xxh64_strategy_distributed_equals_local(spark, docs):
+    """The full keystone property at digest='xxh64': distributed build is
+    bitwise-identical to the local build, zero FN through the Spark path."""
+    from fastbloom_spark.kernel import digest64_bytes
+    from fastbloom_spark.operators import bloom_build
+
+    cfg = BloomConfig.with_num_bits(1 << 14, num_hashes=5, seed=42,
+                                    digest="xxh64")
+    dist = bloom_build(docs.repartition(5), "text", cfg)
+
+    local = BloomFilter(cfg)
+    texts = [r.text for r in docs.select("text").collect()]
+    digests = np.array([digest64_bytes(t.encode("utf-8"), "xxh64")
+                        for t in texts], dtype=np.int64)
+    local.insert_digests(digests)
+    assert np.array_equal(dist.words, local.words)
+    assert dist.rows_seen == local.rows_seen
+    # zero FN probing via the distributed column path
+    from fastbloom_spark.functions import digest64
+    from fastbloom_spark.operators import bloom_contains_col
+
+    n = docs.count()
+    hits = docs.select(digest64("text", "xxh64").alias("d")) \
+        .filter(bloom_contains_col(spark, dist, "d")).count()
+    assert hits == n
+
+
+def test_xxh64_sketch_rows_hydrate_with_digest(spark, docs):
+    """bloom_agg rows carry digest; hydration restores it; probing an
+    xxh64-built sketch with xxh64 digests has zero FN."""
+    cfg = BloomConfig.with_num_bits(1 << 14, num_hashes=5, seed=7,
+                                    digest="xxh64")
+    rows = bloom_agg(docs, ["lang"], "text", cfg).collect()
+    assert all(r.digest == "xxh64" for r in rows)
+    from fastbloom_spark.kernel import digest64_bytes
+
+    texts_by_lang = {}
+    for r in docs.select("lang", "text").collect():
+        texts_by_lang.setdefault(r.lang, []).append(r.text)
+    for row in rows:
+        f = sketch_row_to_filter(row)
+        assert f.config.digest == "xxh64"
+        ds = np.array([digest64_bytes(t.encode(), "xxh64")
+                       for t in texts_by_lang[row.lang]], dtype=np.int64)
+        assert f.contains_digests(ds).all()
+
+
+def test_unseeded_builds_differ_and_seeded_reproduce(spark, docs):
+    """Reference DefaultHasher parity (src/hasher.rs:50-75): seed=None draws
+    a fresh random key per filter — two unseeded builds differ; the same
+    explicit seed reproduces bitwise."""
+    from fastbloom_spark.operators import bloom_build
+
+    cfg_a = BloomConfig.with_num_bits(1 << 13, num_hashes=4)
+    cfg_b = BloomConfig.with_num_bits(1 << 13, num_hashes=4)
+    assert cfg_a.seed != cfg_b.seed  # 2^-64 collision odds
+    a = bloom_build(docs, "text", cfg_a)
+    b = bloom_build(docs, "text", cfg_b)
+    assert not np.array_equal(a.words, b.words)
+    # explicit seed reproduces
+    c1 = bloom_build(docs, "text",
+                     BloomConfig.with_num_bits(1 << 13, num_hashes=4, seed=5))
+    c2 = bloom_build(docs, "text",
+                     BloomConfig.with_num_bits(1 << 13, num_hashes=4, seed=5))
+    assert np.array_equal(c1.words, c2.words)
