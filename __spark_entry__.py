@@ -47,7 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
     docs = _read(spark, SF001, "documents")
     cfg = BloomConfig.from_false_pos(0.001, expected_items=200, seed=42)
-    sketches = bloom_agg(docs, ["lang"], "text", cfg)
+    sketches = bloom_agg(docs, ["lang"], "text", cfg,
+                         distinct_keys_hint=8)
 
     schema = StructType([
         StructField("lang", StringType()),
@@ -218,7 +219,8 @@ def q_per_lang_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     cfg = BloomConfig.from_false_pos(0.001, expected_items=2000, seed=42)
-    return bloom_agg(docs, ["lang"], "text", cfg) \
+    return bloom_agg(docs, ["lang"], "text", cfg,
+                     distinct_keys_hint=8) \
         .select("lang", "rows_seen", "m", "k")
 
 

@@ -127,6 +127,8 @@ class BloomFilter:
             d = digest64_bytes(val.encode("utf-8"), self.config.digest)
         elif isinstance(val, (int, np.integer)):
             d = int(val) & U64_MASK
+            # two's-complement signed form: np.int64 rejects ints >= 2^63
+            d = d - (1 << 64) if d >= (1 << 63) else d
         else:
             raise TypeError(f"unhashable input type {type(val)!r}")
         return source_hash(np.array([d], dtype=np.int64).view(U64), self.config.seed)

@@ -63,17 +63,30 @@ def bloom_partials(
     digest_col: str,
     cfg: BloomConfig,
     key_cols: Sequence[str] = (),
+    *,
+    report_dups: bool = False,
 ) -> DataFrame:
     """Per-partition partial sketches: one row per (keys..., partition).
 
     Map-side only — the output is a DataFrame of
     ``(key_cols..., partition_id, m, k, seed, rows_seen, sketch)`` with at
     most ``num_partitions * distinct_keys_in_partition`` rows, each m/8 bytes.
+
+    ``report_dups=True`` appends a ``dups_seen`` column: the per-partition
+    count of rows whose insert would have returned "may have been
+    previously present" (reference ``insert`` return,
+    fastbloom src/lib.rs:261-270). Batch linearization: each Arrow batch's
+    rows probe the pre-batch state, plus exact in-batch source-hash
+    duplicates count as present — the same relaxation the reference's
+    concurrent AtomicBloomFilter makes under simultaneous inserts; at
+    realistic m the count equals the serial-order count (asserted in
+    tests/test_spark_bloom.py).
     """
     keys = list(key_cols)
     key_schema = _key_schema(df, keys)
+    dup_field = ", dups_seen long" if report_dups else ""
     schema = (key_schema + ", " if key_schema else "") + \
-        "partition_id int, build_ms double, " + SKETCH_FIELDS
+        "partition_id int, build_ms double, " + SKETCH_FIELDS + dup_field
     m, k, seed = cfg.num_bits, cfg.num_hashes, cfg.seed
     num_words, layout = cfg.num_words, cfg.layout
     digest_kind = cfg.digest
@@ -86,35 +99,44 @@ def bloom_partials(
 
         t_start = time.perf_counter()
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        acc: dict[tuple, tuple[np.ndarray, int]] = {}
+        acc: dict[tuple, list] = {}  # key -> [words, rows_seen, dups_seen]
+
+        def fold(key_vals: tuple, hashes: np.ndarray) -> None:
+            state = acc.setdefault(
+                key_vals, [np.zeros(num_words, dtype=U64), 0, 0])
+            if report_dups:
+                pre = contains_hashes(state[0], hashes, k, layout)
+                _, first_idx = np.unique(hashes, return_index=True)
+                in_batch_dup = np.ones(hashes.size, dtype=bool)
+                in_batch_dup[first_idx] = False
+                state[2] += int(np.count_nonzero(pre | in_batch_dup))
+            insert_hashes(state[0], hashes, k, layout)
+            state[1] += int(hashes.size)
+
         for pdf in batches:
             hashes_all = source_hash(_digests_to_u64(pdf[digest_col]), seed)
             if not keys:
-                words, seen = acc.setdefault(
-                    (), (np.zeros(num_words, dtype=U64), 0))
-                insert_hashes(words, hashes_all, k, layout)
-                acc[()] = (words, seen + len(pdf))
+                fold((), hashes_all)
             else:
                 for key_vals, idx in pdf.groupby(keys, sort=False,
                                                  dropna=False).indices.items():
                     if not isinstance(key_vals, tuple):
                         key_vals = (key_vals,)
-                    words, seen = acc.setdefault(
-                        key_vals, (np.zeros(num_words, dtype=U64), 0))
-                    insert_hashes(words, hashes_all[idx], k, layout)
-                    acc[key_vals] = (words, seen + len(idx))
+                    fold(key_vals, hashes_all[idx])
         if not acc:
             return
         build_ms = (time.perf_counter() - t_start) * 1000.0
         rows = []
-        for key_vals, (words, seen) in acc.items():
-            rows.append((*key_vals, pid, round(build_ms, 3), m, k,
-                         seed_signed, layout, digest_kind, seen,
-                         encode_words(words)))
-        yield pd.DataFrame(
-            rows, columns=[*keys, "partition_id", "build_ms", "m", "k",
-                           "seed", "layout", "digest", "rows_seen",
-                           "sketch"])
+        for key_vals, (words, seen, dups) in acc.items():
+            base = (*key_vals, pid, round(build_ms, 3), m, k,
+                    seed_signed, layout, digest_kind, seen,
+                    encode_words(words))
+            rows.append(base + (dups,) if report_dups else base)
+        cols = [*keys, "partition_id", "build_ms", "m", "k",
+                "seed", "layout", "digest", "rows_seen", "sketch"]
+        if report_dups:
+            cols.append("dups_seen")
+        yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(build, schema)
 
@@ -349,6 +371,7 @@ def bloom_rollup(
     *,
     digest_precomputed: bool = False,
     fanin: int = 16,
+    distinct_keys_hint: int | None = None,
 ) -> DataFrame:
     """Hierarchical rollup of sketches: one sketch per prefix level of
     ``key_cols`` — (k1, k2, ..., kn), (k1, ..., k_{n-1}), ..., (), with
@@ -361,7 +384,8 @@ def bloom_rollup(
     """
     keys = list(key_cols)
     finest = bloom_agg(df, keys, value_col, cfg,
-                       digest_precomputed=digest_precomputed, fanin=fanin)
+                       digest_precomputed=digest_precomputed, fanin=fanin,
+                       distinct_keys_hint=distinct_keys_hint)
     finest = finest.persist()
     levels = [finest.withColumn("rollup_level", F.lit(len(keys)))]
     current = finest
@@ -530,6 +554,7 @@ def bloom_semi_join(
     seed: int = 42,
     digest: str = "sha256",
     exact: bool = True,
+    expected_items: int | None = None,
 ) -> DataFrame:
     """Sketch-accelerated semi-join: Bloom-prefilter the probe side with the
     build side's key filter, then (optionally) finish with an exact
@@ -544,9 +569,13 @@ def bloom_semi_join(
     """
     right_on = right_on or left_on
     spark = left.sparkSession
+    # expected_items skips the sizing df.count() scan over the build side —
+    # callers that know (even roughly) the build-side cardinality save a
+    # full pass; over-estimates just waste bits, under-estimates raise FPR
+    # but never break correctness (exact=True re-verifies)
     bloom = bloom_build(
         right.select(F.col(right_on).alias("__key")), "__key",
-        fp=fp, seed=seed, digest=digest)
+        fp=fp, seed=seed, digest=digest, expected_items=expected_items)
     pre = left.filter(
         bloom_contains_col(spark, bloom,
                            digest64(F.col(left_on), bloom.config.digest)))

@@ -340,3 +340,36 @@ def test_unseeded_builds_differ_and_seeded_reproduce(spark, docs):
     c2 = bloom_build(docs, "text",
                      BloomConfig.with_num_bits(1 << 13, num_hashes=4, seed=5))
     assert np.array_equal(c1.words, c2.words)
+
+
+def test_bloom_partials_report_dups_matches_local_serial(spark, docs):
+    """report_dups=True: each partition's dups_seen equals the count of
+    local serial insert() returns (reference insert-return parity,
+    src/lib.rs:261-270) over that partition's rows — exact at realistic m,
+    where "previously present" == "exact duplicate of an earlier row"."""
+    from fastbloom_spark.operators import bloom_partials
+
+    cfg = BloomConfig.with_num_bits(1 << 16, num_hashes=6, seed=42)
+    # plant exact duplicates: every doc twice, plus a triplicate
+    doubled = docs.select("doc_id", "text").unionAll(
+        docs.select("doc_id", "text"))
+    tripled = doubled.unionAll(docs.limit(10).select("doc_id", "text"))
+    prepared = tripled.repartition(4).select(
+        digest64("text").alias("__digest64"))
+    prepared = prepared.persist()
+
+    partials = bloom_partials(prepared, "__digest64", cfg, report_dups=True)
+    got = {r.partition_id: r.dups_seen for r in partials.collect()}
+
+    per_part = prepared.withColumn(
+        "pid", F.spark_partition_id()) \
+        .select("pid", F.col("__digest64").alias("d")).collect()
+    by_pid = {}
+    for r in per_part:
+        by_pid.setdefault(r.pid, []).append(r.d)
+    import numpy as np
+    for pid, digests in by_pid.items():
+        f = BloomFilter(cfg)
+        serial = sum(f.insert(int(d) & ((1 << 64) - 1)) for d in digests)
+        assert got[pid] == serial, pid
+    prepared.unpersist()
