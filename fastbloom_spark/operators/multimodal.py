@@ -68,29 +68,46 @@ def fake_codec(payload: bytes, width: int = 8, height: int = 8) -> np.ndarray:
 
 
 def media_features(df: DataFrame, *, feature_dim: int = 16) -> DataFrame:
-    """Deterministic per-payload feature vectors via ``mapInPandas``.
+    """Deterministic per-payload feature vectors via ``mapInArrow``.
 
     Stands in for embed/resize/frame-sample: Arrow batches in, numpy
     feature block out, one row per media row — the exact batch shape a real
     extractor (decode → model) plugs into. Features are byte-histogram
-    moments of the payload (deterministic, codec-free)."""
-    schema = f"media_id long, kind string, feature array<double>"
+    moments of the payload (deterministic, codec-free).
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = []
-            for b in pdf["payload"]:
-                arr = np.frombuffer(bytes(b), dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=feature_dim)[:feature_dim]
-                total = max(arr.size, 1)
-                feats.append((hist / total).round(6).tolist())
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
-                "feature": feats,
-            })
+    Batch-vectorized over the Arrow BinaryArray's FLAT buffer: one
+    segmented bincount per batch (segment-id * dim + nibble), zero
+    per-row Python — at real media sizes (MBs/row) the per-row loop this
+    replaced was the bottleneck the plumbing exists to avoid."""
+    schema = "media_id long, kind string, feature array<double>"
 
-    return df.mapInPandas(extract, schema)
+    def extract(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            pay = rb.column(rb.schema.get_field_index("payload"))
+            n = len(pay)
+            # flat data buffer + offsets, zero-copy off the Arrow batch
+            # (binary = int32 offsets; large_binary = int64)
+            odt = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            offsets = np.frombuffer(pay.buffers()[1], dtype=odt,
+                                    count=n + 1,
+                                    offset=pay.offset * odt(0).nbytes)
+            flat = np.frombuffer(pay.buffers()[2], dtype=np.uint8)
+            lens = np.diff(offsets).astype(np.int64)
+            seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+            nibbles = flat[offsets[0]:offsets[-1]] >> 4
+            counts = np.bincount(seg * feature_dim + nibbles,
+                                 minlength=n * feature_dim) \
+                .reshape(n, feature_dim)
+            feats = (counts / np.maximum(lens, 1)[:, None]).round(6)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(rb.schema.get_field_index("media_id")),
+                 rb.column(rb.schema.get_field_index("kind")),
+                 pa.array(list(feats), type=pa.list_(pa.float64()))],
+                names=["media_id", "kind", "feature"])
+
+    return df.mapInArrow(extract, schema)
 
 
 def media_dedup_exact(df: DataFrame) -> DataFrame:
