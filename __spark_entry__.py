@@ -594,9 +594,17 @@ def q_sketch_sql_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch_agg(events, ["event_type"], F.col("user_id").cast("string"),
                HllSketch(precision=12, seed=42)) \
         .createOrReplaceTempView("hll_users_by_type")
+    # per-type estimates UNION one global row re-aggregated from the
+    # per-type states with the hll_union_agg SQL aggregate (pure-SQL
+    # rollup of persisted sketch state)
     return spark.sql("""
         SELECT event_type, rows_seen,
                round(hll_estimate(sketch), 1) AS est_users
+        FROM hll_users_by_type
+        UNION ALL
+        SELECT '__all__' AS event_type,
+               (SELECT sum(rows_seen) FROM hll_users_by_type) AS rows_seen,
+               round(hll_estimate(hll_union_agg(sketch)), 1) AS est_users
         FROM hll_users_by_type
     """)
 

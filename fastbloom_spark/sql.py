@@ -151,6 +151,37 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
                 decode_words(bytes(a)), decode_words(bytes(b)))))
         return pd.Series(out)
 
+    @F.pandas_udf("binary")
+    def bloom_union_agg(sketch: pd.Series) -> bytes:
+        """SQL AGGREGATE: OR-reduce a group's bloom payloads into one —
+        pure-SQL re-aggregation of persisted partial/sketch tables
+        (``SELECT lang, bloom_union_agg(sketch) FROM partials GROUP BY
+        lang``). Safe at scale: groups hold one ~m/8-byte row per
+        partition/sub-key, not data rows."""
+        from .kernel import encode_words
+
+        acc = None
+        for b in sketch:
+            w = decode_words(bytes(b), copy=False)
+            acc = w.copy() if acc is None else np.bitwise_or(acc, w, out=acc)
+        return encode_words(acc) if acc is not None else b"R"
+
+    @F.pandas_udf("binary")
+    def hll_union_agg(sketch: pd.Series) -> bytes:
+        """SQL AGGREGATE: merge a group's HLL states into one (register-wise
+        max) — re-aggregate persisted HLL tables from pure SQL."""
+        from .sketch.hll import HllSketch
+
+        impl = None
+        acc = None
+        for b in sketch:
+            buf = bytes(b)
+            if impl is None:
+                impl = HllSketch(precision=buf[1])
+            state = impl.deserialize(buf)
+            acc = state if acc is None else impl.merge(acc, state)
+        return impl.serialize(acc) if impl is not None else b""
+
     fns = {
         "bloom_union": bloom_union,
         "bloom_intersect": bloom_intersect,
@@ -159,6 +190,8 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         "tdigest_quantile": tdigest_quantile,
         "kll_quantile": kll_quantile,
         "bloom_probe": bloom_probe,
+        "bloom_union_agg": bloom_union_agg,
+        "hll_union_agg": hll_union_agg,
     }
     for name, fn in fns.items():
         spark.udf.register(name, fn)

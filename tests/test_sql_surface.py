@@ -18,8 +18,8 @@ from fastbloom_spark.sql import register_sketch_sql
 def _register(spark):
     names = register_sketch_sql(spark)
     assert names == ["bloom_intersect", "bloom_probe", "bloom_union",
-                     "cms_estimate", "hll_estimate", "kll_quantile",
-                     "tdigest_quantile"]
+                     "bloom_union_agg", "cms_estimate", "hll_estimate",
+                     "hll_union_agg", "kll_quantile", "tdigest_quantile"]
 
 
 def test_sql_hll_estimate(spark, sf_dir):
@@ -220,3 +220,43 @@ def test_sql_bloom_probe_block64(spark, sf_dir):
         WHERE bloom_probe(b.sketch, b.k, b.seed, b.layout, d.d)
     """).collect()[0].c
     assert n == docs.count()
+
+
+def test_sql_bloom_union_agg(spark, sf_dir):
+    """Pure-SQL re-aggregation: bloom_union_agg over per-lang sketch rows
+    equals the direct global build, bitwise."""
+    import numpy as np
+
+    from fastbloom_spark.kernel import decode_words
+    from fastbloom_spark.operators import bloom_build
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = BloomConfig.with_num_bits(1 << 14, num_hashes=5, seed=42)
+    bloom_agg(docs, ["lang"], "text", cfg).createOrReplaceTempView("bl_agg")
+    # pandas grouped-agg UDFs cannot mix with built-in aggregates in one
+    # SELECT (Spark limitation) — rows_seen sums in its own query
+    row = spark.sql(
+        "SELECT bloom_union_agg(sketch) AS s FROM bl_agg").collect()[0]
+    n = spark.sql("SELECT sum(rows_seen) AS n FROM bl_agg").collect()[0].n
+    direct = bloom_build(docs, "text", cfg)
+    assert np.array_equal(decode_words(bytes(row.s)), direct.words)
+    assert n == direct.rows_seen
+
+
+def test_sql_hll_union_agg(spark, sf_dir):
+    """hll_union_agg over per-type HLL states == estimate of one global
+    state (register-wise max is exact-associative)."""
+    from fastbloom_spark.operators.sketch_agg import sketch_agg
+    from fastbloom_spark.sketch import HllSketch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    impl = HllSketch(precision=12, seed=42)
+    sketch_agg(events, ["event_type"], F.col("user_id").cast("string"),
+               impl).createOrReplaceTempView("hll_t")
+    merged_est = spark.sql("""
+        SELECT hll_estimate(hll_union_agg(sketch)) AS est FROM hll_t
+    """).collect()[0].est
+    global_rows = sketch_agg(events, [], F.col("user_id").cast("string"),
+                             impl).collect()
+    global_est = impl.estimate(impl.deserialize(bytes(global_rows[0].sketch)))
+    assert abs(merged_est - global_est) < 1e-9
