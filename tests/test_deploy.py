@@ -48,3 +48,68 @@ def test_spark_submit_pyfiles_job(tmp_path):
     assert out["rows"] == 500
     assert out["k"] >= 1 and out["m"] % 64 == 0
     assert os.path.isdir(ckpt)
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None,
+                    reason="spark-submit not on PATH")
+def test_spark_submit_dedup_job(tmp_path):
+    """Corpus dedup pipeline via spark-submit --py-files: exact then
+    MinHash near-dup, counts reported on stdout."""
+    zip_path = make_pyfiles_zip(str(tmp_path / "fastbloom_spark.zip"))
+    out_dir = str(tmp_path / "deduped")
+    env = dict(os.environ, PYTHONPATH="")
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "dedup_corpus.py"),
+         "/root/testdata/sf0.001/documents.parquet", "doc_id", "text",
+         "0.7", out_dir],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["rows_in"] == 500
+    assert 0 < out["after_near_dedup"] <= out["after_exact_dedup"] <= 500
+    assert os.path.isdir(out_dir)
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None,
+                    reason="spark-submit not on PATH")
+def test_spark_submit_streaming_dedup_job(tmp_path):
+    """Streaming Bloom dedup via spark-submit: drain-available trigger,
+    restart resumes state (second run over appended duplicates emits
+    nothing new)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    zip_path = make_pyfiles_zip(str(tmp_path / "fastbloom_spark.zip"))
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"])
+    pq.write_table(tbl, str(src / "a.parquet"))
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    env = dict(os.environ, PYTHONPATH="")
+    args = ["spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "streaming_dedup.py"),
+            str(src), "text", str(1 << 14), "5", "42", out_dir, ckpt,
+            "doc_id"]
+    p1 = subprocess.run(args, capture_output=True, text=True, timeout=300,
+                        cwd=str(tmp_path), env=env)
+    assert p1.returncode == 0, p1.stderr[-3000:]
+    n1 = json.loads([l for l in p1.stdout.splitlines()
+                     if l.startswith("{")][-1])["emitted_total"]
+    # replay the same rows as a new file: state must suppress all of them
+    pq.write_table(tbl, str(src / "b.parquet"))
+    p2 = subprocess.run(args, capture_output=True, text=True, timeout=300,
+                        cwd=str(tmp_path), env=env)
+    assert p2.returncode == 0, p2.stderr[-3000:]
+    n2 = json.loads([l for l in p2.stdout.splitlines()
+                     if l.startswith("{")][-1])["emitted_total"]
+    assert n1 > 0
+    assert n2 == n1  # replay emitted nothing

@@ -131,3 +131,52 @@ def test_streaming_dedup_block64_layout(spark, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 40
+
+
+def test_streaming_sketch_agg_matches_batch(spark, tmp_path):
+    """Custom HLL state per key via applyInPandasWithState: after two
+    triggers over the same checkpoint, each key's state equals the batch
+    sketch_agg over all rows seen (update/merge associativity makes the
+    result batch-boundary independent)."""
+    from fastbloom_spark.operators.sketch_agg import sketch_agg
+    from fastbloom_spark.sketch import HllSketch
+    from fastbloom_spark.streaming import streaming_sketch_agg
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("lang", F.col("text").alias("val"))
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+
+    impl = HllSketch(precision=12, seed=42)
+
+    def run_once():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        agged = streaming_sketch_agg(stream, ["lang"], "val", impl)
+        q = (agged.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    # second trigger: append the same rows — distinct estimate must not
+    # move, rows_seen must double (state resumed from checkpoint)
+    docs.coalesce(2).write.mode("append").parquet(src)
+    run_once()
+
+    # latest state row per key = the one with max rows_seen
+    res = spark.read.parquet(out).collect()
+    latest = {}
+    for r in res:
+        if r.lang not in latest or r.rows_seen > latest[r.lang].rows_seen:
+            latest[r.lang] = r
+
+    batch = {r.lang: r for r in
+             sketch_agg(docs, ["lang"], "val", impl).collect()}
+    for lang, b in batch.items():
+        s = latest[lang]
+        assert s.rows_seen == 2 * b.rows_seen, lang
+        est_stream = impl.estimate(impl.deserialize(bytes(s.sketch)))
+        est_batch = impl.estimate(impl.deserialize(bytes(b.sketch)))
+        assert est_stream == est_batch, lang  # identical registers
