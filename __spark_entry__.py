@@ -387,6 +387,57 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", simhash64_col("text").alias("simhash"))
 
 
+def q_embed_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-50 most-similar embedding pairs (the brute-force baseline
+    the RHP/IVF near-dup paths are measured against; hash-checked vs a
+    DuckDB cross-join oracle). Distributed shape: broadcast the (n, d)
+    corpus block once, one GEMM per partition, prefilter at score >= 0.3
+    (also in the oracle, so results are identical), global top-50 on the
+    ROUNDED score with full (id_a, id_b) tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    from fastbloom_spark.operators.similarity import _normalize_rows
+
+    emb = _read(spark, sf_dir, "embeddings")
+    rows = sorted((r.vec_id, r.embedding) for r in emb.collect())
+    ids_np = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = _normalize_rows(np.array([r[1] for r in rows], dtype=np.float64))
+    sc = spark.sparkContext
+    corpus_bc = sc.broadcast((ids_np, mat))
+    dim = mat.shape[1]
+
+    def pair_scores(batches):
+        ids_all, m_all = corpus_bc.value
+        from fastbloom_spark.operators.similarity import (
+            _normalize_rows as nr, _vectors_from_series as vs)
+        for pdf in batches:
+            part = nr(vs(pdf["embedding"], dim))
+            part_ids = pdf["vec_id"].to_numpy(np.int64)
+            scores = part @ m_all.T  # (batch, n)
+            # loose unrounded prefilter; the EXACT cut happens on the
+            # rounded score below so the boundary matches the oracle
+            r_idx, c_idx = np.nonzero(
+                (scores >= 0.2999) & (part_ids[:, None] < ids_all[None, :]))
+            if r_idx.size == 0:
+                continue
+            yield pd.DataFrame({
+                "id_a": part_ids[r_idx],
+                "id_b": ids_all[c_idx],
+                "score": np.round(scores[r_idx, c_idx], 6),
+            })
+
+    pairs = emb.select("vec_id", "embedding").mapInPandas(
+        pair_scores, "id_a long, id_b long, score double") \
+        .filter(F.col("score") >= 0.3)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("id_a"), F.asc("id_b"))
+    return pairs.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= 50) \
+        .select("id_a", "id_b", "score", "rank")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS via pigeonhole banding + exact popcount verify
     (rows-only: simhash values derive from Spark's xxhash64, no DuckDB
@@ -494,7 +545,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checkpoint/resume lineage (rows-only): write a partial checkpoint
+    """Checkpoint/resume lineage (hash-checked: deterministic metrics +
+    bitwise-equality flag vs a constant/count oracle): write a partial checkpoint
     missing half the partitions, resume, and report that the resumed filter
     is bitwise-identical to a direct build (the from_vec surface,
     reference src/lib.rs:148-150, 698-713)."""
@@ -649,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "embed_pairs_exact": q_embed_pairs_exact,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "bloom_union_semantics": q_bloom_union_semantics,
@@ -895,6 +948,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_scores": _QUALITY_ORACLE_SQL,
         "lang_detect": _LANG_DETECT_ORACLE_SQL,
+        "embed_pairs_exact": """
+            WITH scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(
+                         CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 6) AS score
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, id_a, id_b)
+                        AS INT) AS rank
+            FROM scored WHERE score >= 0.3
+            QUALIFY rank <= 50
+        """,
+        "checkpoint_resume": """
+            SELECT CAST(6 AS BIGINT) AS partitions_total,
+                   CAST(3 AS BIGINT) AS partitions_resumed,
+                   CAST(3 AS BIGINT) AS partitions_rebuilt,
+                   true AS bitwise_equal_direct,
+                   count(*) AS rows_seen
+            FROM documents
+        """,
         # bloom_fpr_envelope, minhash_near_dups, simhash, simhash_pairs,
         # ivf_topk, media_features, checkpoint_resume, hll/cms/tdigest/kll
         # estimates, sketch_sql_estimates: engine-defined heuristics /
