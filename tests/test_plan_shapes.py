@@ -1,0 +1,108 @@
+"""Physical-plan shape assertions — the 100 TB questions, checked in CI.
+
+Each test renders `.explain("formatted")` (or the queryExecution string)
+and asserts the property that matters at scale: filters reach the parquet
+scan, projections prune columns, small sides broadcast, and no operator
+degenerates into a cartesian product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastbloom_spark import BloomConfig
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted") if False else \
+        df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    """Predicate pushdown + column pruning through the operator funnel:
+    a lang-filtered bloom_agg must push the lang filter into the parquet
+    scan and read only the columns it needs."""
+    from fastbloom_spark.operators import bloom_agg
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("lang") == "en")
+    cfg = BloomConfig.with_num_bits(1 << 12, num_hashes=4, seed=1)
+    out = bloom_agg(docs, ["lang"], "text", cfg, distinct_keys_hint=4)
+    plan = formatted(out)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+    # projection pruned to the two referenced columns
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" in scan_schema and "text" in scan_schema
+    assert "doc_id" not in scan_schema and "source" not in scan_schema
+
+
+def test_ann_probe_join_broadcasts(spark, sf_dir):
+    """IVF candidate selection joins corpus cells against the tiny probe
+    table via BroadcastHashJoin — corpus rows never shuffle."""
+    from fastbloom_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.array([r.embedding for r in emb.limit(2).collect()],
+                 dtype=np.float64)
+    out = ivf_topk(emb, "vec_id", "embedding", q, k=3, n_centroids=4,
+                   nprobe=2, seed=1)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # corpus must not shuffle for probes
+
+
+def test_minhash_banding_no_cartesian(spark, sf_dir):
+    """LSH candidate generation is a bucket equi-join on (band_idx,
+    band_hash) — never a cartesian/nested-loop product."""
+    from fastbloom_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text",
+                                    num_perm=32, bands=8)
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_semi_join_prefilter_before_join(spark, sf_dir):
+    """The runtime-filter pattern: the Bloom probe must sit UNDER the exact
+    join (rows are dropped map-side before any join shuffle), and the join
+    itself must be an equi-join, not a product."""
+    from fastbloom_spark.operators import bloom_semi_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_totalprice") > 150000)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = bloom_semi_join(li, orders, "l_orderkey", "o_orderkey", fp=0.01,
+                          seed=1, expected_items=2000)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    # probe UDF evaluated below the join: in the string rendering the
+    # semi-join node prints before (above) the python-UDF filter stage
+    assert plan.index("LeftSemi") < plan.index("pythonUDF"), plan
+
+
+def test_grouped_agg_partial_before_shuffle(spark, sf_dir):
+    """Catalyst partial aggregation (map-side combine) on the exact-dedup
+    hash shuffle: HashAggregate appears both before and after the
+    Exchange."""
+    from fastbloom_spark.operators.text import dedup_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_exact(docs, "doc_id", "text")
+    plan = plan_of(out)
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:], plan
+    assert "HashAggregate" in plan[:first_exchange] or \
+        "partial_" in plan, plan
