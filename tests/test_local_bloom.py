@@ -210,3 +210,26 @@ def test_fpr_heavier_point():
     fp = false_pos_rate(f, trials=2_000_000)
     if fp > target_fp:
         assert (fp - target_fp) / target_fp < 1.0, fp
+
+
+def test_fpr_envelope_xxh64_strategy():
+    """The xxh64 digest strategy must meet the same FPR envelope as sha256:
+    the splitmix seed mix + K-M derivation whiten the digest, so the
+    weaker-but-uniform hash still tracks the analytic bound (reference
+    envelope tolerance, src/lib.rs:485-515)."""
+    from fastbloom_spark.kernel import digest64_bytes
+
+    n = 20_000
+    target_fp = 0.01
+    f = BloomFilter.with_false_pos(target_fp, expected_items=n, seed=3,
+                                   digest="xxh64")
+    members = np.array([digest64_bytes(f"m{i}".encode(), "xxh64")
+                        for i in range(n)], dtype=np.int64)
+    f.insert_digests(members)
+    assert f.contains_digests(members).all()  # zero FN
+    trials = 200_000
+    probes = np.array([digest64_bytes(f"x{i}".encode(), "xxh64")
+                       for i in range(trials)], dtype=np.int64)
+    fp = f.contains_digests(probes).mean()
+    if fp > target_fp:
+        assert (fp - target_fp) / target_fp < 1.0, fp
