@@ -182,6 +182,54 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
             acc = state if acc is None else impl.merge(acc, state)
         return impl.serialize(acc) if impl is not None else b""
 
+    @F.pandas_udf("binary")
+    def cms_union_agg(sketch: pd.Series) -> bytes:
+        """SQL AGGREGATE: merge count-min states (counter-wise add)."""
+        from .sketch.cms import CountMinSketch
+
+        impl = None
+        acc = None
+        for b in sketch:
+            impl_b, counters = CountMinSketch.from_buffer(bytes(b))
+            if impl is None:
+                impl = impl_b
+            acc = counters if acc is None else impl.merge(acc, counters)
+        return impl.serialize(acc) if impl is not None else b""
+
+    @F.pandas_udf("binary")
+    def tdigest_merge_agg(sketch: pd.Series) -> bytes:
+        """SQL AGGREGATE: merge t-digest states (cluster recompression)."""
+        import struct
+
+        from .sketch.tdigest import TDigestSketch
+
+        impl = None
+        acc = None
+        for b in sketch:
+            buf = bytes(b)
+            if impl is None:
+                impl = TDigestSketch(delta=struct.unpack_from("<H", buf, 1)[0])
+            state = impl.deserialize(buf)
+            acc = state if acc is None else impl.merge(acc, state)
+        return impl.serialize(acc) if impl is not None else b""
+
+    @F.pandas_udf("binary")
+    def kll_merge_agg(sketch: pd.Series) -> bytes:
+        """SQL AGGREGATE: merge KLL states (level-wise compaction)."""
+        import struct
+
+        from .sketch.kll import KllSketch
+
+        impl = None
+        acc = None
+        for b in sketch:
+            buf = bytes(b)
+            if impl is None:
+                impl = KllSketch(k=struct.unpack_from("<H", buf, 1)[0])
+            state = impl.deserialize(buf)
+            acc = state if acc is None else impl.merge(acc, state)
+        return impl.serialize(acc) if impl is not None else b""
+
     fns = {
         "bloom_union": bloom_union,
         "bloom_intersect": bloom_intersect,
@@ -192,6 +240,9 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         "bloom_probe": bloom_probe,
         "bloom_union_agg": bloom_union_agg,
         "hll_union_agg": hll_union_agg,
+        "cms_union_agg": cms_union_agg,
+        "tdigest_merge_agg": tdigest_merge_agg,
+        "kll_merge_agg": kll_merge_agg,
     }
     for name, fn in fns.items():
         spark.udf.register(name, fn)

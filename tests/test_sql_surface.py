@@ -18,8 +18,9 @@ from fastbloom_spark.sql import register_sketch_sql
 def _register(spark):
     names = register_sketch_sql(spark)
     assert names == ["bloom_intersect", "bloom_probe", "bloom_union",
-                     "bloom_union_agg", "cms_estimate", "hll_estimate",
-                     "hll_union_agg", "kll_quantile", "tdigest_quantile"]
+                     "bloom_union_agg", "cms_estimate", "cms_union_agg",
+                     "hll_estimate", "hll_union_agg", "kll_merge_agg",
+                     "kll_quantile", "tdigest_merge_agg", "tdigest_quantile"]
 
 
 def test_sql_hll_estimate(spark, sf_dir):
@@ -260,3 +261,36 @@ def test_sql_hll_union_agg(spark, sf_dir):
                              impl).collect()
     global_est = impl.estimate(impl.deserialize(bytes(global_rows[0].sketch)))
     assert abs(merged_est - global_est) < 1e-9
+
+
+def test_sql_cms_tdigest_kll_merge_aggs(spark, sf_dir):
+    """SQL merge aggregates across the remaining sketch families: merging
+    per-key states from SQL equals the single global state (CMS counters
+    exactly; quantile sketches within their rank tolerance)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    # CMS: counter-wise add is exact
+    cms = CountMinSketch(depth=5, log2_width=12, seed=42)
+    sketch_agg(events, ["event_type"], "event_type", cms) \
+        .createOrReplaceTempView("cms_by_type")
+    merged = spark.sql(
+        "SELECT cms_union_agg(sketch) AS s FROM cms_by_type").collect()[0].s
+    global_row = sketch_agg(events, [], "event_type", cms).collect()[0]
+    assert bytes(merged) == bytes(global_row.sketch)
+
+    # t-digest / KLL: merged-state median within rank tolerance of exact
+    vals = np.sort(np.array(
+        [r.c_acctbal for r in cust.select("c_acctbal").collect()]))
+    for impl, agg_fn, q_fn in [
+            (TDigestSketch(delta=200), "tdigest_merge_agg",
+             "tdigest_quantile"),
+            (KllSketch(k=200, seed=42), "kll_merge_agg", "kll_quantile")]:
+        sketch_agg(cust, ["c_mktsegment"], "c_acctbal", impl) \
+            .createOrReplaceTempView("q_by_seg")
+        med = spark.sql(f"""
+            SELECT {q_fn}(s, 0.5) AS med FROM (
+              SELECT {agg_fn}(sketch) AS s FROM q_by_seg)
+        """).collect()[0].med
+        rank = np.searchsorted(vals, med) / len(vals)
+        assert abs(rank - 0.5) < 0.05, (agg_fn, rank)
