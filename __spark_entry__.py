@@ -387,6 +387,26 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", simhash64_col("text").alias("simhash"))
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-style token counts via the BPE-ish pretokenizer regex
+    (corpus token budgeting; hash-checked against the same RE in DuckDB)."""
+    from fastbloom_spark.operators.text import bpe_token_count_col
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", bpe_token_count_col("text").alias("n_bpe_tokens"))
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints — count + min print
+    per doc (rows-only: the Rabin-Karp/winnow scheme is engine-defined;
+    the substring-match guarantee is asserted in tests/test_dedup.py)."""
+    from fastbloom_spark.operators.dedup import winnow_fingerprints_col
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(winnow_fingerprints_col("text")).alias("n_fingerprints"))
+
+
 def q_embed_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-50 most-similar embedding pairs (the brute-force baseline
     the RHP/IVF near-dup paths are measured against; hash-checked vs a
@@ -702,6 +722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embed_pairs_exact": q_embed_pairs_exact,
+        "bpe_token_count": q_bpe_token_count,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "bloom_union_semantics": q_bloom_union_semantics,
@@ -948,6 +970,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_scores": _QUALITY_ORACLE_SQL,
         "lang_detect": _LANG_DETECT_ORACLE_SQL,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
         "embed_pairs_exact": """
             WITH scored AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,

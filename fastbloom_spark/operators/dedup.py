@@ -202,6 +202,93 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def winnow_fingerprints_col(
+    text_col: Column | str = "text",
+    *,
+    k: int = 5,
+    window: int = 4,
+    seed: int = 42,
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS scheme): character k-gram ROLLING hashes, then the minimum
+    hash of every ``window`` consecutive k-grams (rightmost-min
+    tie-break), distinct — returned as ``array<long>``.
+
+    Guarantee: any substring match of length >= window + k - 1 between two
+    documents shares at least one fingerprint — the local, position-robust
+    dedup/provenance primitive (vs MinHash's global bag-of-shingles view).
+
+    Arrow-vectorized per batch: one polynomial-hash matrix multiply per
+    document (Rabin-Karp base mixed from ``seed``, wrapping uint64), one
+    ``sliding_window_view`` min for the winnow; no per-character Python.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        base = np.uint64(0x100000001B3) ^ mix64(int(seed))  # odd, seeded
+        powers = np.empty(k, dtype=U64)
+        powers[k - 1] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for i in range(k - 2, -1, -1):
+                powers[i] = powers[i + 1] * base
+        out = []
+        for t in texts:
+            b = np.frombuffer(str(t).encode("utf-8"), dtype=np.uint8)
+            if b.size < k:
+                out.append([])
+                continue
+            grams = np.lib.stride_tricks.sliding_window_view(b, k)
+            with np.errstate(over="ignore"):
+                hashes = mix64(grams.astype(U64) @ powers)
+            if hashes.size < window:
+                sel = np.array([hashes.min()], dtype=U64)
+            else:
+                wins = np.lib.stride_tricks.sliding_window_view(
+                    hashes, window)
+                sel = wins.min(axis=1)
+            out.append(np.unique(sel).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return winnow(c)
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Fingerprint-overlap candidate pairs: documents sharing >=
+    ``min_shared`` winnowing fingerprints (local substring evidence —
+    catches copied PASSAGES that bag-of-shingles similarity dilutes).
+
+    Same scale shape as the other pair generators: explode fingerprints,
+    cap degenerate buckets, equi-join, count shared prints per pair."""
+    fps = df.select(F.col(id_col),
+                    winnow_fingerprints_col(text_col, k=k, window=window,
+                                            seed=seed).alias("__fp")) \
+        .filter(F.size("__fp") > 0) \
+        .select(id_col, F.explode("__fp").alias("fp"))
+    from pyspark.sql.window import Window
+
+    sized = fps.withColumn(
+        "__bucket_n", F.count("*").over(Window.partitionBy("fp")))
+    capped = sized.filter(F.col("__bucket_n") <= max_bucket_size) \
+        .drop("__bucket_n")
+    a = capped.select(F.col(id_col).alias("id_a"), "fp")
+    b = capped.select(F.col(id_col).alias("id_b"), "fp")
+    return a.join(b, "fp").filter(F.col("id_a") < F.col("id_b")) \
+        .groupBy("id_a", "id_b") \
+        .agg(F.count("*").alias("shared_fingerprints")) \
+        .filter(F.col("shared_fingerprints") >= min_shared)
+
+
 def simhash64_col(text_col: Column | str = "text") -> Column:
     """64-bit SimHash over whitespace tokens (Charikar 2002): per-document
     sign of the per-bit sum of token-hash bits.

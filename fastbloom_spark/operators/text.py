@@ -107,6 +107,21 @@ def detect_lang_col(text_col: Column | str = "text",
     return result
 
 
+#: BPE-ish pretokenizer pattern (the GPT-2 shape minus lookaheads, which
+#: RE2 — and therefore the DuckDB oracle — cannot express): a token is an
+#: optionally-space-prefixed letter run, digit run, or symbol run.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_col(text_col: Column | str = "text") -> Column:
+    """Sub-word-style token count via the BPE-ish pretokenizer regex —
+    the cheap standin for a real BPE vocab count when budgeting corpus
+    token totals (whole-stage-codegen'd ``regexp_count``, zero Python;
+    oracle: DuckDB ``len(regexp_extract_all(...))`` with the same RE)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
 def doc_fingerprint_col(text_col: Column | str = "text") -> Column:
     """Normalized-content fingerprint: sha256 of lowercased,
     whitespace-collapsed text — the exact-dedup key that survives

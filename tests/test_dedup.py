@@ -174,3 +174,56 @@ def test_minhash_degenerate_corpus_bounded(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (9001, 9002) in got
     assert len(got) < 100
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: a shared substring of length >= window + k - 1
+    yields at least one shared fingerprint; embedding a passage in a larger
+    document preserves (a subset of) its fingerprints."""
+    from fastbloom_spark.operators.dedup import winnow_fingerprints_col
+
+    passage = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame([
+        (1, passage),
+        (2, "INTRO TEXT " + passage + " AND A LONG TAIL OF OTHER WORDS"),
+        (3, "completely different content with no overlap whatsoever here"),
+        (4, ""),
+    ], ["doc_id", "text"])
+    rows = {r.doc_id: set(r.fp) for r in docs.select(
+        "doc_id", winnow_fingerprints_col("text", k=5, window=4)
+        .alias("fp")).collect()}
+    assert rows[1] & rows[2], "embedded passage lost all fingerprints"
+    assert not (rows[1] & rows[3]) or len(rows[1] & rows[3]) <= 1
+    assert rows[4] == set()
+    # determinism
+    again = {r.doc_id: set(r.fp) for r in docs.select(
+        "doc_id", winnow_fingerprints_col("text", k=5, window=4)
+        .alias("fp")).collect()}
+    assert again == rows
+
+
+def test_winnow_near_dup_pairs_finds_copied_passage(spark):
+    """Passage-level copying (diluted below MinHash thresholds by long
+    unrelated tails) is caught by fingerprint overlap."""
+    import random
+
+    from fastbloom_spark.operators.dedup import winnow_near_dup_pairs
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(400)]
+    passage = " ".join(rng.choice(vocab) for _ in range(25))
+    rows = []
+    # two docs sharing the passage inside long distinct tails
+    for did in (1, 2):
+        tail = " ".join(rng.choice(vocab) for _ in range(400))
+        rows.append((did, tail[: len(tail) // 2] + " " + passage + " "
+                     + tail[len(tail) // 2:]))
+    for i in range(50):
+        rows.append((100 + i,
+                     " ".join(rng.choice(vocab) for _ in range(200))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b): r.shared_fingerprints
+             for r in winnow_near_dup_pairs(df, "doc_id", "text",
+                                            min_shared=3).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] >= 3

@@ -84,3 +84,19 @@ def test_quality_features_run_on_real_table(spark, sf_dir):
         F.count("*").alias("n")).collect()[0]
     assert stats.n == docs.count()
     assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_bpe_token_count(spark):
+    from fastbloom_spark.operators.text import bpe_token_count_col
+
+    df = spark.createDataFrame([
+        ("Hello, world! 42 foo-bar  baz",),
+        ("",),
+        ("   ",),
+        ("abc123def",),
+    ], ["text"])
+    got = [r.n for r in df.select(
+        bpe_token_count_col("text").alias("n")).collect()]
+    # 'Hello' ',' ' world' '!' ' 42' ' foo' '-' 'bar' ' baz' = 9
+    # 'abc' '123' 'def' = 3
+    assert got == [9, 0, 0, 3]
