@@ -387,6 +387,21 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", simhash64_col("text").alias("simhash"))
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over binary payloads — pure-JVM explode +
+    substring (no Python); hash-checked: DuckDB re-synthesizes the same
+    deterministic payloads and slices the same frames (frames compared by
+    sha256 of their lowercase hex)."""
+    from fastbloom_spark.operators.multimodal import (sample_frames,
+                                                      synth_media_table)
+
+    media = synth_media_table(spark, 300, seed=42)
+    frames = sample_frames(media, frame_bytes=32, every_n=2)
+    return frames.select(
+        "media_id", "frame_idx",
+        F.sha2(F.lower(F.hex(F.col("frame"))), 256).alias("frame_sha256"))
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-word-style token counts via the BPE-ish pretokenizer regex
     (corpus token budgeting; hash-checked against the same RE in DuckDB)."""
@@ -724,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pairs_exact": q_embed_pairs_exact,
         "bpe_token_count": q_bpe_token_count,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "frame_sample": q_frame_sample,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "bloom_union_semantics": q_bloom_union_semantics,
@@ -989,6 +1005,21 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS rank
             FROM scored WHERE score >= 0.3
             QUALIFY rank <= 50
+        """,
+        "frame_sample": """
+            WITH media AS (
+              SELECT id AS media_id,
+                     (['image','audio','video'])[(id % 3)::INT + 1] AS kind,
+                     sha256(sha256('m42-' || id) || '0')
+                       || sha256(sha256('m42-' || id) || '1')
+                       || sha256(sha256('m42-' || id) || '2')
+                       || sha256(sha256('m42-' || id) || '3') AS hexpayload
+              FROM range(300) t(id))
+            SELECT media_id, CAST(f AS INT) AS frame_idx,
+                   sha256(substring(hexpayload, f * 64 + 1, 64))
+                       AS frame_sha256
+            FROM media, unnest(range(0, 4, 2)) AS u(f)
+            WHERE kind = 'video'
         """,
         "checkpoint_resume": """
             SELECT CAST(6 AS BIGINT) AS partitions_total,

@@ -110,6 +110,63 @@ def media_features(df: DataFrame, *, feature_dim: int = 16) -> DataFrame:
     return df.mapInArrow(extract, schema)
 
 
+def resize_media(df: DataFrame, *, out_width: int = 4, out_height: int = 4,
+                 codec: Callable | None = None) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode raw RGB bytes.
+
+    The decode step is the stubbed codec boundary (pass
+    ``codec=fake_codec`` — no image libraries in this container); the
+    RESIZE itself is real vectorized numpy (strided index gather), and the
+    batch plumbing (binary in, smaller binary out, metadata updated) is
+    exactly what a real thumbnailing pass uses."""
+    if codec is None:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; "
+            "pass codec=fake_codec for the deterministic test codec")
+    schema = ("media_id long, kind string, width int, height int, "
+              "n_bytes long, payload binary")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for b, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                img = codec(bytes(b), int(w), int(h))  # (h, w, 3) uint8
+                ys = (np.arange(out_height) * img.shape[0]
+                      // out_height)
+                xs = (np.arange(out_width) * img.shape[1] // out_width)
+                small = img[ys[:, None], xs[None, :], :]
+                out_payloads.append(small.tobytes())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "width": out_width,
+                "height": out_height,
+                "n_bytes": [len(p) for p in out_payloads],
+                "payload": out_payloads,
+            })
+
+    return df.mapInPandas(resize, schema)
+
+
+def sample_frames(df: DataFrame, *, frame_bytes: int = 32,
+                  every_n: int = 2) -> DataFrame:
+    """Frame sampling for video-kind payloads — PURE JVM (zero Python):
+    the payload is treated as concatenated fixed-size frames; every
+    ``every_n``-th frame explodes into its own row
+    ``(media_id, frame_idx, frame binary)``. At 100 TB this shape (one
+    narrow explode, no UDF) is what keeps frame extraction scan-bound."""
+    n_frames = (F.length("payload") / F.lit(frame_bytes)).cast("int")
+    idxs = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)),
+                      F.lit(every_n))
+    return df.filter(F.col("kind") == "video") \
+        .select("media_id", F.explode(idxs).alias("frame_idx"),
+                F.col("payload")) \
+        .select("media_id", "frame_idx",
+                F.expr(f"substring(payload, frame_idx * {frame_bytes} + 1, "
+                       f"{frame_bytes})").alias("frame")) \
+        .filter(F.length("frame") > 0)
+
+
 def media_dedup_exact(df: DataFrame) -> DataFrame:
     """Payload-level exact dedup (sha256 of bytes, JVM-side)."""
     return df.select("media_id", sha256_hex(F.col("payload")).alias("payload_sha256")) \

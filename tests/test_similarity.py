@@ -215,3 +215,47 @@ def test_embedding_near_dup_degenerate_corpus_bounded(spark):
     assert (9001, 9002) in got
     # the 400-row constant cluster (79800 pairs if quadratic) was capped
     assert len(got) < 200
+
+
+def test_resize_media_shapes_and_determinism(spark):
+    from fastbloom_spark.operators.multimodal import (fake_codec,
+                                                      resize_media,
+                                                      synth_media_table)
+
+    media = synth_media_table(spark, 30, seed=3)
+    small = resize_media(media, out_width=4, out_height=4, codec=fake_codec)
+    rows = small.collect()
+    assert len(rows) == 30
+    assert all(r.width == 4 and r.height == 4 for r in rows)
+    assert all(r.n_bytes == 4 * 4 * 3 == len(bytes(r.payload))
+               for r in rows)
+    again = {r.media_id: bytes(r.payload) for r in resize_media(
+        media, out_width=4, out_height=4, codec=fake_codec).collect()}
+    assert all(bytes(r.payload) == again[r.media_id] for r in rows)
+    # stub contract: no codec -> NotImplementedError
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        resize_media(media)
+
+
+def test_sample_frames_jvm_plumbing(spark):
+    from fastbloom_spark.operators.multimodal import (sample_frames,
+                                                      synth_media_table)
+
+    media = synth_media_table(spark, 60, seed=3)  # 128-byte payloads
+    frames = sample_frames(media, frame_bytes=32, every_n=2)
+    rows = frames.collect()
+    # only video rows explode; 128/32 = 4 frames, every 2nd -> idx 0, 2
+    vids = {r.media_id for r in media.filter("kind = 'video'").collect()}
+    assert {r.media_id for r in rows} == vids
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+        assert len(bytes(r.frame)) == 32
+    assert all(sorted(v) == [0, 2] for v in by_id.values())
+    # frame content is the right slice of the payload
+    payloads = {r.media_id: bytes(r.payload)
+                for r in media.filter("kind = 'video'").collect()}
+    for r in rows:
+        start = r.frame_idx * 32
+        assert bytes(r.frame) == payloads[r.media_id][start:start + 32]
