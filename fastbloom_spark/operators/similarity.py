@@ -292,6 +292,89 @@ def ivf_topk(
         .select("query_id", id_col, "score", "rank")
 
 
+def write_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    n_centroids: int = 64,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> np.ndarray:
+    """Persist an IVF index: centroids (tiny parquet) + the corpus
+    PARTITIONED BY cell id.
+
+    The partitioning is the scale story: a probe that touches ``nprobe``
+    cells reads exactly those directories (Spark partition pruning — the
+    scan never opens the other ``n_centroids - nprobe`` cells' files).
+    Assignment is computed ONCE here instead of per query batch. Returns
+    the centroid block."""
+    spark = df.sparkSession
+    centroids = kmeans_centroids(df, vec_col, n_centroids, seed=seed)
+    import pandas as pd
+
+    spark.createDataFrame(pd.DataFrame({
+        "cell": np.arange(centroids.shape[0], dtype=np.int32),
+        "centroid": [c.tolist() for c in centroids],
+    })).coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+    df.select(id_col, vec_col,
+              ivf_assign_col(vec_col, centroids).alias("cell")) \
+        .write.mode(mode).partitionBy("cell").parquet(f"{path}/corpus")
+    return centroids
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    nprobe: int = 8,
+) -> DataFrame:
+    """ANN top-k over a persisted IVF index: load the (tiny) centroid
+    block on the driver, pick each query's ``nprobe`` nearest cells, and
+    scan ONLY those cell partitions (``cell IN (...)`` prunes at the
+    parquet-directory level — asserted in tests/test_plan_shapes.py)."""
+    import pandas as pd
+
+    cent_rows = sorted((r.cell, r.centroid) for r in
+                       spark.read.parquet(f"{path}/centroids").collect())
+    centroids = np.array([c for _, c in cent_rows], dtype=np.float64)
+    q = _normalize_rows(np.asarray(queries, dtype=np.float64))
+    dim = q.shape[1]
+    qcells = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    probes = spark.createDataFrame(pd.DataFrame(
+        [(qi, int(c)) for qi in range(q.shape[0]) for c in qcells[qi]],
+        columns=["query_id", "cell"]))
+    touched = sorted({int(c) for row in qcells for c in row})
+
+    corpus = spark.read.parquet(f"{path}/corpus") \
+        .filter(F.col("cell").isin(touched))
+    candidates = corpus.join(F.broadcast(probes), "cell") \
+        .select("query_id", id_col, vec_col)
+
+    q_bc = spark.sparkContext.broadcast(q)
+
+    @F.pandas_udf("double")
+    def score_udf(qid: pd.Series, vecs: pd.Series) -> pd.Series:
+        qq = q_bc.value
+        mat = _normalize_rows(_vectors_from_series(vecs, dim))
+        return pd.Series(np.einsum(
+            "ij,ij->i", qq[qid.to_numpy(np.int64)], mat))
+
+    scored = candidates.withColumn(
+        "score", F.round(score_udf(F.col("query_id"), F.col(vec_col)), 6))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k) \
+        .select("query_id", id_col, "score", "rank")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

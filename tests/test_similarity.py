@@ -259,3 +259,32 @@ def test_sample_frames_jvm_plumbing(spark):
     for r in rows:
         start = r.frame_idx * 32
         assert bytes(r.frame) == payloads[r.media_id][start:start + 32]
+
+
+def test_ivf_index_persistence_and_pruning(spark, tmp_path):
+    """write_ivf_index -> ivf_topk_from_index: results match the in-memory
+    ivf_topk for the same centroids, and the corpus scan PRUNES to the
+    probed cell partitions (PartitionFilters on the parquet scan)."""
+    from fastbloom_spark.operators.similarity import (ivf_topk,
+                                                      ivf_topk_from_index,
+                                                      write_ivf_index)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    centroids = write_ivf_index(emb, "vec_id", "embedding", path,
+                                n_centroids=8, seed=7)
+    q = np.array([r.embedding for r in emb.limit(3).collect()],
+                 dtype=np.float64)
+
+    from_index = ivf_topk_from_index(spark, path, "vec_id", "embedding",
+                                     q, k=5, nprobe=3)
+    in_memory = ivf_topk(emb, "vec_id", "embedding", q, k=5,
+                         nprobe=3, centroids=centroids)
+    got = sorted(tuple(r) for r in from_index.collect())
+    want = sorted(tuple(r) for r in in_memory.collect())
+    assert got == want
+
+    # partition pruning reaches the scan: fewer than all 8 cells read
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan
