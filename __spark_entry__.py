@@ -387,6 +387,28 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", simhash64_col("text").alias("simhash"))
 
 
+def q_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= 0.5 (the ground truth the
+    MinHash-LSH path approximates; hash-checked vs a DuckDB shingle-set
+    oracle). The all-pairs join is the documented exact-baseline cost —
+    the LSH path exists precisely to avoid it at scale."""
+    from fastbloom_spark.operators.dedup import shingles_col
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col("text", 3)).alias("s")) \
+        .filter(F.size("s") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return pairs.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")) \
+        .filter(F.col("jaccard") >= 0.5)
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling over binary payloads — pure-JVM explode +
     substring (no Python); hash-checked: DuckDB re-synthesizes the same
@@ -740,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "winnow_fingerprints": q_winnow_fingerprints,
         "frame_sample": q_frame_sample,
+        "jaccard_pairs_exact": q_jaccard_pairs_exact,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "bloom_union_semantics": q_bloom_union_semantics,
@@ -1005,6 +1028,33 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS rank
             FROM scored WHERE score >= 0.3
             QUALIFY rank <= 50
+        """,
+        "jaccard_pairs_exact": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)), '\s+')
+                     END AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                          WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                               range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                          ELSE [array_to_string(t, ' ')]
+                     END AS s
+              FROM toks
+            ), scored AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / CAST(len(a.s) + len(b.s)
+                                  - len(list_intersect(a.s, b.s)) AS DOUBLE),
+                           6) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(a.s) > 0 AND len(b.s) > 0)
+            SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
         """,
         "frame_sample": """
             WITH media AS (
