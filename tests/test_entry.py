@@ -39,7 +39,11 @@ def _normalize(rows, columns):
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
-            return f"{v:.6g}"
+            # full repr: every query is engineered to be BIT-exact across
+            # engines (decimal-exact sums cast to rounded doubles, rounded
+            # scores before ranking), so the repo-side gate is as strict
+            # as any driver canonicalization can be
+            return repr(v)
         if hasattr(v, "normalize"):  # Decimal
             return str(v)
         return repr(v)
