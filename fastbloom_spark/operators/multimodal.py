@@ -164,7 +164,7 @@ def sample_frames(df: DataFrame, *, frame_bytes: int = 32,
         .select("media_id", "frame_idx",
                 F.expr(f"substring(payload, frame_idx * {frame_bytes} + 1, "
                        f"{frame_bytes})").alias("frame")) \
-        .filter(F.length("frame") > 0)
+        .filter(F.length("frame") == frame_bytes)  # full frames only
 
 
 def media_dedup_exact(df: DataFrame) -> DataFrame:
