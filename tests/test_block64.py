@@ -142,3 +142,27 @@ def test_block64_bytes_roundtrip():
     assert g.config.layout == "block64"
     assert np.array_equal(g.words, f.words)
     assert g.contains_digests(data).all()
+
+
+def test_block64_xxh64_combination_distributed_equals_local(spark, sf_dir):
+    """Orthogonal variants compose: block64 layout x xxh64 digest is
+    bitwise distributed==local with zero FN (each variant rides a separate
+    code path; the combination is what a layout-plumbing bug would break)."""
+    import numpy as np
+
+    from fastbloom_spark import BloomConfig, BloomFilter
+    from fastbloom_spark.kernel import digest64_bytes
+    from fastbloom_spark.operators import bloom_build
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = BloomConfig(num_bits=1 << 14, num_hashes=6, seed=11,
+                      layout="block64", digest="xxh64")
+    dist = bloom_build(docs.repartition(5), "text", cfg)
+
+    local = BloomFilter(cfg)
+    digests = np.array(
+        [digest64_bytes(r.text.encode("utf-8"), "xxh64")
+         for r in docs.select("text").collect()], dtype=np.int64)
+    local.insert_digests(digests)
+    assert np.array_equal(dist.words, local.words)
+    assert local.contains_digests(digests).all()
