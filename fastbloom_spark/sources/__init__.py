@@ -1,4 +1,5 @@
-from .checkpoint import read_checkpoint, resume_bloom_build, write_checkpoint
+from .checkpoint import (read_checkpoint, resume_bloom_agg,
+                         resume_bloom_build, write_checkpoint)
 from .codetable import synth_code_table
 from .sink import (
     read_code_table,
@@ -12,6 +13,7 @@ __all__ = [
     "synth_code_table",
     "write_checkpoint",
     "read_checkpoint",
+    "resume_bloom_agg",
     "resume_bloom_build",
     "write_code_table",
     "read_code_table",

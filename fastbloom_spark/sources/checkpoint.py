@@ -95,6 +95,91 @@ def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def resume_bloom_agg(
+    spark: SparkSession,
+    checkpoint_path: str,
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    cfg: BloomConfig,
+    *,
+    digest_precomputed: bool = False,
+    fanin: int = 16,
+) -> tuple[DataFrame, dict]:
+    """Resume a GROUPED sketch build (``bloom_agg``) from a per-(group,
+    partition) checkpoint written with ``write_checkpoint(partials,
+    group_cols=keys)``.
+
+    Lineage contract: a partition is DONE iff any of its rows appear in
+    the checkpoint (``bloom_partials`` emits one row per group present in
+    the partition; a processed partition emits rows for every group it
+    contained, so presence of the partition id == the whole partition's
+    groups are covered). Done partitions' rows are never re-hashed; the
+    merge unions checkpointed partials with freshly built ones per key —
+    associativity makes the result bitwise-identical to a cold
+    ``bloom_agg``. Returns ``(sketch_rows_df, metrics)``; the rebuilt
+    DataFrame carries the original key columns restored from the packed
+    group_key.
+    """
+    from ..functions.digest import digest64
+    from ..operators.bloom import bloom_merge, bloom_partials
+
+    keys = list(key_cols)
+    seed_signed = (cfg.seed - (1 << 64)) if cfg.seed >= (1 << 63) else cfg.seed
+    ckpt = read_checkpoint(spark, checkpoint_path) \
+        .filter(F.col("sketch_kind") == "bloom") \
+        .filter(F.col("group_key") != "__global__") \
+        .filter((F.col("m") == cfg.num_bits) & (F.col("k") == cfg.num_hashes)
+                & (F.col("layout") == cfg.layout)
+                & (F.col("digest") == cfg.digest)
+                & (F.col("seed") == F.lit(seed_signed).cast("long")))
+    done_rows = ckpt.select("partition_id").distinct().collect()
+    done_ids = {r.partition_id for r in done_rows}
+
+    if digest_precomputed:
+        prepared = df.select(*keys, F.col(value_col).alias("__digest64"))
+    else:
+        prepared = df.select(
+            *keys, digest64(F.col(value_col), cfg.digest).alias("__digest64"))
+    n_parts = prepared.rdd.getNumPartitions()
+    if done_ids - set(range(n_parts)):
+        done_ids = set()  # input layout changed: full rebuild
+
+    if done_ids:
+        todo = (prepared
+                .withColumn("__pid", F.spark_partition_id())
+                .filter(~F.col("__pid").isin([int(i) for i in done_ids]))
+                .drop("__pid"))
+    else:
+        todo = prepared
+
+    new_partials = bloom_partials(todo, "__digest64", cfg, keys)
+    # unpack group_key back into typed key columns (string keys only for
+    # non-string types the caller re-casts; the packed form is the write
+    # contract's \x1f-joined string)
+    key_fields = {f.name: f.dataType.simpleString()
+                  for f in prepared.schema.fields if f.name in keys}
+    split = F.split(F.col("group_key"), "\x1f")
+    ckpt_used = ckpt.filter(
+        F.col("partition_id").isin([int(i) for i in done_ids])
+        if done_ids else F.lit(False))
+    ckpt_keys = ckpt_used.select(
+        *[split.getItem(i).cast(key_fields[k]).alias(k)
+          for i, k in enumerate(keys)],
+        "partition_id", "m", "k", "seed", "layout", "digest",
+        "rows_seen", "sketch")
+    cols = [*keys, "partition_id", "m", "k", "seed", "layout", "digest",
+            "rows_seen", "sketch"]
+    all_partials = new_partials.select(*cols).unionByName(ckpt_keys)
+    merged = bloom_merge(all_partials, keys, fanin=fanin)
+    metrics = {
+        "partitions_total": n_parts,
+        "partitions_resumed": len(done_ids),
+        "partitions_rebuilt": n_parts - len(done_ids),
+    }
+    return merged, metrics
+
+
 def resume_bloom_build(
     spark: SparkSession,
     checkpoint_path: str,

@@ -141,3 +141,34 @@ def test_resume_stale_partition_ids_full_rebuild(spark, docs, tmp_path):
     assert metrics["partitions_rebuilt"] == 6
     assert resumed.rows_seen == direct.rows_seen  # no double count
     assert np.array_equal(resumed.words, direct.words)  # no stale bits
+
+
+def test_resume_grouped_agg_bitwise(spark, docs, tmp_path):
+    """Grouped resume: a checkpoint holding 3 of 6 partitions' per-lang
+    partials resumes into sketch rows bitwise-identical to a cold
+    bloom_agg, key for key."""
+    from fastbloom_spark.operators import bloom_agg
+    from fastbloom_spark.sources import resume_bloom_agg
+
+    prepared = docs.select("lang", digest64("text").alias("__digest64"))
+    partials = bloom_partials(prepared, "__digest64", CFG, ["lang"])
+    path = str(tmp_path / "grp")
+    write_checkpoint(partials.filter(F.col("partition_id") < 3), path,
+                     group_cols=["lang"])
+
+    direct = {r.lang: r for r in
+              bloom_agg(docs, ["lang"], "text", CFG).collect()}
+    resumed_df, metrics = resume_bloom_agg(
+        spark, path, docs, ["lang"], "text", CFG)
+    assert metrics["partitions_resumed"] == 3
+    assert metrics["partitions_rebuilt"] == 3
+    resumed = {r.lang: r for r in resumed_df.collect()}
+    assert set(resumed) == set(direct)
+    for lang, d in direct.items():
+        r = resumed[lang]
+        assert bytes_equal_words(r.sketch, d.sketch), lang
+        assert r.rows_seen == d.rows_seen, lang
+
+
+def bytes_equal_words(a, b) -> bool:
+    return np.array_equal(decode_words(bytes(a)), decode_words(bytes(b)))
