@@ -677,6 +677,38 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     }]))
 
 
+def q_streaming_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed CUSTOM-sketch state over a stream (applyInPandasWithState):
+    one availableNow drain of the documents table into per-lang HLL
+    states; emits (lang, rows_seen) of the final state rows — hash-checked
+    (rows_seen per key is exact; the HLL registers themselves are
+    bound-checked in tests/test_streaming.py)."""
+    import tempfile
+
+    from fastbloom_spark.sketch import HllSketch
+    from fastbloom_spark.streaming import streaming_sketch_agg
+
+    work = tempfile.mkdtemp(prefix="fb_sstate_")
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    agged = streaming_sketch_agg(stream, ["lang"], "text",
+                                 HllSketch(precision=12, seed=42))
+    q = (agged.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    state = spark.read.parquet(out)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("rows_seen"))
+    return state.withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") == 1) \
+        .select("lang", "rows_seen")
+
+
 def q_bloom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical sketch rollup (rows-only: sketch-state output; level
     bitwise-parity vs direct builds asserted in tests). One row scan at the
@@ -771,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_top_event": q_user_top_event,
         "checkpoint_resume": q_checkpoint_resume,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_sketch_state": q_streaming_sketch_state,
         "bloom_rollup": q_bloom_rollup,
         "sketch_sql_estimates": q_sketch_sql_estimates,
     }
@@ -998,6 +1031,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_ROLLUP_CFG[0]} AS BIGINT) AS m,
                    CAST({_ROLLUP_CFG[1]} AS INT) AS k
             FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "streaming_sketch_state": """
+            SELECT lang, count(*) AS rows_seen
+            FROM documents GROUP BY lang
         """,
         "streaming_dedup": """
             SELECT CAST(count(*) * 2 AS BIGINT) AS rows_in,
