@@ -10,6 +10,15 @@ Python driver code::
         FROM blooms, probes
     SELECT kll_quantile(sketch, 0.5) FROM kll_by_segment
 
+plus GROUPED AGGREGATES that re-aggregate persisted state from pure SQL
+(every family merges associatively, so coarser rollups never rescan rows)::
+
+    SELECT bloom_union_agg(sketch) FROM blooms            -- word-wise OR
+    SELECT hll_estimate(hll_union_agg(sketch)) FROM hlls  -- register max
+    -- cms_union_agg (counter add), tdigest_merge_agg, kll_merge_agg
+    -- (note: pandas grouped-agg UDFs cannot mix with built-in aggregates
+    --  in one SELECT — Spark limitation; sum(rows_seen) goes in its own)
+
 All functions are Arrow-batched; per-row work is numpy over the deserialized
 state (states are KB-to-MB; deserialize cost is amortized per distinct
 buffer via a tiny cache).
