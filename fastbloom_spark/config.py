@@ -144,11 +144,17 @@ class BloomConfig:
     seed: int | None = None
     layout: str = "flat"
     digest: str = "sha256"
+    #: True iff the seed was randomly drawn (seed=None). Such a config
+    #: cannot be re-derived after a process restart — operators whose
+    #: state must survive restarts (streaming state stores, checkpoint
+    #: resume across drivers) reject it and require an explicit seed.
+    seed_drawn: bool = False
 
     def __post_init__(self) -> None:
         object.__setattr__(self, "num_bits", round_up_bits(self.num_bits))
         # k = 0 coerced to 1, parity with src/builder.rs:83
         object.__setattr__(self, "num_hashes", max(int(self.num_hashes), 1))
+        object.__setattr__(self, "seed_drawn", self.seed is None)
         if self.seed is None:
             # reference parity: an unseeded filter draws a fresh random key
             # (src/hasher.rs:50-75) so its bit pattern is not globally

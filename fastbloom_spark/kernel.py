@@ -92,11 +92,9 @@ def digest64_bytes(data: bytes, strategy: str = "sha256") -> int:
 
 
 _XXP1 = 0x9E3779B185EBCA87
-# NOTE: the deployed Spark's XXH64 (catalyst expressions.XXH64, verified by
-# bytecode disassembly AND direct JVM invocation) uses PRIME64_2 =
-# 0xC2B2AE3D27D4EB4F — NOT the upstream xxHash spec's 0xC2B2AE3D4F879B79.
-# Parity with the engine's F.xxhash64 is the contract here, so we mirror
-# the engine's constant (asserted against F.xxhash64 in tests/test_kernel).
+# Canonical xxHash PRIME64_2 (Cyan4973 spec; also what Spark's catalyst
+# XXH64 ships — verified by bytecode disassembly and direct JVM
+# invocation, and asserted against F.xxhash64 in tests/test_kernel).
 _XXP2 = 0xC2B2AE3D27D4EB4F
 _XXP3 = 0x165667B19E3779F9
 _XXP4 = 0x85EBCA77C2B2AE63
@@ -109,7 +107,8 @@ def _rotl64(x: int, r: int) -> int:
 
 
 def xxh64_bytes(data: bytes, seed: int = 42) -> int:
-    """Pure-int XXH64 (Cyan4973 spec) over raw bytes, signed-int64 result.
+    """Pure-int XXH64 (Cyan4973 spec, canonical constants) over raw bytes,
+    signed-int64 result.
 
     Seed defaults to 42 = Spark's ``xxhash64`` default, so
     ``xxh64_bytes(s.encode())`` equals ``F.xxhash64(lit(s))`` bit-for-bit

@@ -226,7 +226,9 @@ def winnow_fingerprints_col(
 
     @F.pandas_udf(ArrayType(LongType()))
     def winnow(texts: pd.Series) -> pd.Series:
-        base = np.uint64(0x100000001B3) ^ mix64(int(seed))  # odd, seeded
+        # seeded base, forced ODD: an even base makes powers[i] divisible
+        # by 2^(k-1-i), erasing older chars from the low hash bits
+        base = (np.uint64(0x100000001B3) ^ mix64(int(seed))) | np.uint64(1)
         powers = np.empty(k, dtype=U64)
         powers[k - 1] = np.uint64(1)
         with np.errstate(over="ignore"):

@@ -97,7 +97,11 @@ def media_features(df: DataFrame, *, feature_dim: int = 16) -> DataFrame:
             lens = np.diff(offsets).astype(np.int64)
             seg = np.repeat(np.arange(n, dtype=np.int64), lens)
             nibbles = flat[offsets[0]:offsets[-1]] >> 4
-            counts = np.bincount(seg * feature_dim + nibbles,
+            # nibbles range 0..15; for feature_dim < 16 DROP out-of-range
+            # values (the old per-row bincount[:dim] clipping) — otherwise
+            # they'd bleed into the next row's bins / break the reshape
+            keep = nibbles < feature_dim
+            counts = np.bincount(seg[keep] * feature_dim + nibbles[keep],
                                  minlength=n * feature_dim) \
                 .reshape(n, feature_dim)
             feats = (counts / np.maximum(lens, 1)[:, None]).round(6)

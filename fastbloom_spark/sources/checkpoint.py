@@ -55,9 +55,14 @@ def write_checkpoint(
     layout: str = "flat",
 ) -> None:
     """Persist partial sketch rows (output of ``bloom_partials``) as a
-    resumable Parquet checkpoint with lineage."""
+    resumable Parquet checkpoint with lineage.
+
+    Grouped rows pack their key tuple as ``to_json(struct(keys...))`` —
+    LOSSLESS under NULL key values, separator characters inside keys, and
+    never colliding with the ``__global__`` sentinel (JSON starts with
+    '{'). ``resume_bloom_agg`` inverts it with ``from_json``."""
     keys = list(group_cols)
-    group_key = (F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    group_key = (F.to_json(F.struct(*[F.col(k) for k in keys]))
                  if keys else F.lit("__global__"))
     build_ms = (F.col("build_ms") if "build_ms" in partials.columns
                 else F.lit(None).cast("double"))
@@ -154,20 +159,21 @@ def resume_bloom_agg(
         todo = prepared
 
     new_partials = bloom_partials(todo, "__digest64", cfg, keys)
-    # unpack group_key back into typed key columns (string keys only for
-    # non-string types the caller re-casts; the packed form is the write
-    # contract's \x1f-joined string)
-    key_fields = {f.name: f.dataType.simpleString()
-                  for f in prepared.schema.fields if f.name in keys}
-    split = F.split(F.col("group_key"), "\x1f")
+    # unpack group_key (to_json(struct(keys)) — lossless under NULLs,
+    # separators, and the __global__ sentinel) back into typed key columns
+    from pyspark.sql.types import StructType
+
+    key_schema = StructType(
+        [f for f in prepared.schema.fields if f.name in keys])
     ckpt_used = ckpt.filter(
         F.col("partition_id").isin([int(i) for i in done_ids])
         if done_ids else F.lit(False))
-    ckpt_keys = ckpt_used.select(
-        *[split.getItem(i).cast(key_fields[k]).alias(k)
-          for i, k in enumerate(keys)],
-        "partition_id", "m", "k", "seed", "layout", "digest",
-        "rows_seen", "sketch")
+    parsed = F.from_json(F.col("group_key"), key_schema).alias("__keys")
+    ckpt_keys = ckpt_used.select(parsed, "partition_id", "m", "k", "seed",
+                                 "layout", "digest", "rows_seen", "sketch") \
+        .select(*[F.col(f"__keys.{k}").alias(k) for k in keys],
+                "partition_id", "m", "k", "seed", "layout", "digest",
+                "rows_seen", "sketch")
     cols = [*keys, "partition_id", "m", "k", "seed", "layout", "digest",
             "rows_seen", "sketch"]
     all_partials = new_partials.select(*cols).unionByName(ckpt_keys)

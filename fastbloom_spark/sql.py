@@ -173,7 +173,8 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         for b in sketch:
             w = decode_words(bytes(b), copy=False)
             acc = w.copy() if acc is None else np.bitwise_or(acc, w, out=acc)
-        return encode_words(acc) if acc is not None else b"R"
+        # empty group (empty table aggregate) -> NULL, never an invalid buf
+        return encode_words(acc) if acc is not None else None
 
     @F.pandas_udf("binary")
     def hll_union_agg(sketch: pd.Series) -> bytes:
@@ -189,7 +190,7 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
                 impl = HllSketch(precision=buf[1])
             state = impl.deserialize(buf)
             acc = state if acc is None else impl.merge(acc, state)
-        return impl.serialize(acc) if impl is not None else b""
+        return impl.serialize(acc) if impl is not None else None
 
     @F.pandas_udf("binary")
     def cms_union_agg(sketch: pd.Series) -> bytes:
@@ -203,7 +204,7 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
             if impl is None:
                 impl = impl_b
             acc = counters if acc is None else impl.merge(acc, counters)
-        return impl.serialize(acc) if impl is not None else b""
+        return impl.serialize(acc) if impl is not None else None
 
     @F.pandas_udf("binary")
     def tdigest_merge_agg(sketch: pd.Series) -> bytes:
@@ -220,7 +221,7 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
                 impl = TDigestSketch(delta=struct.unpack_from("<H", buf, 1)[0])
             state = impl.deserialize(buf)
             acc = state if acc is None else impl.merge(acc, state)
-        return impl.serialize(acc) if impl is not None else b""
+        return impl.serialize(acc) if impl is not None else None
 
     @F.pandas_udf("binary")
     def kll_merge_agg(sketch: pd.Series) -> bytes:
@@ -237,7 +238,7 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
                 impl = KllSketch(k=struct.unpack_from("<H", buf, 1)[0])
             state = impl.deserialize(buf)
             acc = state if acc is None else impl.merge(acc, state)
-        return impl.serialize(acc) if impl is not None else b""
+        return impl.serialize(acc) if impl is not None else None
 
     fns = {
         "bloom_union": bloom_union,

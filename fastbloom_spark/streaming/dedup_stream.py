@@ -45,6 +45,11 @@ def streaming_bloom_dedup(
     "memory never grows" invariant, fastbloom src/lib.rs:42, carried into
     streaming). Emits the original id columns + digest64 of first-seen rows.
     """
+    if cfg.seed_drawn:
+        raise ValueError(
+            "streaming state must survive driver restarts, but this config's "
+            "seed was randomly drawn (seed=None) and cannot be re-derived — "
+            "pass an explicit seed")
     ids = list(id_cols)
     out_schema = StructType(
         [f for f in stream.schema.fields if f.name in ids]

@@ -14,7 +14,6 @@ north rule's --py-files contract names.
 import json
 import sys
 
-import numpy as np
 from pyspark.sql import SparkSession
 
 
@@ -26,8 +25,8 @@ def main() -> None:
 
     from fastbloom_spark import BloomConfig, BloomFilter
     from fastbloom_spark.functions import digest64
-    from fastbloom_spark.kernel import decode_words
-    from fastbloom_spark.operators import bloom_merge, bloom_partials
+    from fastbloom_spark.operators import (bloom_merge, bloom_partials,
+                                           sketch_row_to_filter)
     from fastbloom_spark.sources import write_checkpoint
 
     df = spark.read.parquet(inp)
@@ -44,10 +43,10 @@ def main() -> None:
     prepared = df.select(digest64(value_col, cfg.digest).alias("__digest64"))
     partials = bloom_partials(prepared, "__digest64", cfg).persist()
     write_checkpoint(partials, ckpt_out, layout=cfg.layout)
-    row = bloom_merge(partials, []).collect()[0]
+    merged = bloom_merge(partials, []).collect()
     partials.unpersist()
-    bloom = BloomFilter(cfg, decode_words(bytes(row.sketch)),
-                        rows_seen=int(row.rows_seen))
+    # empty input -> empty filter of the configured geometry
+    bloom = sketch_row_to_filter(merged[0]) if merged else BloomFilter(cfg)
     print(json.dumps({
         "rows": bloom.rows_seen, "m": bloom.num_bits, "k": bloom.num_hashes,
         "seed": bloom.seed, "layout": cfg.layout, "digest": cfg.digest,

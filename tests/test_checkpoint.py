@@ -172,3 +172,30 @@ def test_resume_grouped_agg_bitwise(spark, docs, tmp_path):
 
 def bytes_equal_words(a, b) -> bool:
     return np.array_equal(decode_words(bytes(a)), decode_words(bytes(b)))
+
+
+def test_resume_grouped_agg_null_keys_and_sentinel(spark, tmp_path):
+    """The group_key packing is lossless: NULL key values and a key that
+    literally equals '__global__' round-trip into the right groups."""
+    from fastbloom_spark.operators import bloom_agg
+    from fastbloom_spark.sources import resume_bloom_agg
+
+    df = spark.createDataFrame(
+        [(None, "a1"), (None, "a2"), ("__global__", "b1"), ("en", "c1"),
+         (None, "a3"), ("en", "c2"), ("__global__", "b2"), ("de", "d1")],
+        ["lang", "text"]).repartition(4)
+    prepared = df.select("lang", digest64("text").alias("__digest64"))
+    partials = bloom_partials(prepared, "__digest64", CFG, ["lang"])
+    path = str(tmp_path / "nullgrp")
+    write_checkpoint(partials.filter(F.col("partition_id") < 2), path,
+                     group_cols=["lang"])
+
+    direct = {r.lang: r for r in bloom_agg(df, ["lang"], "text",
+                                           CFG).collect()}
+    resumed_df, _ = resume_bloom_agg(spark, path, df, ["lang"], "text", CFG)
+    resumed = {r.lang: r for r in resumed_df.collect()}
+    assert set(resumed) == set(direct) == {None, "__global__", "en", "de"}
+    for lang, d in direct.items():
+        assert np.array_equal(decode_words(bytes(resumed[lang].sketch)),
+                              decode_words(bytes(d.sketch))), lang
+        assert resumed[lang].rows_seen == d.rows_seen, lang

@@ -20,11 +20,9 @@ def plan_of(df) -> str:
 
 
 def formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted") if False else \
-        df._jdf.queryExecution().explainString(
-            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
-            .fromString("formatted"))
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
 
 
 def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):

@@ -262,9 +262,9 @@ def test_bloom_rollup_block64_layout_rides_through(spark, docs):
 
 
 def test_xxh64_digest_engine_parity(spark):
-    """kernel.xxh64_bytes == F.xxhash64 bit-for-bit on the deployed engine
-    (including the engine's own PRIME64_2 constant), across lengths spanning
-    every code path (empty/tail/4-byte/8-byte/32-byte-lane)."""
+    """kernel.xxh64_bytes == F.xxhash64 bit-for-bit on the deployed engine,
+    across lengths spanning every code path (empty/tail/4-byte/8-byte/
+    32-byte-lane)."""
     from fastbloom_spark.kernel import xxh64_bytes
 
     vals = [("x" * n) for n in range(0, 70)] + \

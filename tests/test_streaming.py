@@ -180,3 +180,18 @@ def test_streaming_sketch_agg_matches_batch(spark, tmp_path):
         est_stream = impl.estimate(impl.deserialize(bytes(s.sketch)))
         est_batch = impl.estimate(impl.deserialize(bytes(b.sketch)))
         assert est_stream == est_batch, lang  # identical registers
+
+
+def test_streaming_rejects_randomly_seeded_config(spark, tmp_path):
+    """A randomly-drawn seed cannot be re-derived after a driver restart,
+    so streaming state built with it would silently re-emit everything —
+    the operator must refuse it up front."""
+    import pytest as _pytest
+
+    cfg = BloomConfig.with_num_bits(1 << 12, num_hashes=4)  # seed drawn
+    assert cfg.seed_drawn
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    with _pytest.raises(ValueError, match="explicit seed"):
+        streaming_bloom_dedup(stream, "payload", cfg)
