@@ -86,6 +86,21 @@ def minhash_signature_col(shingle_col: str, num_perm: int = 128,
     return sign(F.col(shingle_col))
 
 
+def minhash_jaccard_est_col(sig_a: Column | str, sig_b: Column | str) -> Column:
+    """Jaccard ESTIMATE from two MinHash signatures: the fraction of
+    agreeing slots (E[match] = J for min-wise independent permutations;
+    stderr ~ sqrt(J(1-J)/num_perm)). Pure Catalyst — ``zip_with`` +
+    ``aggregate`` — so signature tables compare entirely JVM-side with no
+    shingle data in sight (the sketch-only dedup path when raw text is
+    gone or too big to rescan)."""
+    a = F.col(sig_a) if isinstance(sig_a, str) else sig_a
+    b = F.col(sig_b) if isinstance(sig_b, str) else sig_b
+    matches = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    return matches.cast("double") / F.size(a).cast("double")
+
+
 def band_hashes_col(sig_col: str, bands: int, rows: int,
                     seed: int = 7) -> Column:
     """Fold each signature into ``bands`` band-hashes (``array<long>``):

@@ -192,6 +192,27 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
             acc = state if acc is None else impl.merge(acc, state)
         return impl.serialize(acc) if impl is not None else None
 
+    @F.pandas_udf(DoubleType())
+    def hll_intersect_estimate(sketch_a: pd.Series,
+                               sketch_b: pd.Series) -> pd.Series:
+        """Inclusion-exclusion intersection estimate from two HLL states:
+        |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B). Error grows with the
+        disjoint mass (each term carries ~1.04/sqrt(2^p) relative error),
+        so it is a coarse overlap signal, not a precise count — clamped at
+        zero."""
+        from .sketch.hll import HllSketch
+
+        def inter(ba: bytes, bb: bytes) -> float:
+            impl = HllSketch(precision=ba[1])
+            a = impl.deserialize(ba)
+            b = impl.deserialize(bb)
+            est = (impl.estimate(a) + impl.estimate(b)
+                   - impl.estimate(impl.merge(a, b)))
+            return max(est, 0.0)
+
+        return pd.Series([inter(bytes(a), bytes(b))
+                          for a, b in zip(sketch_a, sketch_b)])
+
     @F.pandas_udf("binary")
     def cms_union_agg(sketch: pd.Series) -> bytes:
         """SQL AGGREGATE: merge count-min states (counter-wise add)."""
@@ -250,6 +271,7 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         "bloom_probe": bloom_probe,
         "bloom_union_agg": bloom_union_agg,
         "hll_union_agg": hll_union_agg,
+        "hll_intersect_estimate": hll_intersect_estimate,
         "cms_union_agg": cms_union_agg,
         "tdigest_merge_agg": tdigest_merge_agg,
         "kll_merge_agg": kll_merge_agg,

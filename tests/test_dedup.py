@@ -227,3 +227,34 @@ def test_winnow_near_dup_pairs_finds_copied_passage(spark):
                                             min_shared=3).collect()}
     assert (1, 2) in pairs
     assert pairs[(1, 2)] >= 3
+
+
+def test_minhash_jaccard_estimate_tracks_exact(spark, near_dup_docs):
+    """Signature-level Jaccard estimate (fraction of agreeing MinHash
+    slots, pure Catalyst) tracks exact shingle Jaccard within the
+    sqrt(J(1-J)/num_perm) band for planted near-dups."""
+    from fastbloom_spark.operators.dedup import (minhash_jaccard_est_col,
+                                                 minhash_signature_col)
+
+    sigs = near_dup_docs.select(
+        "doc_id", shingles_col("text", 3).alias("__sh")) \
+        .select("doc_id",
+                minhash_signature_col("__sh", 128, seed=1).alias("sig"))
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    planted = [(100 + i, 200 + i) for i in range(40)]
+    pairs = spark.createDataFrame(planted, ["id_a", "id_b"]) \
+        .join(a, "id_a").join(b, "id_b") \
+        .select("id_a", "id_b",
+                minhash_jaccard_est_col("sa", "sb").alias("est"))
+    exact = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(
+        spark.createDataFrame(planted, ["id_a", "id_b"]),
+        near_dup_docs, "doc_id", "text", threshold=0.0).collect()}
+    errs = []
+    for r in pairs.collect():
+        true_j = exact[(r.id_a, r.id_b)]
+        errs.append(abs(r.est - true_j))
+    import numpy as np
+    # 128 perms: sigma <= 0.5/sqrt(128) ~ 0.044; mean error well inside
+    assert np.mean(errs) < 0.06, np.mean(errs)
+    assert np.max(errs) < 0.20, np.max(errs)

@@ -19,8 +19,9 @@ def _register(spark):
     names = register_sketch_sql(spark)
     assert names == ["bloom_intersect", "bloom_probe", "bloom_union",
                      "bloom_union_agg", "cms_estimate", "cms_union_agg",
-                     "hll_estimate", "hll_union_agg", "kll_merge_agg",
-                     "kll_quantile", "tdigest_merge_agg", "tdigest_quantile"]
+                     "hll_estimate", "hll_intersect_estimate",
+                     "hll_union_agg", "kll_merge_agg", "kll_quantile",
+                     "tdigest_merge_agg", "tdigest_quantile"]
 
 
 def test_sql_hll_estimate(spark, sf_dir):
@@ -296,3 +297,21 @@ def test_sql_cms_tdigest_kll_merge_aggs(spark, sf_dir):
         """).collect()[0].med
         rank = np.searchsorted(vals, med) / len(vals)
         assert abs(rank - 0.5) < 0.05, (agg_fn, rank)
+
+
+def test_sql_hll_intersect_estimate(spark):
+    """Inclusion-exclusion overlap: two user sets with a planted 50%
+    overlap estimate within HLL tolerance of the true intersection."""
+    a = spark.range(0, 10_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    b = spark.range(5_000, 15_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    impl = HllSketch(precision=14, seed=42)
+    sketch_agg(a, [], "v", impl).createOrReplaceTempView("ha")
+    sketch_agg(b, [], "v", impl).createOrReplaceTempView("hb")
+    est = spark.sql("""
+        SELECT hll_intersect_estimate(ha.sketch, hb.sketch) AS i
+        FROM ha CROSS JOIN hb
+    """).collect()[0].i
+    # truth 5000; three estimate terms at p=14 (~0.8% each) compound
+    assert abs(est - 5000) / 5000 < 0.15, est
