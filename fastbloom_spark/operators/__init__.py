@@ -29,16 +29,21 @@ __all__ = [
 from .dedup import (
     minhash_candidate_pairs,
     minhash_dedup,
+    minhash_jaccard_est_col,
     minhash_signature_col,
     ngram_jaccard_pairs,
     shingles_col,
     simhash64_col,
     simhash_near_dup_pairs,
+    winnow_fingerprints_col,
+    winnow_near_dup_pairs,
 )
 from .multimodal import (
     fake_codec,
     media_dedup_exact,
     media_features,
+    resize_media,
+    sample_frames,
     synth_media_table,
 )
 from .similarity import (
@@ -46,9 +51,12 @@ from .similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
     ivf_topk,
+    ivf_topk_from_index,
     kmeans_centroids,
+    write_ivf_index,
 )
 from .text import (
+    bpe_token_count_col,
     dedup_exact,
     detect_lang_col,
     doc_fingerprint_col,
@@ -57,6 +65,9 @@ from .text import (
 )
 
 __all__ += [
+    "bpe_token_count_col", "ivf_topk_from_index", "minhash_jaccard_est_col",
+    "resize_media", "sample_frames", "winnow_fingerprints_col",
+    "winnow_near_dup_pairs", "write_ivf_index",
     "minhash_candidate_pairs", "minhash_dedup", "minhash_signature_col",
     "ngram_jaccard_pairs", "shingles_col", "simhash64_col",
     "simhash_near_dup_pairs", "fake_codec", "media_dedup_exact",
