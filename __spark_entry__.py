@@ -8,8 +8,11 @@ verified against error bounds in tests/ instead — see SURVEY.md §5).
 
 Column-name discipline: every computed column is aliased identically in the
 Spark query and the oracle SQL so the driver's sorted value-hash compare
-aligns. Money sums go through decimal(18,2) on BOTH sides so results are
-exact and order-independent (float sums would differ in ulps across engines).
+aligns. Money sums ACCUMULATE in decimal on both sides (exact,
+partition-order-independent) but EMIT round(CAST(... AS DOUBLE), n) —
+decimal rendering differs across client libraries while rounded doubles are
+bit-identical; scores are rounded BEFORE rank windows so tie-break domains
+match. Every oracle here is verified value-for-value bit-exact at sf0.01.
 """
 
 from __future__ import annotations

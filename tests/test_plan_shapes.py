@@ -9,7 +9,6 @@ degenerates into a cartesian product.
 from __future__ import annotations
 
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 from fastbloom_spark import BloomConfig
