@@ -113,3 +113,26 @@ def test_spark_submit_streaming_dedup_job(tmp_path):
                      if l.startswith("{")][-1])["emitted_total"]
     assert n1 > 0
     assert n2 == n1  # replay emitted nothing
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None,
+                    reason="spark-submit not on PATH")
+def test_spark_submit_build_block64_xxh64(tmp_path):
+    """The build job's layout/digest arguments reach the filter config."""
+    zip_path = make_pyfiles_zip(str(tmp_path / "fastbloom_spark.zip"))
+    ckpt = str(tmp_path / "ckpt_blk")
+    env = dict(os.environ, PYTHONPATH="")
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "build_bloom.py"),
+         "/root/testdata/sf0.001/documents.parquet", "text",
+         "0.01", "42", ckpt, "block64", "xxh64"],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["rows"] == 500
+    assert out["layout"] == "block64" and out["digest"] == "xxh64"

@@ -195,3 +195,31 @@ def test_streaming_rejects_randomly_seeded_config(spark, tmp_path):
     stream = spark.readStream.schema(SCHEMA).parquet(str(src))
     with _pytest.raises(ValueError, match="explicit seed"):
         streaming_bloom_dedup(stream, "payload", cfg)
+
+
+def test_streaming_sketch_agg_cms(spark, tmp_path):
+    """streaming_sketch_agg is impl-agnostic: CMS counters accumulated in
+    streaming state equal the batch build exactly (counter add is exact)."""
+    from fastbloom_spark.operators.sketch_agg import sketch_agg
+    from fastbloom_spark.sketch import CountMinSketch
+    from fastbloom_spark.streaming import streaming_sketch_agg
+
+    events = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet") \
+        .select("event_type", F.col("event_type").alias("val"))
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    events.coalesce(2).write.mode("overwrite").parquet(src)
+
+    impl = CountMinSketch(depth=5, log2_width=12, seed=42)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agged = streaming_sketch_agg(stream, ["event_type"], "val", impl)
+    q = (agged.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r.event_type: bytes(r.sketch)
+           for r in spark.read.parquet(out).collect()}
+    want = {r.event_type: bytes(r.sketch) for r in
+            sketch_agg(events, ["event_type"], "val", impl).collect()}
+    assert got == want  # byte-identical counter states
