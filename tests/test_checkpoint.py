@@ -199,3 +199,31 @@ def test_resume_grouped_agg_null_keys_and_sentinel(spark, tmp_path):
         assert np.array_equal(decode_words(bytes(resumed[lang].sketch)),
                               decode_words(bytes(d.sketch))), lang
         assert resumed[lang].rows_seen == d.rows_seen, lang
+
+
+def test_resume_grouped_block64_xxh64_combo(spark, docs, tmp_path):
+    """Grouped resume composes with both variant axes at once: block64
+    layout x xxh64 digest checkpoints resume bitwise."""
+    from fastbloom_spark.operators import bloom_agg
+    from fastbloom_spark.sources import resume_bloom_agg
+
+    cfg = BloomConfig(num_bits=1 << 13, num_hashes=6, seed=5,
+                      layout="block64", digest="xxh64")
+    prepared = docs.select(
+        "lang", digest64("text", "xxh64").alias("__digest64"))
+    partials = bloom_partials(prepared, "__digest64", cfg, ["lang"])
+    path = str(tmp_path / "combo")
+    write_checkpoint(partials.filter(F.col("partition_id") < 3), path,
+                     group_cols=["lang"], layout="block64")
+
+    direct = {r.lang: r for r in
+              bloom_agg(docs, ["lang"], "text", cfg).collect()}
+    resumed_df, metrics = resume_bloom_agg(
+        spark, path, docs, ["lang"], "text", cfg)
+    assert metrics["partitions_resumed"] == 3
+    resumed = {r.lang: r for r in resumed_df.collect()}
+    for lang, d in direct.items():
+        assert np.array_equal(decode_words(bytes(resumed[lang].sketch)),
+                              decode_words(bytes(d.sketch))), lang
+        assert resumed[lang].layout == "block64"
+        assert resumed[lang].digest == "xxh64"
