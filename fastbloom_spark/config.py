@@ -42,6 +42,33 @@ def _round_half_away(x: float) -> int:
     return int(math.floor(x + 0.5))
 
 
+def fold_seed(s: int) -> int:
+    """Fold an arbitrary-width integer seed into the 64-bit kernel-seed
+    domain. The reference seeds its hasher from a u128 big-endian key
+    (fastbloom src/builder.rs:42-45, src/hasher.rs:31-37); accepting any
+    width here removes that asterisk while keeping one 64-bit word riding
+    through sketch rows / checkpoints (schema unchanged — re-supplying the
+    same wide seed folds to the same stored value, so resume still matches).
+
+    Low 64 bits pass through unchanged (pure 64-bit seeds keep their
+    historical bit patterns and existing checkpoints stay valid); each
+    higher 64-bit word folds in through the splitmix64 finalizer, so u128
+    seeds differing only in the high word produce different filters.
+    Negative ints are the two's-complement view of a 64-bit seed (the
+    Parquet round-trip convention)."""
+    if s < 0:
+        return s & U64_MASK
+    acc = s & U64_MASK
+    rest = s >> 64
+    if rest:
+        from .kernel import mix64
+
+        while rest:
+            acc = int(mix64(acc ^ (rest & U64_MASK)))
+            rest >>= 64
+    return acc
+
+
 def optimal_hashes(num_bits: int, num_items: int) -> int:
     """Optimal number of hash probes k* for geometry (m, n).
 
@@ -165,12 +192,13 @@ class BloomConfig:
 
             object.__setattr__(
                 self, "seed", int.from_bytes(_os.urandom(8), "little"))
-        object.__setattr__(self, "seed", int(self.seed) & U64_MASK)
+        object.__setattr__(self, "seed", fold_seed(int(self.seed)))
         if self.layout not in ("flat", "block64"):
             raise ValueError(f"unknown layout {self.layout!r}")
         if self.layout == "block64" and self.num_hashes > 32:
             raise ValueError("block64 layout supports k <= 32")
-        if self.digest not in ("sha256", "xxh64"):
+        if (self.digest not in ("sha256", "xxh64")
+                and not self.digest.startswith("custom:")):
             raise ValueError(f"unknown digest strategy {self.digest!r}")
 
     # -- builder-path constructors -------------------------------------------------

@@ -1,3 +1,3 @@
-from .digest import digest64, sha256_hex
+from .digest import digest64, register_digest, sha256_hex
 
-__all__ = ["digest64", "sha256_hex"]
+__all__ = ["digest64", "register_digest", "sha256_hex"]

@@ -16,6 +16,7 @@ kernel's :func:`fastbloom_spark.kernel.digest64_bytes` is tested.
 from __future__ import annotations
 
 from decimal import Decimal
+from typing import Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -23,6 +24,30 @@ from pyspark.sql import functions as F
 # 2^63 / 2^64 as Decimal literals (too large for a Java long literal)
 _TWO63 = Decimal(9223372036854775808)
 _TWO64 = Decimal(18446744073709551616)
+
+#: user-registered digest strategies: name -> (Column -> LongType Column)
+_CUSTOM_DIGESTS: dict[str, Callable[[Column], Column]] = {}
+
+
+def register_digest(name: str, fn: Callable[[Column], Column]) -> str:
+    """Register a user-supplied digest strategy — the fully general
+    ``Builder::hasher`` surface (reference accepts any ``BuildHasher``,
+    fastbloom src/builder.rs:60-65). ``fn`` maps a value Column to a
+    64-bit-digest Column using any JVM expression (``F.crc32``,
+    ``F.hash``, a composed sha512 slice, ...).
+
+    Returns the strategy string ``"custom:<name>"`` to pass as
+    ``BloomConfig(digest=...)`` / ``digest64(col, ...)``. The string rides
+    through sketch rows, checkpoints, and SQL metadata, so merge/resume
+    compatibility is enforced by the same digest-equality checks as the
+    built-ins. Driver-side registry: register before building the plan
+    (Column expressions are composed on the driver; executors never
+    resolve the name). No local ``digest64_bytes`` path exists for custom
+    strategies — local filters take precomputed digests."""
+    if not name or ":" in name:
+        raise ValueError("digest name must be non-empty and ':'-free")
+    _CUSTOM_DIGESTS[name] = fn
+    return f"custom:{name}"
 
 
 def sha256_hex(col: Column | str) -> Column:
@@ -51,6 +76,13 @@ def digest64(col: Column | str, strategy: str = "sha256") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     if strategy == "xxh64":
         return F.xxhash64(c.cast("string"))
+    if strategy.startswith("custom:"):
+        name = strategy[len("custom:"):]
+        if name not in _CUSTOM_DIGESTS:
+            raise ValueError(
+                f"digest strategy {strategy!r} not registered on this "
+                "driver — call register_digest(name, fn) first")
+        return _CUSTOM_DIGESTS[name](c).cast("long")
     if strategy != "sha256":
         raise ValueError(f"unknown digest strategy {strategy!r}")
     hex16 = F.substring(sha256_hex(c), 1, 16)

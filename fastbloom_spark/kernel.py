@@ -87,6 +87,11 @@ def digest64_bytes(data: bytes, strategy: str = "sha256") -> int:
     """
     if strategy == "xxh64":
         return xxh64_bytes(data)
+    if strategy != "sha256":
+        # "custom:<name>" digests are Spark Column expressions (JVM-side
+        # only) — locally, feed precomputed digests via insert_digests /
+        # contains_digests instead of raw values.
+        raise ValueError(f"no local implementation for digest {strategy!r}")
     u = int.from_bytes(hashlib.sha256(data).digest()[:8], "big")
     return u - (1 << 64) if u >= (1 << 63) else u
 

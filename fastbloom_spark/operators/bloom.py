@@ -277,6 +277,7 @@ def bloom_agg(
     fanin: int = 16,
     strategy: str = "auto",
     distinct_keys_hint: int | None = None,
+    salt: int = 1,
 ) -> DataFrame:
     """Grouped Bloom aggregation: one sketch row per distinct key tuple.
 
@@ -299,6 +300,14 @@ def bloom_agg(
     * ``"auto"`` — shuffle when estimated partial inflation
       (min(distinct_keys, P) * P * m/8) exceeds 1 GiB, else partial. Pass
       ``distinct_keys_hint`` to avoid a countDistinct job.
+
+    ``salt`` (shuffle strategy only): with ``salt > 1`` the repartition key
+    becomes ``(keys..., pmod(xxhash64(digest), salt))``, so a hot key's rows
+    split across up to ``salt`` tasks — no single-task straggler when one
+    key owns most of the corpus. Each task builds sub-sketches; a two-phase
+    OR-merge per key reassembles them. OR is associative/commutative, so
+    the result is BITWISE-identical to unsalted (tested); the extra cost is
+    ≤ salt sketch rows (m/8 B each) per key through the merge.
     """
     keys = list(key_cols)
     if digest_precomputed and isinstance(value_col, str):
@@ -321,16 +330,35 @@ def bloom_agg(
         raise ValueError(f"unknown strategy {strategy!r}")
 
     if strategy == "shuffle" and keys:
-        return _bloom_agg_shuffled(prepared, keys, cfg)
+        return _bloom_agg_shuffled(prepared, keys, cfg, fanin=fanin,
+                                   salt=salt)
     partials = bloom_partials(prepared, "__digest64", cfg, keys)
     return bloom_merge(partials, keys, fanin=fanin)
 
 
 def _bloom_agg_shuffled(
     prepared: DataFrame, keys: list[str], cfg: BloomConfig,
+    *, fanin: int = 16, salt: int = 1,
 ) -> DataFrame:
     """One-shuffle grouped build: repartition (key, digest) rows by key,
-    then fold each co-located group into exactly one sketch."""
+    then fold each co-located group into exactly one sketch.
+
+    ``salt > 1`` repartitions by (keys..., pmod(xxhash64(digest), salt))
+    instead — a skew-proof variant that splits hot keys over up to ``salt``
+    tasks and OR-merges the per-task sub-sketches per key (bitwise-equal
+    output; see :func:`bloom_agg`)."""
+    if salt > 1:
+        salt_col = F.pmod(F.xxhash64(F.col("__digest64")),
+                          F.lit(salt)).cast("int")
+        # explicit numPartitions: AQE coalesces column-only repartitions of
+        # small exchanges back into few tasks, silently undoing the salt —
+        # the caller asked for the spread, so pin it
+        n_shuffle = int(prepared.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        salted = prepared.repartition(
+            n_shuffle, *[F.col(c) for c in keys], salt_col)
+        partials = bloom_partials(salted, "__digest64", cfg, keys)
+        return bloom_merge(partials, keys, fanin=fanin)
     key_schema = _key_schema(prepared, keys)
     schema = key_schema + ", " + SKETCH_FIELDS
     m, k, seed = cfg.num_bits, cfg.num_hashes, cfg.seed
@@ -434,6 +462,12 @@ def bloom_build(
     the distributed mirror of the reference's ``.items(iter)`` builder needing
     ``iter.len()`` (``src/builder.rs:120-128``). Only the final merged sketch
     row (m/8 bytes) is collected.
+
+    Seed convention: operator entry points default to a FIXED seed
+    (deterministic-by-default — distributed jobs are rerun, diffed, and
+    resumed, so cross-run bit-reproducibility is the safe default);
+    reference-style random seeding (``src/hasher.rs:50-75``) is opt-in by
+    constructing ``BloomConfig(seed=None)`` explicitly.
     """
     n_hint = expected_items
     if cfg is None:
@@ -566,6 +600,10 @@ def bloom_semi_join(
     m/8-byte bit array and drops non-matching rows before they reach the join
     shuffle. Zero false negatives (the Bloom contract) make it semantically
     transparent.
+
+    Seed defaults to a fixed value (deterministic-by-default, like every
+    operator entry point); build with ``BloomConfig(seed=None)`` +
+    ``bloom_contains_col`` directly if random seeding is required.
     """
     right_on = right_on or left_on
     spark = left.sparkSession

@@ -194,6 +194,57 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
 
 
+def connected_min_ids(
+    pairs: DataFrame,
+    *,
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Resolve similarity edges ``(id_a, id_b)`` into connected components:
+    returns ``(id, label)`` where ``label`` is the MINIMUM id reachable in
+    the component — computed to FIXPOINT, so transitive chains A~B~C~D all
+    label A even when no direct (A, D) edge exists.
+
+    Min-label propagation with pointer jumping (each round a vertex adopts
+    the smallest of: its label, its neighbors' labels, its label's label),
+    so convergence takes O(log diameter) rounds — ``max_rounds=25`` covers
+    components of diameter ~2^25. Rounds run over the EDGE set only (dup
+    pairs, a tiny fraction of the corpus at any scale); each is one
+    edge⋈label shuffle + one label⋈label pointer jump, early-exiting on a
+    converged round."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.union(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))).persist()
+    labels = edges.select(F.col("src").alias("id")).distinct() \
+        .withColumn("label", F.col("id")).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        lab_src = labels.select(F.col("id").alias("src"),
+                                F.col("label").alias("src_label"))
+        neigh_min = edges.join(lab_src, "src") \
+            .groupBy(F.col("dst").alias("id")) \
+            .agg(F.min("src_label").alias("neigh_min"))
+        # pointer jump: label(label) — collapses long chains logarithmically
+        lab_jump = labels.select(F.col("id").alias("label"),
+                                 F.col("label").alias("jump_min"))
+        new_labels = (labels
+                      .join(neigh_min, "id", "left")
+                      .join(lab_jump, "label", "left")
+                      .select("id", F.least(
+                          F.col("label"),
+                          F.coalesce("neigh_min", F.col("label")),
+                          F.coalesce("jump_min", F.col("label")))
+                          .alias("label"))
+                      # truncate lineage per round (the frame is edge-sized)
+                      .localCheckpoint(eager=True))
+        changed = new_labels.join(
+            labels.select("id", F.col("label").alias("old_label")), "id") \
+            .filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -204,16 +255,23 @@ def minhash_dedup(
     num_perm: int = 128,
     bands: int = 32,
     seed: int = 42,
+    max_rounds: int = 25,
 ) -> DataFrame:
     """Full near-dup dedup: LSH candidates → exact Jaccard >= threshold →
-    connected survivors keep the min id (single-link via min-id propagation
-    on verified pairs, one round — sufficient for pairwise clusters; chains
-    resolve over repeated application)."""
+    single-link clusters via :func:`connected_min_ids` (min-id propagation
+    to FIXPOINT) → exactly ONE survivor per cluster (the minimum id).
+
+    Transitive chains resolve correctly: A~B~C~D with only adjacent pairs
+    verified keeps A alone, even though (A, C)/(A, D) never shared a band
+    bucket (tested in tests/test_dedup.py)."""
     pairs = ngram_jaccard_pairs(
         minhash_candidate_pairs(df, id_col, text_col, shingle_n=shingle_n,
                                 num_perm=num_perm, bands=bands, seed=seed),
         df, id_col, text_col, shingle_n=shingle_n, threshold=threshold)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    comp = connected_min_ids(pairs.select("id_a", "id_b"),
+                             max_rounds=max_rounds)
+    losers = comp.filter(F.col("label") != F.col("id")) \
+        .select(F.col("id").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")
 
 

@@ -192,6 +192,7 @@ def kmeans_centroids(
     n_centroids: int,
     *,
     sample_rows: int = 20_000,
+    sample_fraction: float = 0.05,
     iters: int = 12,
     seed: int = 42,
 ) -> np.ndarray:
@@ -199,17 +200,23 @@ def kmeans_centroids(
     numpy. At 100 TB the sample (not the corpus) bounds driver work — a
     20k-row sample trains a 64-256-way quantizer fine; assignment runs
     distributed."""
-    # Seeded RANDOM sample — .limit() would take the first partitions only,
-    # biasing the quantizer to one shard of the corpus and silently
-    # degrading IVF recall at scale. Fraction is estimated from a cheap
-    # count; the cap keeps driver memory bounded regardless.
-    n_total = df.count()
-    if n_total > sample_rows:
-        frac = min(1.0, (sample_rows * 1.2) / n_total)
-        sample = df.select(vec_col).sample(fraction=frac, seed=seed) \
-            .limit(sample_rows).toPandas()
-    else:
-        sample = df.select(vec_col).toPandas()
+    # Seeded RANDOM sample — .limit() alone would take the first partitions
+    # only, biasing the quantizer to one shard of the corpus and silently
+    # degrading IVF recall at scale. No up-front count: try a fixed small
+    # fraction first (on a big corpus it fills sample_rows in one pass and
+    # the count job never runs); fall back to counting only when the sample
+    # comes back short (small corpora, where the count is cheap).
+    sample = df.select(vec_col) \
+        .sample(fraction=sample_fraction, seed=seed) \
+        .limit(sample_rows).toPandas()
+    if len(sample) < sample_rows:
+        n_total = df.count()
+        if n_total > sample_rows:
+            frac = min(1.0, (sample_rows * 1.2) / n_total)
+            sample = df.select(vec_col).sample(fraction=frac, seed=seed) \
+                .limit(sample_rows).toPandas()
+        else:
+            sample = df.select(vec_col).toPandas()
     dim = len(sample[vec_col].iloc[0])
     mat = _normalize_rows(_vectors_from_series(sample[vec_col], dim))
     rng = np.random.default_rng(seed)

@@ -144,6 +144,7 @@ def sketch_agg(
     fanin: int = 16,
     strategy: str = "auto",
     distinct_keys_hint: int | None = None,
+    salt: int = 1,
 ) -> DataFrame:
     """Grouped sketch aggregation → (keys..., rows_seen, sketch binary).
 
@@ -153,6 +154,15 @@ def sketch_agg(
     exactly one state per key) for high-cardinality keys; ``"auto"`` decides
     by estimated partial-state inflation vs 1 GiB (state size sampled from
     an empty sketch).
+
+    ``salt > 1`` (shuffle strategy only) splits each hot key's rows across
+    up to ``salt`` tasks (repartition on (keys..., pmod(xxhash64(value),
+    salt))) and merges the sub-states per key — no single-task straggler
+    under key skew. Identical output for exactly-mergeable families (HLL
+    register-max, CMS counter-add, Bloom OR); t-digest/KLL merge within
+    their published rank-error bounds but not bit-identically to a
+    single-task fold (merge order differs — the same caveat as any
+    distributed build of those sketches).
     """
     keys = list(key_cols)
     if strategy == "auto" and keys:
@@ -170,15 +180,32 @@ def sketch_agg(
 
     if strategy == "shuffle" and keys:
         prepared = _prepare(df, value_col, impl, keys, digest_precomputed)
-        return _sketch_agg_shuffled(prepared, keys, impl)
+        return _sketch_agg_shuffled(prepared, keys, impl, fanin=fanin,
+                                    salt=salt)
     partials = sketch_partials(df, value_col, impl, key_cols,
                                digest_precomputed=digest_precomputed)
     return sketch_merge(partials, impl, key_cols, fanin=fanin)
 
 
-def _sketch_agg_shuffled(prepared: DataFrame, keys: list[str], impl) -> DataFrame:
+def _sketch_agg_shuffled(prepared: DataFrame, keys: list[str], impl,
+                         *, fanin: int = 16, salt: int = 1) -> DataFrame:
     """One-shuffle grouped build: co-locate each key's rows, fold to exactly
-    one state per key."""
+    one state per key. ``salt > 1`` splits hot keys over up to ``salt``
+    tasks and merges sub-states per key (see :func:`sketch_agg`)."""
+    if salt > 1:
+        salt_col = F.pmod(F.xxhash64(F.col("__value")),
+                          F.lit(salt)).cast("int")
+        # explicit numPartitions: AQE would coalesce a small column-only
+        # repartition back into few tasks, undoing the salt
+        n_shuffle = int(prepared.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        salted = prepared.repartition(n_shuffle,
+                                      *[F.col(c) for c in keys], salt_col)
+        # per-(key, partition) states on the salted layout == sub-sketches
+        # (__value is already prepared: digest_precomputed avoids re-hashing)
+        partials = sketch_partials(salted, "__value", impl, keys,
+                                   digest_precomputed=True)
+        return sketch_merge(partials, impl, keys, fanin=fanin)
     key_schema = _key_schema(prepared, keys)
     schema = key_schema + ", rows_seen long, sketch binary"
 

@@ -129,13 +129,18 @@ class KllSketch:
         return v[order], w[order]
 
     def quantile(self, state: KllState, q: float) -> float:
+        return float(self.quantile_many(state, np.array([q]))[0])
+
+    def quantile_many(self, state: KllState, qs: np.ndarray) -> np.ndarray:
+        """Vectorized quantiles: one sorted-merge + one searchsorted for the
+        whole q-vector. The SQL-UDF batch path."""
         v, w = self._weighted_items(state)
+        qs = np.asarray(qs, dtype=np.float64)
         if v.size == 0:
-            return float("nan")
+            return np.full(qs.shape, np.nan)
         cum = np.cumsum(w)
-        target = q * cum[-1]
-        i = int(np.searchsorted(cum, target, side="left"))
-        return float(v[min(i, v.size - 1)])
+        idx = np.searchsorted(cum, qs * cum[-1], side="left")
+        return v[np.minimum(idx, v.size - 1)]
 
     def rank(self, state: KllState, value: float) -> float:
         """Estimated normalized rank of `value` in [0, 1]."""

@@ -99,20 +99,22 @@ class TDigestSketch:
     # -- quantiles -------------------------------------------------------------
 
     def quantile(self, state: TDigestState, q: float) -> float:
+        return float(self.quantile_many(state, np.array([q]))[0])
+
+    def quantile_many(self, state: TDigestState, qs: np.ndarray) -> np.ndarray:
+        """Vectorized quantiles: one cumsum + one np.interp for the whole
+        q-vector (np.interp clamps to the endpoint centroids, matching the
+        scalar edge branches). The SQL-UDF batch path."""
         self._flush(state)
         m, w = state.means, state.weights
+        qs = np.asarray(qs, dtype=np.float64)
         if m.size == 0:
-            return float("nan")
+            return np.full(qs.shape, np.nan)
         if m.size == 1:
-            return float(m[0])
+            return np.full(qs.shape, float(m[0]))
         total = w.sum()
-        target = q * total
         cum = np.cumsum(w) - w / 2.0  # centroid midpoints in rank space
-        if target <= cum[0]:
-            return float(m[0])
-        if target >= cum[-1]:
-            return float(m[-1])
-        return float(np.interp(target, cum, m))
+        return np.interp(qs * total, cum, m)
 
     def total_weight(self, state: TDigestState) -> float:
         self._flush(state)

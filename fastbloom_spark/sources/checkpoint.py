@@ -45,6 +45,20 @@ def _longs_to_bytes(words: pd.Series) -> pd.Series:
         lambda ws: encode_words(np.asarray(ws, dtype=np.int64).view(U64)))
 
 
+def _require_explicit_seed(cfg: BloomConfig, op: str) -> None:
+    """Resume exists to survive driver restarts, but a randomly-drawn seed
+    (cfg.seed_drawn, from seed=None) cannot be re-derived after a restart —
+    a fresh config would silently match zero checkpoint rows and degrade to
+    a full rebuild with only a metrics hint. Same guard as
+    streaming_bloom_dedup: refuse loudly, require an explicit seed."""
+    if cfg.seed_drawn:
+        raise ValueError(
+            f"{op} requires an explicit seed: this config's seed was "
+            "randomly drawn (seed=None) and cannot be reconstructed after "
+            "a driver restart, so the checkpoint would never match. Pass "
+            "seed=<int> when building the config.")
+
+
 def write_checkpoint(
     partials: DataFrame,
     path: str,
@@ -129,6 +143,7 @@ def resume_bloom_agg(
     from ..functions.digest import digest64
     from ..operators.bloom import bloom_merge, bloom_partials
 
+    _require_explicit_seed(cfg, "resume_bloom_agg")
     keys = list(key_cols)
     seed_signed = (cfg.seed - (1 << 64)) if cfg.seed >= (1 << 63) else cfg.seed
     ckpt = read_checkpoint(spark, checkpoint_path) \
@@ -207,6 +222,7 @@ def resume_bloom_build(
     from ..functions.digest import digest64
     from ..operators.bloom import bloom_merge, bloom_partials
 
+    _require_explicit_seed(cfg, "resume_bloom_build")
     # Seed is part of the filter geometry: partials hashed under a different
     # seed probe false under this cfg, so a seed-mismatched checkpoint must
     # NOT be resumed (the local union() rejects seed mismatch for the same

@@ -21,7 +21,15 @@ plus GROUPED AGGREGATES that re-aggregate persisted state from pure SQL
 
 All functions are Arrow-batched; per-row work is numpy over the deserialized
 state (states are KB-to-MB; deserialize cost is amortized per distinct
-buffer via a tiny cache).
+buffer via a tiny cache). Probe-style functions factorize each batch by
+distinct buffer and run the kernel ONCE per group over that group's whole
+probe vector — a probe table joined against one sketch row costs one
+vectorized call per Arrow batch, never a per-row Python loop.
+
+NULL convention (SQL semantics): any NULL argument yields a NULL result —
+probe rows from outer joins with no matching sketch come back NULL, never a
+fabricated value. Grouped merge aggregates validate that every buffer in the
+group carries the SAME sketch parameters and raise a clear error otherwise.
 """
 
 from __future__ import annotations
@@ -48,6 +56,21 @@ def _cached(fn):
     return get
 
 
+def _valid_mask(*series: pd.Series) -> np.ndarray:
+    """Rows where EVERY argument is non-null (NULL in -> NULL out)."""
+    m = ~series[0].isna().to_numpy()
+    for s in series[1:]:
+        m &= ~s.isna().to_numpy()
+    return m
+
+
+def _check_same_params(family: str, first, current) -> None:
+    if current != first:
+        raise ValueError(
+            f"mixed sketch parameters in {family} group: {current} vs "
+            f"{first} — merge only groups built with one configuration")
+
+
 def register_sketch_sql(spark: SparkSession) -> list[str]:
     """Register all sketch SQL functions; returns their names."""
 
@@ -61,7 +84,8 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
             impl = HllSketch(precision=p)
             return float(impl.estimate(impl.deserialize(buf)))
 
-        return sketch.map(lambda b: est(bytes(b)))
+        return sketch.map(
+            lambda b: np.nan if b is None else est(bytes(b)))
 
     @F.pandas_udf(LongType())
     def cms_estimate(sketch: pd.Series, digest: pd.Series) -> pd.Series:
@@ -75,42 +99,64 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         # against many keys, so each Arrow batch holds few distinct buffers.
         # Group by buffer identity and query each group's digests as one
         # numpy vector (one kernel call per distinct sketch, not per row).
-        out = np.empty(len(sketch), dtype=np.int64)
-        codes, uniques = pd.factorize(sketch)
-        digs = digest.to_numpy(np.int64)
-        for gi, buf in enumerate(uniques):
-            impl, counters = load(bytes(buf))
-            mask = codes == gi
-            out[mask] = impl.query(counters, digs[mask])
+        # NULL sketch/digest rows (outer-join misses) come back NULL.
+        valid = _valid_mask(sketch, digest)
+        out = pd.array(np.zeros(len(sketch), dtype=np.int64), dtype="Int64")
+        out[~valid] = pd.NA
+        if valid.any():
+            sub = np.zeros(int(valid.sum()), dtype=np.int64)
+            codes, uniques = pd.factorize(sketch[valid])
+            digs = digest[valid].astype(np.int64).to_numpy()
+            for gi, buf in enumerate(uniques):
+                impl, counters = load(bytes(buf))
+                mask = codes == gi
+                sub[mask] = impl.query(counters, digs[mask])
+            out[valid] = sub
         return pd.Series(out)
 
-    @F.pandas_udf(DoubleType())
-    def tdigest_quantile(sketch: pd.Series, q: pd.Series) -> pd.Series:
+    def _quantile_udf(load_impl_state):
+        """Factorize-by-buffer quantile probe (same pattern as bloom_probe /
+        cms_estimate): deserialize each DISTINCT buffer once per batch
+        (cached), evaluate its whole q-vector in one vectorized
+        quantile_many call — never a per-row deserialize+build loop."""
+
+        @F.pandas_udf(DoubleType())
+        def quantile_fn(sketch: pd.Series, q: pd.Series) -> pd.Series:
+            out = np.full(len(sketch), np.nan)
+            valid = _valid_mask(sketch, q)
+            if valid.any():
+                sub = np.full(int(valid.sum()), np.nan)
+                codes, uniques = pd.factorize(sketch[valid])
+                qs = q[valid].to_numpy(np.float64)
+                for gi, buf in enumerate(uniques):
+                    impl, state = load_impl_state(bytes(buf))
+                    mask = codes == gi
+                    sub[mask] = impl.quantile_many(state, qs[mask])
+                out[valid] = sub
+            return pd.Series(out)
+
+        return quantile_fn
+
+    @_cached
+    def _load_tdigest(b: bytes):
         import struct
 
         from .sketch.tdigest import TDigestSketch
 
-        def quant(b: bytes, qq: float) -> float:
-            delta = struct.unpack_from("<H", b, 1)[0]
-            impl = TDigestSketch(delta=delta)
-            return impl.quantile(impl.deserialize(b), qq)
+        impl = TDigestSketch(delta=struct.unpack_from("<H", b, 1)[0])
+        return impl, impl.deserialize(b)
 
-        return pd.Series([quant(bytes(b), float(qq))
-                          for b, qq in zip(sketch, q)])
-
-    @F.pandas_udf(DoubleType())
-    def kll_quantile(sketch: pd.Series, q: pd.Series) -> pd.Series:
+    @_cached
+    def _load_kll(b: bytes):
         import struct
 
         from .sketch.kll import KllSketch
 
-        def quant(b: bytes, qq: float) -> float:
-            k = struct.unpack_from("<H", b, 1)[0]
-            impl = KllSketch(k=k)
-            return impl.quantile(impl.deserialize(b), qq)
+        impl = KllSketch(k=struct.unpack_from("<H", b, 1)[0])
+        return impl, impl.deserialize(b)
 
-        return pd.Series([quant(bytes(b), float(qq))
-                          for b, qq in zip(sketch, q)])
+    tdigest_quantile = _quantile_udf(_load_tdigest)
+    kll_quantile = _quantile_udf(_load_kll)
 
     @F.pandas_udf(BooleanType())
     def bloom_probe(sketch: pd.Series, k: pd.Series, seed: pd.Series,
@@ -123,17 +169,25 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         # and run the kernel ONCE per group over all that group's digests —
         # a probe table joined against one sketch row costs one vectorized
         # contains_hashes per Arrow batch instead of a per-row Python loop.
-        out = np.zeros(len(sketch), dtype=bool)
-        key = pd.Series(
-            list(zip(sketch, k, seed, layout)), dtype=object)
-        codes, uniques = pd.factorize(key)
-        digs = digest.to_numpy(np.int64)
-        for gi, (buf, kk, ss, lay) in enumerate(uniques):
-            words = words_of(bytes(buf))
-            mask = codes == gi
-            h = source_hash(digs[mask], int(ss) & ((1 << 64) - 1))
-            out[mask] = contains_hashes(
-                words, h, int(kk), "flat" if lay is None else str(lay))
+        # NULL sketch/k/seed/digest rows come back NULL (a NULL layout
+        # defaults to "flat" for pre-layout sketch tables).
+        valid = _valid_mask(sketch, k, seed, digest)
+        out = pd.array(np.zeros(len(sketch), dtype=bool), dtype="boolean")
+        out[~valid] = pd.NA
+        if valid.any():
+            sub = np.zeros(int(valid.sum()), dtype=bool)
+            key = pd.Series(
+                list(zip(sketch[valid], k[valid], seed[valid],
+                         layout[valid])), dtype=object)
+            codes, uniques = pd.factorize(key)
+            digs = digest[valid].astype(np.int64).to_numpy()
+            for gi, (buf, kk, ss, lay) in enumerate(uniques):
+                words = words_of(bytes(buf))
+                mask = codes == gi
+                h = source_hash(digs[mask], int(ss) & ((1 << 64) - 1))
+                sub[mask] = contains_hashes(
+                    words, h, int(kk), "flat" if lay is None else str(lay))
+            out[valid] = sub
         return pd.Series(out)
 
     @F.pandas_udf("binary")
@@ -188,6 +242,8 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
             buf = bytes(b)
             if impl is None:
                 impl = HllSketch(precision=buf[1])
+            else:
+                _check_same_params("hll precision", impl.p, buf[1])
             state = impl.deserialize(buf)
             acc = state if acc is None else impl.merge(acc, state)
         return impl.serialize(acc) if impl is not None else None
@@ -199,19 +255,35 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B). Error grows with the
         disjoint mass (each term carries ~1.04/sqrt(2^p) relative error),
         so it is a coarse overlap signal, not a precise count — clamped at
-        zero."""
+        zero. Factorized by distinct (a, b) pair: a sketch table cross-joined
+        against one reference sketch evaluates each DISTINCT pair once per
+        batch, with per-buffer deserialization cached."""
         from .sketch.hll import HllSketch
 
+        @_cached
+        def load(buf: bytes):
+            impl = HllSketch(precision=buf[1])
+            return impl, impl.deserialize(buf)
+
         def inter(ba: bytes, bb: bytes) -> float:
-            impl = HllSketch(precision=ba[1])
-            a = impl.deserialize(ba)
-            b = impl.deserialize(bb)
+            impl, a = load(ba)
+            _check_same_params("hll_intersect", ba[1], bb[1])
+            _, b = load(bb)
             est = (impl.estimate(a) + impl.estimate(b)
                    - impl.estimate(impl.merge(a, b)))
             return max(est, 0.0)
 
-        return pd.Series([inter(bytes(a), bytes(b))
-                          for a, b in zip(sketch_a, sketch_b)])
+        out = np.full(len(sketch_a), np.nan)
+        valid = _valid_mask(sketch_a, sketch_b)
+        if valid.any():
+            sub = np.full(int(valid.sum()), np.nan)
+            key = pd.Series(list(zip(sketch_a[valid], sketch_b[valid])),
+                            dtype=object)
+            codes, uniques = pd.factorize(key)
+            for gi, (ba, bb) in enumerate(uniques):
+                sub[codes == gi] = inter(bytes(ba), bytes(bb))
+            out[valid] = sub
+        return pd.Series(out)
 
     @F.pandas_udf("binary")
     def cms_union_agg(sketch: pd.Series) -> bytes:
@@ -224,6 +296,11 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
             impl_b, counters = CountMinSketch.from_buffer(bytes(b))
             if impl is None:
                 impl = impl_b
+            else:
+                _check_same_params(
+                    "cms (depth, log2_width, seed)",
+                    (impl.depth, impl.log2_width, impl.seed),
+                    (impl_b.depth, impl_b.log2_width, impl_b.seed))
             acc = counters if acc is None else impl.merge(acc, counters)
         return impl.serialize(acc) if impl is not None else None
 
@@ -238,8 +315,11 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         acc = None
         for b in sketch:
             buf = bytes(b)
+            delta = struct.unpack_from("<H", buf, 1)[0]
             if impl is None:
-                impl = TDigestSketch(delta=struct.unpack_from("<H", buf, 1)[0])
+                impl = TDigestSketch(delta=delta)
+            else:
+                _check_same_params("tdigest delta", impl.delta, delta)
             state = impl.deserialize(buf)
             acc = state if acc is None else impl.merge(acc, state)
         return impl.serialize(acc) if impl is not None else None
@@ -255,8 +335,11 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         acc = None
         for b in sketch:
             buf = bytes(b)
+            kk = struct.unpack_from("<H", buf, 1)[0]
             if impl is None:
-                impl = KllSketch(k=struct.unpack_from("<H", buf, 1)[0])
+                impl = KllSketch(k=kk)
+            else:
+                _check_same_params("kll k", impl.k, kk)
             state = impl.deserialize(buf)
             acc = state if acc is None else impl.merge(acc, state)
         return impl.serialize(acc) if impl is not None else None

@@ -227,3 +227,21 @@ def test_resume_grouped_block64_xxh64_combo(spark, docs, tmp_path):
                               decode_words(bytes(d.sketch))), lang
         assert resumed[lang].layout == "block64"
         assert resumed[lang].digest == "xxh64"
+
+
+def test_resume_rejects_randomly_drawn_seed(spark, docs, tmp_path):
+    """A seed=None config cannot be re-derived after a driver restart, so
+    resume refuses it loudly instead of silently full-rebuilding (the same
+    guard streaming_bloom_dedup has)."""
+    import pytest
+
+    drawn = BloomConfig.with_num_bits(1 << 12, num_hashes=4)  # seed=None
+    assert drawn.seed_drawn
+    with pytest.raises(ValueError, match="explicit seed"):
+        resume_bloom_build(spark, str(tmp_path / "never"), docs, "text",
+                           drawn)
+    from fastbloom_spark.sources.checkpoint import resume_bloom_agg
+
+    with pytest.raises(ValueError, match="explicit seed"):
+        resume_bloom_agg(spark, str(tmp_path / "never"), docs, ["lang"],
+                         "text", drawn)

@@ -258,3 +258,52 @@ def test_minhash_jaccard_estimate_tracks_exact(spark, near_dup_docs):
     # 128 perms: sigma <= 0.5/sqrt(128) ~ 0.044; mean error well inside
     assert np.mean(errs) < 0.06, np.mean(errs)
     assert np.max(errs) < 0.20, np.max(errs)
+
+
+def test_connected_min_ids_chain_and_islands(spark):
+    """Min-id propagation resolves transitive chains and keeps components
+    separate: chain 1-2-3-4 (+ pair 7-8) labels every chain member 1."""
+    from fastbloom_spark.operators.dedup import connected_min_ids
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (7, 8)], ["id_a", "id_b"])
+    got = {r.id: r.label for r in connected_min_ids(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_connected_min_ids_long_chain_pointer_jump(spark):
+    """A 40-link chain converges within the pointer-jumping round budget
+    (log2(40) ~ 6 doubling rounds, far under max_rounds)."""
+    from fastbloom_spark.operators.dedup import connected_min_ids
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    got = {r.id: r.label for r in connected_min_ids(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_minhash_dedup_transitive_chain_single_survivor(spark):
+    """A~B~C~D built from sliding windows: only ADJACENT pairs pass the
+    Jaccard threshold (A-C/A-D never share enough shingles), yet the whole
+    chain is one cluster -> exactly one survivor (the min id)."""
+    toks = [f"t{i}" for i in range(70)]
+    chain = [(i + 1, " ".join(toks[i * 10:i * 10 + 40])) for i in range(4)]
+    chain.append((9, " ".join(f"z{i}" for i in range(40))))  # isolated doc
+    docs = spark.createDataFrame(chain, ["doc_id", "text"])
+
+    # sanity: verified pairs are EXACTLY the adjacent links (plus nothing
+    # skipping a hop), so one-round removal could not know D duplicates A
+    from fastbloom_spark.operators.dedup import (minhash_candidate_pairs,
+                                                 ngram_jaccard_pairs)
+    verified = ngram_jaccard_pairs(
+        minhash_candidate_pairs(docs, "doc_id", "text", num_perm=128,
+                                bands=64, seed=42),
+        docs, "doc_id", "text", threshold=0.5)
+    links = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert links == {(1, 2), (2, 3), (3, 4)}, links
+
+    kept = sorted(r.doc_id for r in minhash_dedup(
+        docs, "doc_id", threshold=0.5, num_perm=128, bands=64,
+        seed=42).collect())
+    assert kept == [1, 9], kept

@@ -84,3 +84,18 @@ def test_oracle_match(spark, duck, name):
     assert len(spark_rows) == len(duck_rows), name
     assert _normalize(spark_rows, spark_cols) == \
         _normalize(duck_rows, duck_cols), name
+
+
+def test_readme_query_counts_stay_in_sync():
+    """README.md's driver-contract claim ('N queries (M with exact DuckDB
+    oracles)') is auto-checked so doc drift fails CI (VERDICT r2 #10)."""
+    import re
+
+    import __spark_entry__ as entry
+
+    text = open("/root/repo/README.md").read()
+    m = re.search(r"(\d+) queries in `__spark_entry__.py` \((\d+) with exact",
+                  text)
+    assert m, "README driver-contract line missing or reworded"
+    assert int(m.group(1)) == len(entry.queries())
+    assert int(m.group(2)) == len(entry.oracle_sql())

@@ -104,3 +104,36 @@ def test_expected_false_pos_method():
     c = BloomConfig.with_num_bits(8192, num_hashes=5)
     d = expected_density(5, 8192, 500)
     assert c.expected_false_pos(500) == pytest.approx(d**5, rel=1e-12)
+
+
+def test_fold_seed_wide_domain():
+    """u128 (and wider) seeds fold into the 64-bit kernel domain: low-64
+    seeds pass through untouched (checkpoint compatibility), high words
+    change the folded value, and the fold is deterministic."""
+    from fastbloom_spark.config import fold_seed
+
+    # pure 64-bit domain: identity (historical bit patterns preserved)
+    for s in (0, 1, 42, (1 << 64) - 1):
+        assert fold_seed(s) == s
+    # negative = two's-complement view of a 64-bit seed (parquet round-trip)
+    assert fold_seed(-1) == (1 << 64) - 1
+    # u128 seeds differing ONLY in the high word fold differently
+    lo = 0x0123456789ABCDEF
+    a = fold_seed((1 << 64) | lo)
+    b = fold_seed((2 << 64) | lo)
+    assert a != b and a != lo and b != lo
+    assert 0 <= a < (1 << 64) and 0 <= b < (1 << 64)
+    assert fold_seed((1 << 64) | lo) == a  # deterministic
+    # wider-than-128 still folds every word in
+    assert fold_seed(1 << 200) != fold_seed(1 << 201)
+
+
+def test_config_accepts_u128_seed():
+    from fastbloom_spark.config import BloomConfig, fold_seed
+
+    hi = (7 << 64) | 12345
+    cfg = BloomConfig.with_num_bits(1 << 10, num_hashes=3, seed=hi)
+    assert cfg.seed == fold_seed(hi)
+    assert cfg.seed != BloomConfig.with_num_bits(
+        1 << 10, num_hashes=3, seed=(8 << 64) | 12345).seed
+    assert not cfg.seed_drawn

@@ -288,3 +288,31 @@ def test_ivf_index_persistence_and_pruning(spark, tmp_path):
     plan = from_index._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell" in plan
+
+
+def test_kmeans_skips_count_on_large_corpus(spark):
+    """The quantizer sampler must not pay an up-front full count when the
+    fixed-fraction sample already fills sample_rows (the 100 TB path):
+    exactly one Spark job (the sample collect) runs; small corpora may
+    fall back to counting."""
+    from fastbloom_spark.operators.similarity import kmeans_centroids
+
+    n, dim = 60_000, 8
+    big = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=i) * 2 - 1) for i in range(dim)])
+        .alias("embedding"))
+    big = big.persist()
+    big.count()
+
+    sc = spark.sparkContext
+    sc.setJobGroup("kmeans_jobs", "count kmeans jobs", False)
+    cents = kmeans_centroids(big, "embedding", 8, sample_rows=2000,
+                             sample_fraction=0.2, seed=3)
+    jobs = sc.statusTracker().getJobIdsForGroup("kmeans_jobs")
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    big.unpersist()
+    assert cents.shape == (8, dim)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
+    # one sample-collect job; the count fallback would add at least one more
+    assert len(jobs) <= 2, jobs

@@ -201,3 +201,33 @@ def test_quantile_merge_tree_estimates_stable(spark, customer):
                 est = impl.quantile(merged, q)
                 rank = np.searchsorted(vals, est) / n
                 assert abs(rank - q) < 0.03, (impl.name, trial, q, rank)
+
+
+def test_salted_sketch_agg_exact_families_bitwise(spark):
+    """salt>1 shuffle builds for the exactly-mergeable families (HLL
+    register-max, CMS counter-add) byte-equal the unsalted build on a
+    skewed corpus; quantile sketches stay within their rank bound."""
+    n = 20_000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), F.col("id") % 23)).alias("key"),
+        F.col("id").cast("string").alias("v"),
+        (F.col("id") % 1000).cast("double").alias("x")).repartition(8)
+
+    for impl in (HllSketch(precision=12, seed=42),
+                 CountMinSketch(depth=5, log2_width=12, seed=42)):
+        base = {r.key: (r.rows_seen, bytes(r.sketch)) for r in sketch_agg(
+            skewed, ["key"], "v", impl, strategy="shuffle").collect()}
+        salted = {r.key: (r.rows_seen, bytes(r.sketch)) for r in sketch_agg(
+            skewed, ["key"], "v", impl, strategy="shuffle",
+            salt=8).collect()}
+        assert base == salted, type(impl).__name__
+
+    # t-digest: merge-order-dependent state, but the estimate contract holds
+    td = TDigestSketch(delta=200)
+    rows = sketch_agg(skewed, ["key"], "x", td, strategy="shuffle",
+                      salt=8).collect()
+    got = {r.key: td.quantile(td.deserialize(bytes(r.sketch)), 0.5)
+           for r in rows}
+    # hot key sees ids 0..n with id%10<9 -> x = (id % 1000) roughly uniform
+    assert abs(got["hot"] - 500.0) < 50.0, got["hot"]

@@ -373,3 +373,77 @@ def test_bloom_partials_report_dups_matches_local_serial(spark, docs):
         serial = sum(f.insert(int(d) & ((1 << 64) - 1)) for d in digests)
         assert got[pid] == serial, pid
     prepared.unpersist()
+
+
+def test_salted_shuffle_bitwise_equals_unsalted(spark):
+    """salt>1 on the shuffle strategy: a 90%-hot-key corpus builds the SAME
+    sketch rows bitwise (OR associativity), while the hot key's rows split
+    across multiple tasks (no single-task straggler)."""
+    from fastbloom_spark.kernel import decode_words
+    from fastbloom_spark.operators import bloom_agg, bloom_partials
+
+    n = 20_000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), F.col("id") % 37)).alias("key"),
+        F.col("id").cast("string").alias("v")).repartition(8)
+    cfg = BloomConfig.with_num_bits(1 << 15, num_hashes=5, seed=42)
+
+    base = {r.key: (r.rows_seen, bytes(r.sketch))
+            for r in bloom_agg(skewed, ["key"], "v", cfg,
+                               strategy="shuffle").collect()}
+    salted = {r.key: (r.rows_seen, bytes(r.sketch))
+              for r in bloom_agg(skewed, ["key"], "v", cfg,
+                                 strategy="shuffle", salt=8).collect()}
+    assert base.keys() == salted.keys()
+    for key in base:
+        assert base[key][0] == salted[key][0], key
+        assert np.array_equal(decode_words(base[key][1]),
+                              decode_words(salted[key][1])), key
+
+    # straggler bound: replicate the salted repartition and inspect the
+    # per-task partials — the hot key's 18k rows must NOT land in one task;
+    # every task's share is bounded by ~hot/salt (+ generous slack)
+    salt = 8
+    prepared = skewed.select("key", digest64("v").alias("__digest64"))
+    salted_layout = prepared.repartition(
+        8, F.col("key"),
+        F.pmod(F.xxhash64(F.col("__digest64")), F.lit(salt)).cast("int"))
+    hot_rows = [r.rows_seen for r in bloom_partials(
+        salted_layout, "__digest64", cfg, ["key"]).collect()
+        if r.key == "hot"]
+    hot_total = n * 9 // 10
+    assert len(hot_rows) > 1, "hot key still built by a single task"
+    # balls-into-bins: salt buckets can collide in a partition (8 buckets
+    # over 8 partitions -> up to ~3 in one), so the hard guarantee is that
+    # NO task owns the majority of the hot key — vs 100% unsalted
+    assert max(hot_rows) <= hot_total // 2, hot_rows
+    assert sum(hot_rows) == hot_total
+
+
+def test_custom_digest_strategy_end_to_end(spark, docs):
+    """register_digest: a user-supplied JVM Column digest (crc32-based)
+    rides through config -> build -> probe with zero false negatives, and
+    the strategy string lands in sketch rows for merge compatibility."""
+    from fastbloom_spark.functions import register_digest
+
+    strategy = register_digest(
+        "crc32x", lambda c: F.crc32(c.cast("string")).cast("long"))
+    assert strategy == "custom:crc32x"
+    cfg = BloomConfig.with_num_bits(1 << 15, num_hashes=4, seed=7,
+                                    digest=strategy)
+    bloom = bloom_build(docs, "text", cfg)
+    assert bloom.rows_seen == docs.count()
+    probed = docs.filter(bloom_contains_col(
+        spark, bloom, digest64(F.col("text"), strategy))).count()
+    assert probed == docs.count()  # zero FN through the custom digest
+
+    rows = bloom_agg(docs, ["lang"], "text", cfg).collect()
+    assert all(r.digest == "custom:crc32x" for r in rows)
+
+    # unregistered name fails loudly at plan time
+    with pytest.raises(ValueError, match="not registered"):
+        digest64(F.col("text"), "custom:never_registered")
+    # no local per-row path for custom digests
+    with pytest.raises(ValueError, match="no local implementation"):
+        digest64_bytes(b"abc", "custom:crc32x")
