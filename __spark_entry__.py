@@ -370,8 +370,10 @@ def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only:
-    deterministic; recall/precision asserted in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified — hash-checked
+    against a full DuckDB replica of the pipeline (xxh64 shingles, mix64
+    permutations/band folds as generated SQL; fastbloom_spark.oracle_sql).
+    """
     from fastbloom_spark.operators.dedup import (minhash_candidate_pairs,
                                                  ngram_jaccard_pairs)
 
@@ -382,8 +384,9 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only: xxhash64 has no DuckDB
-    counterpart; determinism + near-dup behavior tested)."""
+    """64-bit SimHash per document — hash-checked against a DuckDB oracle
+    built on a generated bit-exact SQL xxh64 (fastbloom_spark.oracle_sql)
+    plus per-bit majority voting in plain SQL."""
     from fastbloom_spark.operators.dedup import simhash64_col
 
     return _read(spark, sf_dir, "documents").select(
@@ -437,14 +440,16 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (rolling-hash) document fingerprints — count + min print
-    per doc (rows-only: the Rabin-Karp/winnow scheme is engine-defined;
-    the substring-match guarantee is asserted in tests/test_dedup.py)."""
+    """Winnowing (rolling-hash) document fingerprint counts per doc —
+    hash-checked against a DuckDB replica of the Rabin-Karp k-gram /
+    window-min scheme (powers folded to literals; oracle_sql); the
+    substring-match guarantee is asserted in tests/test_dedup.py."""
     from fastbloom_spark.operators.dedup import winnow_fingerprints_col
 
     return _read(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(winnow_fingerprints_col("text")).alias("n_fingerprints"))
+        F.size(winnow_fingerprints_col("text")).cast("long")
+        .alias("n_fingerprints"))
 
 
 def q_embed_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,14 +505,16 @@ def q_embed_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS via pigeonhole banding + exact popcount verify
-    (rows-only: simhash values derive from Spark's xxhash64, no DuckDB
-    counterpart; banding guarantees + degenerate-corpus caps asserted in
-    tests/test_dedup.py)."""
+    — hash-checked against the DuckDB simhash oracle with the same banding
+    + bucket cap + hamming filter in plain SQL (banding guarantees +
+    degenerate-corpus caps additionally asserted in tests/test_dedup.py).
+    """
     from fastbloom_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "doc_id", "text",
-                                  max_hamming=3, bands=4)
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text",
+                                   max_hamming=3, bands=4)
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1119,9 +1126,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS rows_seen
             FROM documents
         """,
-        # bloom_fpr_envelope, minhash_near_dups, simhash, simhash_pairs,
-        # ivf_topk, media_features, checkpoint_resume, hll/cms/tdigest/kll
-        # estimates, sketch_sql_estimates: engine-defined heuristics /
-        # sketch-state / approximate outputs — rows-only, with bounds and
-        # determinism asserted in tests/.
+        # hash-kernel queries: DuckDB replicas of xxh64 / splitmix64 /
+        # Rabin-Karp generated by fastbloom_spark.oracle_sql (plain SQL,
+        # bitwise-exact; parity proven in tests/test_oracle_sql.py), so
+        # SimHash / MinHash-LSH / winnowing are value-hash-checked too
+        "simhash": _oracle_sql_mod().oracle_simhash(),
+        "simhash_pairs": _oracle_sql_mod().oracle_simhash_pairs(),
+        "minhash_near_dups": _oracle_sql_mod().oracle_minhash_near_dups(),
+        "winnow_fingerprints":
+            _oracle_sql_mod().oracle_winnow_fingerprint_counts(),
+        # bloom_fpr_envelope, ivf_topk, media_features, hll/cms/tdigest/kll
+        # estimates, sketch_sql_estimates: sketch-state / approximate
+        # outputs — rows-only, with bounds and determinism asserted in
+        # tests/.
     }
+
+
+def _oracle_sql_mod():
+    from fastbloom_spark import oracle_sql
+
+    return oracle_sql

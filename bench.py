@@ -38,8 +38,9 @@ def make_spark(cpus: int):
     return spark
 
 
-def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
-    """Headline queries; returns (seconds per query, throughput facts)."""
+def bench_queries(spark) -> tuple[dict, dict, dict]:
+    """Headline queries; returns (best seconds per query, throughput facts
+    incl. the flat-build stage decomposition, all per-run times)."""
     import pyspark.sql.functions as F
 
     from fastbloom_spark import BloomConfig
@@ -55,15 +56,19 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     read = lambda t: spark.read.parquet(f"{SF_DIR}/{t}.parquet")
     times: dict[str, float] = {}
     facts: dict[str, float] = {}
+    runs_log: dict[str, list[float]] = {}
+    stages: dict[str, float] = {}
+
+    def record(name, dt) -> None:
+        runs_log.setdefault(name, []).append(round(dt, 3))
+        times[name] = min(runs_log[name])
 
     def timed(name, fn, runs: int = 1):
-        best, out = None, None
+        out = None
         for _ in range(runs):
             t0 = time.perf_counter()
             out = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            record(name, time.perf_counter() - t0)
         return out
 
     # warm the JVM, the Arrow path, and the Python UDF workers (worker
@@ -84,19 +89,48 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     n_code = code.count()  # materialize outside the timed region
     cfg = BloomConfig.from_false_pos(0.001, expected_items=n_code, seed=SEED)
 
-    bloom = timed("bloom_build_merge",
-                  lambda: bloom_build(code, "content", cfg), runs=4)
+    # Self-evidencing build rows (BENCH_r02 follow-up): this host's shared
+    # hypervisor swings single windows up to ~3x, so the artifact must carry
+    # its own evidence — ALL run times land in "runs" (spread visible, best
+    # in "queries"), flat gets 6 runs, and flat/block64 INTERLEAVE so one
+    # contention window cannot hit a single query class. "stages" decomposes
+    # the flat build (digest scan vs kernel+merge on precomputed digests) so
+    # a slow total is attributable from the JSON alone.
+    blk_cfg = BloomConfig.block64_from_false_pos(
+        0.001, expected_items=n_code, seed=SEED)
+    bloom_build(code, "content", cfg)  # untimed full-size warm pass
+    bloom = bloom_blk = None
+    for i in range(6):
+        t0 = time.perf_counter()
+        bloom = bloom_build(code, "content", cfg)
+        record("bloom_build_merge", time.perf_counter() - t0)
+        if i % 2 == 0:
+            t0 = time.perf_counter()
+            bloom_blk = bloom_build(code, "content", blk_cfg)
+            record("bloom_build_block64", time.perf_counter() - t0)
     facts["bloom_build_rows"] = n_code
     facts["bloom_build_mrows_per_s"] = round(
         n_code / times["bloom_build_merge"] / 1e6, 3)
-
-    # beyond-reference register-blocked layout: one memory touch per row
-    blk_cfg = BloomConfig.block64_from_false_pos(
-        0.001, expected_items=n_code, seed=SEED)
-    bloom_blk = timed("bloom_build_block64",
-                      lambda: bloom_build(code, "content", blk_cfg), runs=3)
     facts["bloom_build_block64_mrows_per_s"] = round(
         n_code / times["bloom_build_block64"] / 1e6, 3)
+
+    # stage decomposition of the flat build: full ≈ digest_scan +
+    # kernel_merge (+ scan/schedule overhead); mismatches localize blame
+    digests_stage = code.select(digest64("content").alias("d")).persist()
+    digests_stage.count()
+    for _ in range(3):
+        t0 = time.perf_counter()
+        code.select(digest64("content").alias("d")).agg(
+            F.count("d")).collect()
+        stages["digest_scan"] = min(
+            stages.get("digest_scan", 1e9),
+            round(time.perf_counter() - t0, 3))
+        t0 = time.perf_counter()
+        bloom_build(digests_stage, "d", cfg, digest_precomputed=True)
+        stages["kernel_merge"] = min(
+            stages.get("kernel_merge", 1e9),
+            round(time.perf_counter() - t0, 3))
+    digests_stage.unpersist()
 
     # probe the full table against the built filter (vectorized short-circuit)
     digests = code.select(digest64("content").alias("d")).persist()
@@ -189,7 +223,8 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
         .collect())
 
     code.unpersist()
-    return times, facts
+    facts["build_stages_sec"] = stages
+    return times, facts, runs_log
 
 
 def scaling_run(cpus: int, rows: int) -> dict[str, float]:
@@ -364,13 +399,17 @@ def main() -> None:
 
     spark = make_spark(CPUS)
     try:
-        times, facts = bench_queries(spark)
+        times, facts, runs_log = bench_queries(spark)
     finally:
         spark.stop()
     result.update({
         "metric": "sketch headline queries wall time",
         "value": round(sum(times.values()), 3),
         "queries": times,
+        # every individual run time: the artifact carries its own spread
+        # evidence (this host's contention windows reach ~3x), so a slow
+        # best-of is distinguishable from a real regression in-JSON
+        "runs": runs_log,
         "throughput": facts,
     })
     print(json.dumps(result))

@@ -1,0 +1,447 @@
+"""DuckDB-SQL text generators replicating the engine's hash kernels.
+
+The driver's correctness gate runs each ``oracle_sql()`` string against
+DuckDB and value-hash-compares it with the Spark result. Queries built on
+hash kernels (SimHash, MinHash signatures, winnowing fingerprints) need
+those kernels IN SQL to be hash-checkable — so this module composes plain
+DuckDB scalar expressions (single statement, no macros, no registered
+functions — nothing a harness could reject) that replicate, bit for bit:
+
+* ``sql_xxh64_utf8`` — XXH64 (Cyan4973 spec, canonical constants) over a
+  VARCHAR's UTF-8 bytes, default seed 42 == Spark's ``xxhash64`` and the
+  pure-int replica ``kernel.xxh64_bytes`` (parity-tested in
+  tests/test_oracle_sql.py across lengths 0..200 and non-ASCII).
+* ``sql_mix64`` — the splitmix64 finalizer (``kernel.mix64``).
+
+Number representation: unsigned 64-bit values ride as HUGEINT in
+[0, 2^64). DuckDB raises on BIGINT overflow, so wrapping arithmetic is
+spelled out: multiplication mod 2^64 via 32-bit limbs (cross terms fit
+HUGEINT), with all wrapping/limb-splitting as bitwise AND/shift — HUGEINT
+``%``/``//`` are full 128-bit divisions, ~10x slower — and xor natively
+(DuckDB xor supports HUGEINT). Inside scalar expressions, intermediates
+bind through a one-element ``list_transform`` "let" so sub-expressions are
+written once, not exponentially duplicated; on BULK paths (millions of
+rows) stages are spelled as MATERIALIZED CTE columns instead — DuckDB
+inlines plain CTEs without common-subexpression elimination, so an
+unmaterialized staged pipeline re-evaluates the whole upstream chain per
+reference (measured 40 s -> 4 s on the minhash signature stage).
+
+These run on KB-scale oracle tables (sf0.01) only; the Spark side never
+touches this module.
+"""
+
+from __future__ import annotations
+
+_M64 = 1 << 64
+_M32 = 1 << 32
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+
+_SM1 = 0xBF58476D1E4943B3
+_SM2 = 0x94D049BB133111EB
+
+
+def let(var: str, expr: str, body: str) -> str:
+    """Bind ``expr`` to ``var`` inside ``body`` (one-element list lambda)."""
+    return f"list_transform([{expr}], {var} -> {body})[1]"
+
+
+def u64(x: int) -> str:
+    return f"{x % _M64}::HUGEINT"
+
+
+def sql_umul_const(a: str, c: int) -> str:
+    """(a * c) mod 2^64, constant multiplier folded to literal limbs,
+    all wrapping via bitwise AND/shift (~10x cheaper than HUGEINT %//).
+    ``a`` must be a simple reference (it appears three times)."""
+    c_lo, c_hi = c % _M32, (c % _M64) // _M32
+    return (f"((({a} & {_M32 - 1}) * {c_lo} + "
+            f"((({a} & {_M32 - 1}) * {c_hi} + ({a} >> 32) * {c_lo})"
+            f" & {_M32 - 1}) * {_M32}) & {_M64 - 1})")
+
+
+def sql_umul(a: str, b: str) -> str:
+    """(a * b) mod 2^64 via 32-bit limbs. Both operands must be simple
+    references."""
+    return (f"((({a} & {_M32 - 1}) * ({b} & {_M32 - 1}) + "
+            f"((({a} & {_M32 - 1}) * ({b} >> 32) + "
+            f"({a} >> 32) * ({b} & {_M32 - 1})) & {_M32 - 1}) * {_M32})"
+            f" & {_M64 - 1})")
+
+
+def sql_rotl(x: str, r: int) -> str:
+    """rotl64 as pure divmod (the halves don't overlap, so + == |).
+    ``x`` must be a simple reference."""
+    return f"(({x} & {(1 << (64 - r)) - 1}) * {1 << r} + ({x} >> {64 - r}))"
+
+
+def sql_xor_shr(x: str, k: int) -> str:
+    """x XOR (x >> k). ``x`` must be a simple reference."""
+    return f"xor({x}, {x} >> {k})"
+
+
+def sql_add(a: str, b: str) -> str:
+    return f"(({a} + {b}) & {_M64 - 1})"
+
+
+def sql_mix64(expr: str) -> str:
+    """splitmix64 finalizer (kernel.mix64) over a u64 HUGEINT expression;
+    result stays HUGEINT in [0, 2^64)."""
+    return let("z0", expr, let(
+        "z1", sql_umul_const(sql_xor_shr("z0", 30), _SM1), let(
+            "z2", sql_umul_const(sql_xor_shr("z1", 27), _SM2),
+            sql_xor_shr("z2", 31))))
+
+
+def sql_hugeint_to_bigint(expr: str) -> str:
+    """u64 HUGEINT -> two's-complement signed BIGINT (Spark long domain)."""
+    return let("uv", expr,
+               f"(CASE WHEN uv >= {1 << 63} THEN uv - {_M64} "
+               f"ELSE uv END)::BIGINT")
+
+
+def sql_bigint_to_hugeint(expr: str) -> str:
+    """signed BIGINT -> u64 HUGEINT bit pattern."""
+    return let("sv", f"({expr})::HUGEINT",
+               f"(CASE WHEN sv < 0 THEN sv + {_M64} ELSE sv END)")
+
+
+def _le_bytes(byts: str, off: str, width: int) -> str:
+    """Little-endian integer from ``width`` bytes of the 1-indexed list
+    ``byts`` starting at 0-based offset ``off`` (simple references)."""
+    terms = [f"{byts}[({off})::BIGINT + {j + 1}]::HUGEINT * {1 << (8 * j)}"
+             for j in range(width)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _rnd(acc: str, lane_ref: str) -> str:
+    """XXH64 round: rotl31(acc + lane * P2) * P1 (simple references)."""
+    return let(
+        "t", sql_add(acc, sql_umul_const(lane_ref, _XXP2)),
+        sql_umul_const(sql_rotl("t", 31), _XXP1))
+
+
+def sql_xxh64_utf8(expr: str, seed: int = 42) -> str:
+    """XXH64 of a VARCHAR's UTF-8 bytes as SIGNED BIGINT — bit parity with
+    Spark ``xxhash64(col)`` / ``kernel.xxh64_bytes`` at the same seed.
+
+    One scalar expression: bytes from hex(encode(..)) digit pairs; the
+    stripe / 8-byte / 4-byte / byte tails as list_reduce with the initial
+    accumulator prepended (DuckDB 1.0 list_reduce takes no init argument).
+    """
+    byte_i = ("(strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16"
+              " + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)")
+    bytes_list = let(
+        "hx", f"hex(encode({expr}))",
+        f"list_transform(range(1, length(hx) // 2 + 1),"
+        f" i -> ({byte_i})::HUGEINT)")
+
+    # -- stripe loop (n >= 32): acc struct (v1..v4); elements carry the
+    #    stripe base offset in v1 (list_reduce needs uniform element type)
+    v_init = (f"{{'v1': {u64(seed + _XXP1 + _XXP2)}, "
+              f"'v2': {u64(seed + _XXP2)}, "
+              f"'v3': {u64(seed)}, 'v4': {u64(seed - _XXP1)}}}")
+    stripe_elems = ("list_transform(range(0, (n // 32)::BIGINT), "
+                    "s -> {'v1': s::HUGEINT * 32, 'v2': 0::HUGEINT, "
+                    "'v3': 0::HUGEINT, 'v4': 0::HUGEINT})")
+
+    def lane_update(k: int) -> str:
+        off = f"(x.v1 + {8 * (k - 1)})"
+        return let(f"ln{k}", _le_bytes("b", off, 8),
+                   _rnd(f"acc.v{k}", f"ln{k}"))
+
+    stripes = (f"list_reduce(list_prepend({v_init}, {stripe_elems}), "
+               f"(acc, x) -> {{"
+               f"'v1': {lane_update(1)}, 'v2': {lane_update(2)}, "
+               f"'v3': {lane_update(3)}, 'v4': {lane_update(4)}}})")
+
+    # converge: h = rotl1(v1)+rotl7(v2)+rotl12(v3)+rotl18(v4); then per
+    # lane h = (h ^ rnd(0, vk)) * P1 + P4
+    h_conv = ("((" + " + ".join(
+        sql_rotl(f"v.v{k}", r)
+        for k, r in [(1, 1), (2, 7), (3, 12), (4, 18)]) + f") & {_M64 - 1})")
+    chain = "hM4"
+    for k in reversed(range(1, 5)):
+        prev = "h0" if k == 1 else f"hM{k - 1}"
+        rnd0 = let(f"p{k}", sql_umul_const(f"v.v{k}", _XXP2),
+                   sql_umul_const(sql_rotl(f"p{k}", 31), _XXP1))
+        step = let(f"x{k}", f"xor({prev}, {rnd0})",
+                   sql_add(sql_umul_const(f"x{k}", _XXP1), u64(_XXP4)))
+        chain = let(f"hM{k}", step, chain)
+    h_big = let("v", stripes, let("h0", h_conv, chain))
+
+    h_start = (f"((CASE WHEN n >= 32 THEN {h_big} "
+               f"ELSE {u64(seed + _XXP5)} END) + n) & {_M64 - 1}")
+
+    # -- 8-byte tail: offsets i0, i0+8, ... while off <= n-8
+    tail8_elems = ("list_transform(range(0, ((n - i0) // 8)::BIGINT), "
+                   "j -> i0 + j::HUGEINT * 8)")
+    lane8 = let("ln", _le_bytes("b", "offv", 8),
+                let("kk", sql_umul_const("ln", _XXP2),
+                    sql_umul_const(sql_rotl("kk", 31), _XXP1)))
+    round8 = let("hq", f"xor(hacc, {lane8})",
+                 sql_add(sql_umul_const(sql_rotl("hq", 27), _XXP1),
+                         u64(_XXP4)))
+    tail8 = (f"list_reduce(list_prepend(hh, {tail8_elems}), "
+             f"(hacc, offv) -> {round8})")
+
+    # -- 4-byte tail at i4 if n - i4 >= 4
+    lane4 = let("l4", _le_bytes("b", "i4", 4), sql_umul_const("l4", _XXP1))
+    round4 = let("hy", f"xor(hh8, {lane4})",
+                 sql_add(sql_umul_const(sql_rotl("hy", 23), _XXP2),
+                         u64(_XXP3)))
+    tail4 = f"(CASE WHEN n - i4 >= 4 THEN {round4} ELSE hh8 END)"
+
+    # -- byte tail from i5: h = rotl11(h ^ b*P5) * P1
+    bytes_elems = ("list_transform(range(i5::BIGINT, n::BIGINT), "
+                   "j -> b[j + 1])")
+    roundb = let("hz", f"xor(hacc, {sql_umul_const('bv', _XXP5)})",
+                 sql_umul_const(sql_rotl("hz", 11), _XXP1))
+    tailb = (f"list_reduce(list_prepend(hh4, {bytes_elems}), "
+             f"(hacc, bv) -> {roundb})")
+
+    ava = let("a1", sql_umul_const(sql_xor_shr("hf", 33), _XXP2),
+              let("a2", sql_umul_const(sql_xor_shr("a1", 29), _XXP3),
+                  sql_xor_shr("a2", 32)))
+
+    full = let(
+        "b", bytes_list, let(
+            "n", "len(b)::HUGEINT", let(
+                "i0", f"(CASE WHEN n >= 32 THEN (n // 32) * 32 "
+                      f"ELSE 0::HUGEINT END)", let(
+                    "hh", h_start, let(
+                        "hh8", tail8, let(
+                            "i4", "i0 + ((n - i0) // 8) * 8", let(
+                                "hh4", tail4, let(
+                                    "i5", "(CASE WHEN n - i4 >= 4 "
+                                          "THEN i4 + 4 ELSE i4 END)", let(
+                                        "hf", tailb, ava)))))))))
+    return sql_hugeint_to_bigint(full)
+
+
+# -- pure-int replicas for driver-side constant folding ----------------------
+
+
+def _mix64_int(x: int) -> int:
+    """splitmix64 on plain ints (constants only — no numpy dependency)."""
+    z = x & (_M64 - 1)
+    z = ((z ^ (z >> 30)) * _SM1) % _M64
+    z = ((z ^ (z >> 27)) * _SM2) % _M64
+    return z ^ (z >> 31)
+
+
+_SQL_TOKENS = ("(CASE WHEN trim({t}) = '' THEN []::VARCHAR[] "
+               "ELSE string_split_regex(trim(lower({t})), '\\s+') END)")
+
+
+def _simhash_ctes(table: str, id_col: str, text_col: str) -> str:
+    """Shared CTE chain ending in ``packed(doc, sim HUGEINT)`` for docs
+    with >= 1 token (mirrors operators/dedup.py simhash64_col: xxhash64
+    per lowercased whitespace token, per-bit majority, little-endian
+    pack)."""
+    xxh_u64 = sql_bigint_to_hugeint(sql_xxh64_utf8("t"))
+    bit_sums = ", ".join(
+        f"sum((hu >> {i}) & 1) AS s{i}" for i in range(64))
+    pack = " + ".join(
+        f"(CASE WHEN 2 * s{i} > n THEN {1 << i}::HUGEINT "
+        f"ELSE 0::HUGEINT END)" for i in range(64))
+    return f"""
+        toks AS (SELECT {id_col} AS doc, {_SQL_TOKENS.format(t=text_col)}
+                 AS tk FROM {table}),
+        tok AS (SELECT doc, unnest(tk) AS t FROM toks),
+        h AS (SELECT doc, {xxh_u64} AS hu FROM tok),
+        sums AS (SELECT doc, count(*)::HUGEINT AS n, {bit_sums}
+                 FROM h GROUP BY doc),
+        packed AS MATERIALIZED (SELECT doc, ({pack}) AS sim FROM sums)
+    """
+
+
+def oracle_simhash(table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    """(doc_id, simhash BIGINT) for every row — token-less docs hash 0."""
+    signed = sql_hugeint_to_bigint("coalesce(p.sim, 0::HUGEINT)")
+    return f"""
+        WITH {_simhash_ctes(table, id_col, text_col)}
+        SELECT d.{id_col}, {signed} AS simhash
+        FROM {table} d LEFT JOIN packed p ON d.{id_col} = p.doc
+    """
+
+
+def oracle_simhash_pairs(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text", *, max_hamming: int = 3,
+                         bands: int = 4,
+                         max_bucket_size: int = 1000) -> str:
+    """Near-dup pairs via 16-bit pigeonhole banding + exact popcount —
+    mirrors operators/dedup.py simhash_near_dup_pairs (empty docs dropped,
+    oversized buckets skipped, hamming <= max_hamming, distinct pairs)."""
+    width = 64 // bands
+    band_rows = ", ".join(f"({i})" for i in range(bands))
+    return f"""
+        WITH {_simhash_ctes(table, id_col, text_col)},
+        shifted AS (
+          SELECT doc, sim, band_idx,
+                 (sim // (CASE band_idx {" ".join(
+                     f"WHEN {i} THEN {(1 << (width * i))}::HUGEINT"
+                     for i in range(bands))} END)) % {1 << width}
+                 AS band_val
+          FROM packed, (VALUES {band_rows}) v(band_idx)
+        ),
+        sized AS (SELECT *, count(*) OVER (PARTITION BY band_idx, band_val)
+                  AS bn FROM shifted),
+        capped AS MATERIALIZED (
+          SELECT * FROM sized WHERE bn <= {max_bucket_size})
+        SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+               bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+        FROM capped a JOIN capped b USING (band_idx, band_val)
+        WHERE a.doc < b.doc
+          AND bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
+
+def _shingle_ctes(table: str, id_col: str, text_col: str,
+                  shingle_n: int = 3) -> str:
+    """CTE chain ending in ``shv(doc, shu HUGEINT)`` — one row per word
+    n-gram shingle (xxhash64 of the space-joined gram; whole doc as one
+    shingle when shorter than n tokens; empty docs dropped) — mirrors
+    operators/dedup.py shingles_col."""
+    xxh_u64 = sql_bigint_to_hugeint(sql_xxh64_utf8("g"))
+    return f"""
+        toks AS (SELECT {id_col} AS doc, {_SQL_TOKENS.format(t=text_col)}
+                 AS tk FROM {table}),
+        nt AS (SELECT doc, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+        grams AS (
+          SELECT doc,
+                 unnest(range(1, greatest(n - {shingle_n - 1}, 1) + 1)) AS i,
+                 tk, n
+          FROM nt
+        ),
+        gstr AS (
+          SELECT doc,
+                 CASE WHEN n >= {shingle_n}
+                      THEN array_to_string(tk[i:i + {shingle_n - 1}], ' ')
+                      ELSE array_to_string(tk, ' ') END AS g
+          FROM grams
+        ),
+        shv AS MATERIALIZED (SELECT doc, {xxh_u64} AS shu FROM gstr)
+    """
+
+
+def oracle_minhash_near_dups(table: str = "documents",
+                             id_col: str = "doc_id",
+                             text_col: str = "text", *,
+                             shingle_n: int = 3, num_perm: int = 128,
+                             bands: int = 32, seed: int = 42,
+                             band_seed: int = 7,
+                             max_bucket_size: int = 1000,
+                             threshold: float = 0.5) -> str:
+    """LSH candidate pairs -> exact-Jaccard-verified (id_a, id_b, jaccard)
+    — the full minhash_candidate_pairs + ngram_jaccard_pairs pipeline of
+    operators/dedup.py, bit for bit: permutation seeds folded to literals
+    (mix64((j+1) * golden ^ seed)), signature slot = min over shingles of
+    mix64(shu ^ seed_j), band hash = mix64-fold over the band's slots from
+    init mix64(band_seed)."""
+    rows = num_perm // bands
+    golden = 0x9E3779B97F4A7C15
+    seeds = [_mix64_int(((j + 1) * golden) % _M64 ^ (seed % _M64))
+             for j in range(num_perm)]
+    seed_rows = ", ".join(f"({j}, {s}::HUGEINT)"
+                          for j, s in enumerate(seeds))
+    band_init = _mix64_int(band_seed)
+    mix_fold = sql_mix64("xor(a, s)")
+    # mix64 staged as CTE columns: the (shingles x 128 perms) projection is
+    # the hot path — plain vectorized column arithmetic here runs ~20x
+    # faster than per-row let-lists
+    z1 = sql_umul_const(sql_xor_shr("z0", 30), _SM1)
+    z2 = sql_umul_const(sql_xor_shr("z1", 27), _SM2)
+    return f"""
+        WITH {_shingle_ctes(table, id_col, text_col, shingle_n)},
+        seeds AS (SELECT * FROM (VALUES {seed_rows}) t(pi, sd)),
+        pre AS MATERIALIZED (SELECT doc, pi, xor(shu, sd) AS z0
+                FROM shv CROSS JOIN seeds),
+        mx1 AS MATERIALIZED (SELECT doc, pi, {z1} AS z1 FROM pre),
+        mx2 AS MATERIALIZED (SELECT doc, pi, {z2} AS z2 FROM mx1),
+        mixed AS (
+          SELECT doc, pi, min(xor(z2, z2 >> 31)) AS slot
+          FROM mx2 GROUP BY doc, pi
+        ),
+        bandh AS (
+          SELECT doc, (pi // {rows})::INT AS band_idx,
+                 list_reduce(
+                   list_prepend({band_init}::HUGEINT,
+                                list(slot ORDER BY pi)),
+                   (a, s) -> {mix_fold}) AS band_hash
+          FROM mixed GROUP BY doc, pi // {rows}
+        ),
+        sized AS (SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash)
+                  AS bn FROM bandh),
+        capped AS MATERIALIZED (
+          SELECT * FROM sized WHERE bn <= {max_bucket_size}),
+        cand AS (
+          SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+          FROM capped a JOIN capped b USING (band_idx, band_hash)
+          WHERE a.doc < b.doc
+        ),
+        dsh AS MATERIALIZED (
+          SELECT doc, list(DISTINCT shu) AS ds FROM shv GROUP BY doc),
+        scored AS (
+          SELECT id_a, id_b,
+                 round(len(list_intersect(da.ds, db.ds))::DOUBLE /
+                       (len(da.ds) + len(db.ds)
+                        - len(list_intersect(da.ds, db.ds)))::DOUBLE,
+                       6) AS jaccard
+          FROM cand
+          JOIN dsh da ON da.doc = id_a
+          JOIN dsh db ON db.doc = id_b
+        )
+        SELECT id_a, id_b, jaccard FROM scored
+        WHERE jaccard >= {threshold}
+    """
+
+
+def oracle_winnow_fingerprint_counts(table: str = "documents",
+                                     id_col: str = "doc_id",
+                                     text_col: str = "text", *,
+                                     k: int = 5, window: int = 4,
+                                     seed: int = 42) -> str:
+    """(doc_id, n_fingerprints) — distinct winnowing fingerprints per doc,
+    mirroring operators/dedup.py winnow_fingerprints_col: Rabin-Karp
+    k-gram polynomial hash over RAW UTF-8 bytes (seeded odd base, powers
+    folded to literals), mix64, sliding-window min, distinct."""
+    base = ((0x100000001B3 ^ _mix64_int(seed)) | 1) % _M64
+    powers = [pow(base, k - 1 - j, _M64) for j in range(k)]
+    byte_i = ("(strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16"
+              " + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)")
+    bytes_list = let(
+        "hx", f"hex(encode({text_col}))",
+        f"list_transform(range(1, length(hx) // 2 + 1),"
+        f" i -> ({byte_i})::HUGEINT)")
+    poly = "((" + " + ".join(
+        f"((b[i + {j + 1}] * {p}) & {_M64 - 1})" for j, p in enumerate(powers)
+    ) + f") & {_M64 - 1})"
+    gram_hash = sql_mix64(poly)
+    win_min = "least(" + ", ".join(
+        f"h[i + {j + 1}]" for j in range(window)) + ")"
+    return f"""
+        WITH byts AS (SELECT {id_col}, {bytes_list} AS b FROM {table}),
+        gh AS (
+          SELECT {id_col},
+                 CASE WHEN len(b) < {k} THEN []::HUGEINT[]
+                      ELSE list_transform(range(0, len(b) - {k - 1}),
+                                          i -> {gram_hash}) END AS h
+          FROM byts
+        ),
+        wins AS (
+          SELECT {id_col},
+                 CASE WHEN len(h) = 0 THEN []::HUGEINT[]
+                      WHEN len(h) < {window} THEN [list_min(h)]
+                      ELSE list_transform(range(0, len(h) - {window - 1}),
+                                          i -> {win_min}) END AS w
+          FROM gh
+        )
+        SELECT {id_col}, len(list_distinct(w))::BIGINT AS n_fingerprints
+        FROM wins
+    """
