@@ -774,9 +774,48 @@ def q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("value", 6).alias("top_value"))
 
 
+def q_salted_agg_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted grouped build == unsalted, BITWISE, asserted
+    in-query: the shuffle strategy with salt=8 (hot keys split over up to
+    8 tasks, per-key OR-merge) must reproduce the exact sketch bytes and
+    rows_seen of the single-task-per-key build. Hash-checked: the oracle
+    pins (lang, rows_seen, bitwise_equal_salted=true) per group."""
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.operators import bloom_agg
+
+    docs = _read(spark, sf_dir, "documents")
+    cfg = BloomConfig.from_false_pos(0.001, expected_items=2000, seed=42)
+    plain = bloom_agg(docs, ["lang"], "text", cfg, strategy="shuffle")
+    salted = bloom_agg(docs, ["lang"], "text", cfg, strategy="shuffle",
+                       salt=8)
+    joined = plain.select("lang", "rows_seen",
+                          F.col("sketch").alias("__sa")).join(
+        salted.select("lang", F.col("rows_seen").alias("__rb"),
+                      F.col("sketch").alias("__sb")), "lang")
+    return joined.select(
+        "lang", "rows_seen",
+        ((F.col("__sa") == F.col("__sb"))
+         & (F.col("rows_seen") == F.col("__rb")))
+        .alias("bitwise_equal_salted"))
+
+
+def q_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup survivors: one doc per single-link cluster (the
+    minimum id), clusters resolved to FIXPOINT via min-id propagation.
+    Hash-checked against a DuckDB RECURSIVE transitive closure over the
+    same verified pairs (oracle_sql.oracle_minhash_dedup_survivors)."""
+    from fastbloom_spark.operators.dedup import minhash_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "doc_id", "text", threshold=0.5,
+                         num_perm=128, bands=32, seed=42).select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "digest_parity": q_digest_parity,
+        "salted_agg_invariance": q_salted_agg_invariance,
+        "minhash_dedup_survivors": q_minhash_dedup_survivors,
         "bloom_zero_fn": q_bloom_zero_fn,
         "bloom_semijoin_agg": q_bloom_semijoin_agg,
         "dedup_exact": q_dedup_exact,
@@ -1130,6 +1169,13 @@ def oracle_sql() -> dict[str, str]:
         # Rabin-Karp generated by fastbloom_spark.oracle_sql (plain SQL,
         # bitwise-exact; parity proven in tests/test_oracle_sql.py), so
         # SimHash / MinHash-LSH / winnowing are value-hash-checked too
+        "salted_agg_invariance": """
+            SELECT lang, count(*) AS rows_seen,
+                   true AS bitwise_equal_salted
+            FROM documents GROUP BY lang
+        """,
+        "minhash_dedup_survivors":
+            _oracle_sql_mod().oracle_minhash_dedup_survivors(),
         "simhash": _oracle_sql_mod().oracle_simhash(),
         "simhash_pairs": _oracle_sql_mod().oracle_simhash_pairs(),
         "minhash_near_dups": _oracle_sql_mod().oracle_minhash_near_dups(),

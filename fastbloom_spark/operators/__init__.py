@@ -27,6 +27,7 @@ __all__ = [
 ]
 
 from .dedup import (
+    connected_min_ids,
     minhash_candidate_pairs,
     minhash_dedup,
     minhash_jaccard_est_col,
@@ -34,6 +35,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     shingles_col,
     simhash64_col,
+    simhash_dedup,
     simhash_near_dup_pairs,
     winnow_fingerprints_col,
     winnow_near_dup_pairs,
@@ -49,6 +51,7 @@ from .multimodal import (
 from .similarity import (
     ann_topk_rhp,
     cosine_topk,
+    embedding_dedup,
     embedding_near_dup_pairs,
     ivf_topk,
     ivf_topk_from_index,
@@ -68,11 +71,13 @@ __all__ += [
     "bpe_token_count_col", "ivf_topk_from_index", "minhash_jaccard_est_col",
     "resize_media", "sample_frames", "winnow_fingerprints_col",
     "winnow_near_dup_pairs", "write_ivf_index",
-    "minhash_candidate_pairs", "minhash_dedup", "minhash_signature_col",
-    "ngram_jaccard_pairs", "shingles_col", "simhash64_col",
+    "connected_min_ids", "minhash_candidate_pairs", "minhash_dedup",
+    "minhash_signature_col",
+    "ngram_jaccard_pairs", "shingles_col", "simhash64_col", "simhash_dedup",
     "simhash_near_dup_pairs", "fake_codec", "media_dedup_exact",
     "media_features", "synth_media_table", "ann_topk_rhp", "cosine_topk",
-    "embedding_near_dup_pairs", "ivf_topk", "kmeans_centroids",
+    "embedding_dedup", "embedding_near_dup_pairs", "ivf_topk",
+    "kmeans_centroids",
     "dedup_exact", "detect_lang_col", "doc_fingerprint_col",
     "quality_features", "token_count_col",
 ]

@@ -450,3 +450,27 @@ def simhash_near_dup_pairs(
     hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")) \
         .filter(F.col("hamming") <= max_hamming).distinct()
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Full SimHash dedup: pigeonhole-banded candidate pairs (hamming <=
+    ``max_hamming``) → single-link clusters via :func:`connected_min_ids`
+    (fixpoint) → one survivor per cluster (the minimum id). Same contract
+    as :func:`minhash_dedup` with SimHash's local-token-change robustness."""
+    pairs = simhash_near_dup_pairs(df, id_col, text_col,
+                                   max_hamming=max_hamming, bands=bands,
+                                   max_bucket_size=max_bucket_size)
+    comp = connected_min_ids(pairs.select("id_a", "id_b"),
+                             max_rounds=max_rounds)
+    losers = comp.filter(F.col("label") != F.col("id")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")

@@ -428,3 +428,31 @@ def embedding_near_dup_pairs(
         "id_a", "id_b",
         F.round(cos(F.col("__va"), F.col("__vb")), 6).alias("cosine")) \
         .filter(F.col("cosine") >= threshold).distinct()
+
+
+def embedding_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Full embedding near-dup dedup: RHP-bucketed cosine pairs at
+    ``threshold`` → single-link clusters resolved to FIXPOINT (min-id
+    propagation, `operators.dedup.connected_min_ids`) → one survivor per
+    cluster. The embedding-space counterpart of ``minhash_dedup`` /
+    ``simhash_dedup`` — same cluster contract, same O(edges) resolution."""
+    from .dedup import connected_min_ids
+
+    pairs = embedding_near_dup_pairs(
+        df, id_col, vec_col, threshold=threshold, num_planes=num_planes,
+        seed=seed, max_bucket_size=max_bucket_size)
+    comp = connected_min_ids(pairs.select("id_a", "id_b"),
+                             max_rounds=max_rounds)
+    losers = comp.filter(F.col("label") != F.col("id")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")

@@ -445,3 +445,43 @@ def oracle_winnow_fingerprint_counts(table: str = "documents",
         SELECT {id_col}, len(list_distinct(w))::BIGINT AS n_fingerprints
         FROM wins
     """
+
+
+def oracle_minhash_dedup_survivors(table: str = "documents",
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text", *,
+                                   shingle_n: int = 3, num_perm: int = 128,
+                                   bands: int = 32, seed: int = 42,
+                                   band_seed: int = 7,
+                                   max_bucket_size: int = 1000,
+                                   threshold: float = 0.5) -> str:
+    """Surviving doc ids after full near-dup dedup — the verified-pair
+    pipeline of :func:`oracle_minhash_near_dups` extended with a RECURSIVE
+    transitive closure, so single-link clusters keep exactly their minimum
+    id (the fixpoint contract of operators/dedup.py minhash_dedup +
+    connected_min_ids)."""
+    pairs_sql = oracle_minhash_near_dups(
+        table, id_col, text_col, shingle_n=shingle_n, num_perm=num_perm,
+        bands=bands, seed=seed, band_seed=band_seed,
+        max_bucket_size=max_bucket_size, threshold=threshold)
+    # splice the pair pipeline's WITH-chain into a RECURSIVE closure
+    body = pairs_sql.strip()
+    assert body.upper().startswith("WITH")
+    with_chain, _final_select = body[4:].rsplit("SELECT id_a, id_b", 1)
+    return f"""
+        WITH RECURSIVE {with_chain.rstrip()},
+        verified AS (SELECT id_a, id_b FROM scored
+                     WHERE jaccard >= {threshold}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                  UNION SELECT id_b, id_a FROM verified),
+        reach(id, r) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT reach.id, edges.dst FROM reach
+          JOIN edges ON reach.r = edges.src
+        ),
+        comp AS (SELECT id, least(id, min(r)) AS label
+                 FROM reach GROUP BY id)
+        SELECT {id_col} FROM {table}
+        WHERE {id_col} NOT IN (SELECT id FROM comp WHERE label <> id)
+    """

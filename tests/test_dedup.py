@@ -307,3 +307,31 @@ def test_minhash_dedup_transitive_chain_single_survivor(spark):
         docs, "doc_id", threshold=0.5, num_perm=128, bands=64,
         seed=42).collect())
     assert kept == [1, 9], kept
+
+
+def test_simhash_dedup_single_survivor_per_cluster(spark, near_dup_docs):
+    """simhash_dedup keeps exactly the min id of every hamming-linked
+    cluster and leaves singletons (and blank docs) untouched."""
+    from fastbloom_spark.operators.dedup import (simhash_dedup,
+                                                 simhash_near_dup_pairs)
+
+    pairs = simhash_near_dup_pairs(near_dup_docs, "doc_id", "text",
+                                   max_hamming=3, bands=4)
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    kept = {r.doc_id for r in simhash_dedup(
+        near_dup_docs, "doc_id", "text", max_hamming=3,
+        bands=4).collect()}
+    # min-id-per-component contract, computed independently
+    import itertools
+    parent = {}
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = {r.doc_id for r in near_dup_docs.collect()}
+    losers = {x for x in all_ids if find(x) != x}
+    assert kept == all_ids - losers

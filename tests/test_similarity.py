@@ -316,3 +316,25 @@ def test_kmeans_skips_count_on_large_corpus(spark):
     assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
     # one sample-collect job; the count fallback would add at least one more
     assert len(jobs) <= 2, jobs
+
+
+def test_embedding_dedup_clusters_to_min_id(spark):
+    """embedding_dedup: a planted 3-chain of near-identical vectors keeps
+    only its min id; distant vectors survive."""
+    from fastbloom_spark.operators.similarity import embedding_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    rows = []
+    for i, eps in [(1, 0.0), (2, 0.01), (3, 0.02)]:  # tight cluster
+        v = base + eps * rng.standard_normal(16)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for i in range(10, 30):  # random singletons
+        v = rng.standard_normal(16)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = sorted(r.vec_id for r in embedding_dedup(
+        df, "vec_id", "embedding", threshold=0.98, num_planes=8,
+        seed=11).collect())
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    assert set(range(10, 30)) <= set(kept)
