@@ -54,10 +54,16 @@ def fold_seed(s: int) -> int:
     historical bit patterns and existing checkpoints stay valid); each
     higher 64-bit word folds in through the splitmix64 finalizer, so u128
     seeds differing only in the high word produce different filters.
-    Negative ints are the two's-complement view of a 64-bit seed (the
-    Parquet round-trip convention)."""
+    Negative ints are the two's-complement view at the smallest 64-bit
+    word width that holds them (the Parquet round-trip convention for
+    int64; a wide negative folds its full two's-complement pattern — its
+    high words are never silently dropped)."""
     if s < 0:
-        return s & U64_MASK
+        # minimal two's-complement width: s fits w bits iff -(2^(w-1)) <= s,
+        # i.e. w >= bit_length(-s - 1) + 1 (int64 min stays 64-bit)
+        need = (-s - 1).bit_length() + 1
+        width = max(64, ((need + 63) // 64) * 64)
+        s &= (1 << width) - 1
     acc = s & U64_MASK
     rest = s >> 64
     if rest:

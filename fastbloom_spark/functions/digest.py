@@ -38,9 +38,15 @@ def register_digest(name: str, fn: Callable[[Column], Column]) -> str:
 
     Returns the strategy string ``"custom:<name>"`` to pass as
     ``BloomConfig(digest=...)`` / ``digest64(col, ...)``. The string rides
-    through sketch rows, checkpoints, and SQL metadata, so merge/resume
-    compatibility is enforced by the same digest-equality checks as the
-    built-ins. Driver-side registry: register before building the plan
+    through sketch rows, checkpoints, and SQL metadata, and the digest-
+    equality checks compare it like the built-ins — BUT the string is only
+    as trustworthy as the caller's discipline: the registry is per-driver
+    and mutable, so the NAME is the contract. Re-registering the same name
+    with a DIFFERENT expression (e.g. after a driver restart, before a
+    checkpoint resume) silently mixes incompatible hash spaces — merged
+    filters would return false negatives. Bind a name to one expression,
+    forever; version the name (``"crc32_v2"``) when the expression
+    changes. Driver-side registry: register before building the plan
     (Column expressions are composed on the driver; executors never
     resolve the name). No local ``digest64_bytes`` path exists for custom
     strategies — local filters take precomputed digests."""

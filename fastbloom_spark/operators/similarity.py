@@ -192,7 +192,6 @@ def kmeans_centroids(
     n_centroids: int,
     *,
     sample_rows: int = 20_000,
-    sample_fraction: float = 0.05,
     iters: int = 12,
     seed: int = 42,
 ) -> np.ndarray:
@@ -200,23 +199,33 @@ def kmeans_centroids(
     numpy. At 100 TB the sample (not the corpus) bounds driver work — a
     20k-row sample trains a 64-256-way quantizer fine; assignment runs
     distributed."""
-    # Seeded RANDOM sample — .limit() alone would take the first partitions
-    # only, biasing the quantizer to one shard of the corpus and silently
-    # degrading IVF recall at scale. No up-front count: try a fixed small
-    # fraction first (on a big corpus it fills sample_rows in one pass and
-    # the count job never runs); fall back to counting only when the sample
-    # comes back short (small corpora, where the count is cheap).
-    sample = df.select(vec_col) \
-        .sample(fraction=sample_fraction, seed=seed) \
-        .limit(sample_rows).toPandas()
-    if len(sample) < sample_rows:
-        n_total = df.count()
-        if n_total > sample_rows:
-            frac = min(1.0, (sample_rows * 1.2) / n_total)
-            sample = df.select(vec_col).sample(fraction=frac, seed=seed) \
-                .limit(sample_rows).toPandas()
-        else:
-            sample = df.select(vec_col).toPandas()
+    # Per-partition head sample: every partition contributes up to
+    # ceil(sample_rows / P) rows, so the sample covers ALL shards of the
+    # corpus (a bare .sample().limit() executes as CollectLimit and trains
+    # the quantizer on whichever partitions finish first — single-shard
+    # bias on partition-ordered corpora). No up-front count job, and each
+    # task stops reading after its quota (Arrow batches stream lazily).
+    # Residual bias: the head rows WITHIN each partition; acceptable for a
+    # coarse quantizer because every shard is represented.
+    import math
+
+    n_parts = max(df.rdd.getNumPartitions(), 1)
+    per_part = max(1, math.ceil(sample_rows / n_parts))
+
+    def take_head(batches):
+        taken = 0
+        for pdf in batches:
+            if taken >= per_part:
+                return
+            head = pdf.iloc[:per_part - taken]
+            taken += len(head)
+            yield head
+
+    schema = df.select(vec_col).schema
+    sample = df.select(vec_col).mapInPandas(take_head, schema).toPandas()
+    if len(sample) > sample_rows:
+        sample = sample.sample(n=sample_rows,
+                               random_state=seed & 0x7FFFFFFF)
     dim = len(sample[vec_col].iloc[0])
     mat = _normalize_rows(_vectors_from_series(sample[vec_col], dim))
     rng = np.random.default_rng(seed)

@@ -64,6 +64,38 @@ def _valid_mask(*series: pd.Series) -> np.ndarray:
     return m
 
 
+def _exact_int64(series: pd.Series, what: str) -> np.ndarray:
+    """int64 values of a semantically-long column, refusing silent
+    precision loss: Spark ships a nullable long column to Arrow/pandas as
+    float64, which destroys the low bits of any value >= 2^53 BEFORE the
+    UDF runs (full-range digests/seeds would probe wrong bits -> silent
+    false negatives). Values below 2^53 survive the float round-trip
+    exactly and are accepted; anything larger in a float batch raises."""
+    dt = str(series.dtype)
+    if dt == "int64":
+        return series.to_numpy(np.int64, copy=False)
+    if dt == "Int64":
+        return series.astype(np.int64).to_numpy(np.int64, copy=False)
+    f = series.to_numpy(np.float64, copy=False)
+    if np.any(np.abs(f) >= 2.0 ** 53):
+        raise ValueError(
+            f"{what} reached this UDF as float64 with values beyond 2^53: "
+            "Spark converts nullable LONG columns to float64 for pandas "
+            "UDFs, corrupting 64-bit digests/seeds before the UDF runs. "
+            "Filter the NULL rows out before probing (inner join instead "
+            "of outer) so the column stays int64.")
+    return f.astype(np.int64)
+
+
+def _exact_scalar_int(v, what: str) -> int:
+    if isinstance(v, (float, np.floating)):
+        if abs(v) >= 2.0 ** 53:
+            raise ValueError(
+                f"{what} reached this UDF as float64 >= 2^53 (nullable "
+                "long corruption) — filter NULL rows before probing.")
+    return int(v)
+
+
 def _check_same_params(family: str, first, current) -> None:
     if current != first:
         raise ValueError(
@@ -106,7 +138,7 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         if valid.any():
             sub = np.zeros(int(valid.sum()), dtype=np.int64)
             codes, uniques = pd.factorize(sketch[valid])
-            digs = digest[valid].astype(np.int64).to_numpy()
+            digs = _exact_int64(digest[valid], "cms_estimate digest")
             for gi, buf in enumerate(uniques):
                 impl, counters = load(bytes(buf))
                 mask = codes == gi
@@ -158,6 +190,15 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
     tdigest_quantile = _quantile_udf(_load_tdigest)
     kll_quantile = _quantile_udf(_load_kll)
 
+    # hoisted like _load_tdigest/_load_kll: defining the cache inside the
+    # UDF body would rebuild it every Arrow batch
+    @_cached
+    def _load_hll(buf: bytes):
+        from .sketch.hll import HllSketch
+
+        impl = HllSketch(precision=buf[1])
+        return impl, impl.deserialize(buf)
+
     @F.pandas_udf(BooleanType())
     def bloom_probe(sketch: pd.Series, k: pd.Series, seed: pd.Series,
                     layout: pd.Series, digest: pd.Series) -> pd.Series:
@@ -180,11 +221,12 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
                 list(zip(sketch[valid], k[valid], seed[valid],
                          layout[valid])), dtype=object)
             codes, uniques = pd.factorize(key)
-            digs = digest[valid].astype(np.int64).to_numpy()
+            digs = _exact_int64(digest[valid], "bloom_probe digest")
             for gi, (buf, kk, ss, lay) in enumerate(uniques):
                 words = words_of(bytes(buf))
                 mask = codes == gi
-                h = source_hash(digs[mask], int(ss) & ((1 << 64) - 1))
+                seed_i = _exact_scalar_int(ss, "bloom_probe seed")
+                h = source_hash(digs[mask], seed_i & ((1 << 64) - 1))
                 sub[mask] = contains_hashes(
                     words, h, int(kk), "flat" if lay is None else str(lay))
             out[valid] = sub
@@ -257,18 +299,13 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         so it is a coarse overlap signal, not a precise count — clamped at
         zero. Factorized by distinct (a, b) pair: a sketch table cross-joined
         against one reference sketch evaluates each DISTINCT pair once per
-        batch, with per-buffer deserialization cached."""
-        from .sketch.hll import HllSketch
-
-        @_cached
-        def load(buf: bytes):
-            impl = HllSketch(precision=buf[1])
-            return impl, impl.deserialize(buf)
+        batch, with per-buffer deserialization cached ACROSS batches
+        (_load_hll lives at registration scope)."""
 
         def inter(ba: bytes, bb: bytes) -> float:
-            impl, a = load(ba)
+            impl, a = _load_hll(ba)
             _check_same_params("hll_intersect", ba[1], bb[1])
-            _, b = load(bb)
+            _, b = _load_hll(bb)
             est = (impl.estimate(a) + impl.estimate(b)
                    - impl.estimate(impl.merge(a, b)))
             return max(est, 0.0)

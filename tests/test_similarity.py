@@ -290,32 +290,36 @@ def test_ivf_index_persistence_and_pruning(spark, tmp_path):
     assert "cell" in plan
 
 
-def test_kmeans_skips_count_on_large_corpus(spark):
-    """The quantizer sampler must not pay an up-front full count when the
-    fixed-fraction sample already fills sample_rows (the 100 TB path):
-    exactly one Spark job (the sample collect) runs; small corpora may
-    fall back to counting."""
+def test_kmeans_sample_covers_all_partitions_one_job(spark):
+    """The quantizer sampler runs ONE job (no up-front count) and draws
+    from EVERY partition — a partition-ordered corpus cannot bias the
+    quantizer to one shard (the CollectLimit failure mode)."""
     from fastbloom_spark.operators.similarity import kmeans_centroids
 
     n, dim = 60_000, 8
-    big = spark.range(n).select(
+    # partition-ordered corpus: each range partition holds one "shard";
+    # vectors encode their shard in coordinate 0 so shard coverage is
+    # observable in the trained centroids
+    big = spark.range(0, n, 1, 8).select(
         F.col("id").alias("vec_id"),
-        F.array(*[(F.rand(seed=i) * 2 - 1) for i in range(dim)])
-        .alias("embedding"))
-    big = big.persist()
+        F.array((F.col("id") < (n // 2)).cast("double") * 2 - 1,
+                *[(F.rand(seed=i) * 0.1) for i in range(dim - 1)])
+        .alias("embedding")).persist()
     big.count()
 
     sc = spark.sparkContext
     sc.setJobGroup("kmeans_jobs", "count kmeans jobs", False)
-    cents = kmeans_centroids(big, "embedding", 8, sample_rows=2000,
-                             sample_fraction=0.2, seed=3)
+    cents = kmeans_centroids(big, "embedding", 4, sample_rows=2000, seed=3)
     jobs = sc.statusTracker().getJobIdsForGroup("kmeans_jobs")
     sc.setLocalProperty("spark.jobGroup.id", None)
     big.unpersist()
-    assert cents.shape == (8, dim)
+    assert cents.shape == (4, dim)
     assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
-    # one sample-collect job; the count fallback would add at least one more
+    # no count job: the head-per-partition sample is a single collect
     assert len(jobs) <= 2, jobs
+    # both halves of the corpus (coord0 = +1 and -1 shards) reached the
+    # quantizer — a first-partitions-only sample would see only +1
+    assert cents[:, 0].max() > 0.5 and cents[:, 0].min() < -0.5, cents[:, 0]
 
 
 def test_embedding_dedup_clusters_to_min_id(spark):

@@ -425,3 +425,37 @@ def test_sql_quantile_vectorized_parity_and_speed(spark, sf_dir):
         # runs in a couple seconds even under this host's 3x noise windows
         assert dt < 12.0, (fn, dt)
     probes.unpersist()
+
+
+def test_sql_probe_refuses_float64_corrupted_digests(spark, sf_dir):
+    """Spark ships nullable LONG columns to pandas UDFs as float64, which
+    corrupts full-range 64-bit digests BEFORE the UDF runs. Small digests
+    (< 2^53, provably intact) keep working through the NULL-out path;
+    full-range digests mixed with NULLs must raise loudly instead of
+    probing wrong bits (silent false negatives)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    from fastbloom_spark.operators import bloom_agg
+
+    cfg = BloomConfig.with_num_bits(1 << 13, num_hashes=4, seed=42)
+    bloom_agg(cust, [], "c_name", cfg).createOrReplaceTempView("fb_b")
+
+    # full-range digest column containing a NULL -> loud refusal
+    spark.sql("""
+        SELECT CAST(4611686018427400249 AS BIGINT) AS d
+        UNION ALL SELECT CAST(NULL AS BIGINT)
+    """).createOrReplaceTempView("bad_probes")
+    with pytest.raises(Exception, match="float64|2\\^53"):
+        spark.sql("""
+            SELECT bloom_probe(b.sketch, b.k, b.seed, b.layout, p.d)
+            FROM bad_probes p CROSS JOIN fb_b b
+        """).collect()
+
+    # small digests with NULLs: exact through float64, NULL-out works
+    rows = spark.sql("""
+        WITH p AS (SELECT CAST(12345 AS BIGINT) AS d
+                   UNION ALL SELECT CAST(NULL AS BIGINT))
+        SELECT bloom_probe(b.sketch, b.k, b.seed, b.layout, p.d) AS r
+        FROM p CROSS JOIN fb_b b
+    """).collect()
+    assert sorted([r.r for r in rows], key=str) == sorted(
+        [None, False], key=str) or any(r.r is not None for r in rows)
