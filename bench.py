@@ -202,7 +202,7 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
     timed("minhash_dedup", lambda: ngram_jaccard_pairs(
         minhash_candidate_pairs(docs, "doc_id", "text", num_perm=128,
                                 bands=32, seed=SEED),
-        docs, "doc_id", "text", threshold=0.5).count())
+        docs, "doc_id", "text", threshold=0.5).count(), runs=2)
     facts["minhash_docs"] = docs.count()
 
     import numpy as np

@@ -30,6 +30,21 @@ from ..kernel import U64, mix64
 from .text import tokens_col
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Hash-heavy map stages (shingling, signatures, banding) are CPU-bound:
+    an input with fewer partitions than the cluster has task slots (small
+    tables, single parquet files) would serialize the whole corpus through
+    one task. Repartition up to defaultParallelism — a no-op at real scale
+    (100 TB inputs arrive with far more partitions than slots), and when it
+    does fire the row shuffle is bounded by the small input that triggered
+    it. Results are partition-invariant (asserted across partitionings in
+    tests), so this is purely a physical change."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def shingles_col(text_col: Column | str, n: int = 3) -> Column:
     """Sliding word n-gram shingle hashes as ``array<long>`` (JVM-only:
     split → sequence/transform/slice → xxhash64). Documents shorter than
@@ -139,7 +154,7 @@ def minhash_candidate_pairs(
     rows = num_perm // bands
     if bands * rows != num_perm:
         raise ValueError("bands must divide num_perm")
-    prepared = df.select(
+    prepared = _widen(df).select(
         F.col(id_col),
         shingles_col(text_col, shingle_n).alias("__sh"))
     # blank documents (empty shingle sets) would all share one degenerate
@@ -178,10 +193,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs (JVM set ops).
 
-    Returns ``(id_a, id_b, jaccard)`` with jaccard >= threshold."""
-    sh = df.select(F.col(id_col),
-                   F.array_distinct(shingles_col(text_col, shingle_n))
-                   .alias("__sh"))
+    Returns ``(id_a, id_b, jaccard)`` with jaccard >= threshold.
+
+    Shingles are recomputed ONLY for documents that appear in a candidate
+    pair (a semi-join prunes the corpus before the shingle expression
+    runs): candidates are a vanishing fraction of the corpus at scale, so
+    the verification pass costs O(candidate docs), not a second full-corpus
+    shingle scan."""
+    cand_ids = candidates.select(F.col("id_a").alias(id_col)).union(
+        candidates.select(F.col("id_b").alias(id_col))).distinct()
+    pruned = _widen(df).join(cand_ids, on=id_col, how="left_semi")
+    sh = pruned.select(F.col(id_col),
+                       F.array_distinct(shingles_col(text_col, shingle_n))
+                       .alias("__sh"))
     ja = candidates \
         .join(sh.select(F.col(id_col).alias("id_a"),
                         F.col("__sh").alias("__sh_a")), "id_a") \
@@ -345,9 +369,10 @@ def winnow_near_dup_pairs(
 
     Same scale shape as the other pair generators: explode fingerprints,
     cap degenerate buckets, equi-join, count shared prints per pair."""
-    fps = df.select(F.col(id_col),
-                    winnow_fingerprints_col(text_col, k=k, window=window,
-                                            seed=seed).alias("__fp")) \
+    fps = _widen(df).select(F.col(id_col),
+                            winnow_fingerprints_col(text_col, k=k,
+                                                    window=window,
+                                                    seed=seed).alias("__fp")) \
         .filter(F.size("__fp") > 0) \
         .select(id_col, F.explode("__fp").alias("fp"))
     from pyspark.sql.window import Window
@@ -422,7 +447,7 @@ def simhash_near_dup_pairs(
     dropped before banding, and buckets larger than ``max_bucket_size``
     are skipped (identical boilerplate clusters; the surviving bands still
     catch genuinely-near pairs through their other chunks)."""
-    sh = df.filter(F.size(tokens_col(text_col)) > 0) \
+    sh = _widen(df).filter(F.size(tokens_col(text_col)) > 0) \
         .select(F.col(id_col), simhash64_col(text_col).alias("__sim"))
     width = 64 // bands
     chunks = F.array(*[

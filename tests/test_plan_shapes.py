@@ -103,3 +103,25 @@ def test_grouped_agg_partial_before_shuffle(spark, sf_dir):
     assert "HashAggregate" in plan[first_exchange:], plan
     assert "HashAggregate" in plan[:first_exchange] or \
         "partial_" in plan, plan
+
+
+def test_salted_shuffle_partitions_by_key_and_salt(spark, sf_dir):
+    """The salt>1 shuffle strategy must materialize as ONE hash exchange on
+    (keys..., pmod(xxhash64(digest), salt)) — the physical property that
+    splits a hot key across tasks at any scale."""
+    from fastbloom_spark.operators import bloom_agg
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = BloomConfig.with_num_bits(1 << 12, num_hashes=4, seed=1)
+    out = bloom_agg(docs, ["lang"], "text", cfg, strategy="shuffle", salt=8)
+    plan = plan_of(out)
+    import re
+
+    exch = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert exch, plan
+    salted_exch = [l for l in exch if "lang" in l and "pmod" in l
+                   and "xxhash64" in l]
+    assert salted_exch, exch
+    # explicit partition count (AQE must not coalesce the spread away):
+    # REPARTITION_BY_NUM marks a user-pinned exchange
+    assert re.search(r"REPARTITION_BY_NUM", plan), plan
