@@ -234,7 +234,10 @@ def connected_min_ids(
     components of diameter ~2^25. Rounds run over the EDGE set only (dup
     pairs, a tiny fraction of the corpus at any scale); each is one
     edge⋈label shuffle + one label⋈label pointer jump, early-exiting on a
-    converged round."""
+    converged round. Lineage is truncated per round with localCheckpoint
+    (executor-local storage — on a cluster where executor loss during the
+    loop must be survivable, set a reliable checkpoint dir and swap in
+    ``checkpoint()``; the frames are edge-sized either way)."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.union(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst"))).persist()

@@ -125,3 +125,18 @@ def test_salted_shuffle_partitions_by_key_and_salt(spark, sf_dir):
     # explicit partition count (AQE must not coalesce the spread away):
     # REPARTITION_BY_NUM marks a user-pinned exchange
     assert re.search(r"REPARTITION_BY_NUM", plan), plan
+
+
+def test_dedup_widens_narrow_inputs_only(spark, sf_dir):
+    """Hash-heavy dedup map stages parallelize single-partition inputs
+    (repartition to defaultParallelism) but leave wide inputs alone — the
+    widen must be a no-op at real scale."""
+    from fastbloom_spark.operators.dedup import _widen
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    narrow = docs.coalesce(1)
+    wide = docs.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert _widen(narrow).rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+    # already-wide input: untouched (no extra exchange)
+    assert _widen(wide) is wide
