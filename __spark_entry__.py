@@ -534,8 +534,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesized binary media table → deterministic
-    Arrow-batched feature extraction (rows-only: input synthesized
-    in-engine; determinism tested across partitionings)."""
+    Arrow-batched feature extraction — hash-checked: the oracle
+    re-synthesizes the sha256-chain payloads in SQL and reads the nibble
+    histogram off the hex digits (determinism across partitionings is
+    additionally tested)."""
     from fastbloom_spark.operators.multimodal import (media_features,
                                                       synth_media_table)
 
@@ -1181,10 +1183,33 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _oracle_sql_mod().oracle_minhash_near_dups(),
         "winnow_fingerprints":
             _oracle_sql_mod().oracle_winnow_fingerprint_counts(),
-        # bloom_fpr_envelope, ivf_topk, media_features, hll/cms/tdigest/kll
-        # estimates, sketch_sql_estimates: sketch-state / approximate
-        # outputs — rows-only, with bounds and determinism asserted in
-        # tests/.
+        # media payloads are a sha256 hex chain and the feature is the
+        # byte high-nibble frequency == hex-char frequency at odd offsets;
+        # round_even matches numpy's banker's rounding on the exact k/128
+        # ties (DuckDB round() is half-away and WOULD mismatch)
+        "media_features": """
+            WITH m AS (SELECT range::BIGINT AS media_id FROM range(500)),
+            h AS (SELECT media_id, sha256('m42-' || media_id) AS mix FROM m),
+            p AS (SELECT media_id,
+                         sha256(mix || '0') || sha256(mix || '1') ||
+                         sha256(mix || '2') || sha256(mix || '3') AS ph
+                  FROM h),
+            nib AS (SELECT media_id,
+                           list_transform(range(0, 128),
+                                          i -> substr(ph, 2*i + 1, 1)) AS hn
+                    FROM p)
+            SELECT media_id,
+                   CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   round_even(len(list_filter(hn, c -> c = '0')) / 128.0, 6)
+                       AS f0,
+                   round_even(len(list_filter(hn, c -> c = '1')) / 128.0, 6)
+                       AS f1
+            FROM nib
+        """,
+        # bloom_fpr_envelope, ivf_topk, hll/cms/tdigest/kll estimates,
+        # sketch_sql_estimates: sketch-state / approximate outputs —
+        # rows-only, with bounds and determinism asserted in tests/.
     }
 
 
