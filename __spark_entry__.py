@@ -228,8 +228,12 @@ def q_per_lang_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct-user estimates per event type (rows-only: bound-checked
-    vs exact in tests/test_sketches_spark.py)."""
+    """HLL distinct-user estimates per event type — hash-checked: the
+    oracle replays register maxima + the bias-corrected/linear-counting
+    estimate in DuckDB SQL (oracle_sql.oracle_hll_distinct_users); est is
+    rounded to 4 decimals on BOTH sides because the harmonic sum's float
+    add order differs between numpy and SQL (values agree to ~1e-12).
+    Bound vs exact additionally checked in tests/test_sketches_spark.py."""
     import pandas as pd
 
     from fastbloom_spark.operators.sketch_agg import sketch_agg
@@ -239,15 +243,18 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = sketch_agg(_read(spark, sf_dir, "events"), ["event_type"],
                       F.col("user_id").cast("string"), impl).collect()
     out = [(r.event_type, int(r.rows_seen),
-            float(impl.estimate(impl.deserialize(bytes(r.sketch)))))
+            round(float(impl.estimate(impl.deserialize(bytes(r.sketch)))),
+                  4))
            for r in rows]
     return spark.createDataFrame(
         pd.DataFrame(out, columns=["event_type", "n_events", "est_users"]))
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min heavy hitters over event types (rows-only: overestimate
-    bound checked in tests)."""
+    """Count-min heavy hitters over event types — hash-checked: the oracle
+    replays the counter sums and min-over-rows point query in DuckDB SQL
+    (integer-exact; oracle_sql.oracle_cms_heavy_hitters). Overestimate
+    bound additionally checked in tests."""
     import numpy as np
     import pandas as pd
 
@@ -1207,9 +1214,15 @@ def oracle_sql() -> dict[str, str]:
                        AS f1
             FROM nib
         """,
-        # bloom_fpr_envelope, ivf_topk, hll/cms/tdigest/kll estimates,
-        # sketch_sql_estimates: sketch-state / approximate outputs —
-        # rows-only, with bounds and determinism asserted in tests/.
+        # sketch estimates that are deterministic data functions get FULL
+        # SQL replays (counter sums / register maxima / estimator math):
+        "cms_heavy_hitters": _oracle_sql_mod().oracle_cms_heavy_hitters(),
+        "hll_distinct_users": _oracle_sql_mod().oracle_hll_distinct_users(),
+        # bloom_fpr_envelope, ivf_topk, tdigest/kll quantiles,
+        # sketch_sql_estimates: remaining rows-only — t-digest/KLL states
+        # are insertion-ORDER-dependent (no SQL replay can pin them), IVF
+        # trains a driver-side quantizer, and the FPR envelope measures a
+        # probabilistic rate; bounds and determinism asserted in tests/.
     }
 
 

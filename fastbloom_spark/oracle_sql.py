@@ -485,3 +485,117 @@ def oracle_minhash_dedup_survivors(table: str = "documents",
         SELECT {id_col} FROM {table}
         WHERE {id_col} NOT IN (SELECT id FROM comp WHERE label <> id)
     """
+
+
+def sql_digest64_sha256_u64(expr: str) -> str:
+    """u64 view of the first 8 bytes (big-endian) of sha256(expr) — the
+    ``digest64`` "sha256" strategy (functions/digest.py) as a DuckDB
+    expression (DuckDB sha256() returns lowercase hex)."""
+    inner = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hs, {i + 1}, 1)) - 1)::HUGEINT"
+        f" * {16 ** (15 - i)}" for i in range(16))
+    return let("hs", f"sha256({expr})", f"({inner})")
+
+
+def oracle_cms_heavy_hitters(*, depth: int = 5, log2_width: int = 14,
+                             seed: int = 42,
+                             table: str = "events",
+                             key_col: str = "event_type") -> str:
+    """(event_type, est_count) — the count-min point estimates, exactly:
+    counters are integer sums per (row j, index), indexes derive from the
+    sha256 digest through source_hash + per-row mix64 (sketch/cms.py), all
+    seeds folded to literals. Every arithmetic step is integer-exact, so
+    the oracle matches the engine bit for bit."""
+    width = 1 << log2_width
+    mixseed = _mix64_int(seed)
+    row_seeds = [_mix64_int((seed ^ (0xC1A0 + 0x9E37 * j)) % _M64)
+                 for j in range(depth)]
+    z1 = sql_umul_const(sql_xor_shr("z0", 30), _SM1)
+    z2 = sql_umul_const(sql_xor_shr("z1", 27), _SM2)
+    idx_cols = ", ".join(
+        f"(xor(m2, m2 >> 31) & {width - 1}) AS i{j}"
+        for j in range(depth))
+    # one mix64 per row j, staged per-column (z0 differs per j)
+    per_j = ",\n          ".join(
+        let("z0", f"xor(sh, {rs}::HUGEINT)",
+            let("z1", z1, let("z2", z2,
+                              f"(xor(z2, z2 >> 31) & {width - 1})")))
+        + f" AS i{j}"
+        for j, rs in enumerate(row_seeds))
+    cnt_ctes = ",\n        ".join(
+        f"cnt{j} AS (SELECT i{j} AS idx, sum(n)::BIGINT AS c "
+        f"FROM d GROUP BY i{j})" for j in range(depth))
+    joins = "\n        ".join(
+        f"JOIN cnt{j} c{j} ON d.i{j} = c{j}.idx" for j in range(depth))
+    least = ", ".join(f"c{j}.c" for j in range(depth))
+    return f"""
+        WITH tc AS (SELECT {key_col}, count(*) AS n
+                    FROM {table} GROUP BY {key_col}),
+        dg AS (SELECT {key_col}, n,
+                      {sql_digest64_sha256_u64(key_col)} AS dgv FROM tc),
+        hh AS (SELECT {key_col}, n,
+                      {sql_mix64(f"xor(dgv, {mixseed}::HUGEINT)")} AS sh
+               FROM dg),
+        d AS MATERIALIZED (
+          SELECT {key_col}, n,
+          {per_j}
+          FROM hh
+        ),
+        {cnt_ctes}
+        SELECT d.{key_col}, least({least}) AS est_count
+        FROM d
+        {joins}
+    """
+
+
+def oracle_hll_distinct_users(*, precision: int = 12, seed: int = 42,
+                              table: str = "events",
+                              key_col: str = "event_type",
+                              user_col: str = "user_id",
+                              round_digits: int = 4) -> str:
+    """(event_type, n_events, est_users) — the HLL estimates, replayed:
+    register(idx) = max rank over values, rank = min(clz64(h << p), 64-p)+1,
+    estimate = bias-corrected harmonic mean with the linear-counting
+    small-range branch (sketch/hll.py). est rounded to ``round_digits``
+    (the harmonic sum's float ADD ORDER differs between numpy's pairwise
+    reduction and SQL's sequential sum; values are equal to ~1e-12)."""
+    m = 1 << precision
+    mixseed = _mix64_int(seed)
+    alpha = (0.673 if m == 16 else 0.697 if m == 32
+             else 0.709 if m == 64 else 0.7213 / (1.0 + 1.079 / m))
+    h_expr = sql_mix64(f"xor({sql_digest64_sha256_u64(user_col + '_s')}, "
+                       f"{mixseed}::HUGEINT)")
+    return f"""
+        WITH ev AS (SELECT {key_col},
+                           {user_col}::VARCHAR AS {user_col}_s
+                    FROM {table}),
+        nev AS (SELECT {key_col}, count(*) AS n_events
+                FROM ev GROUP BY {key_col}),
+        du AS (SELECT DISTINCT {key_col}, {user_col}_s FROM ev),
+        hh AS MATERIALIZED (
+          SELECT {key_col}, {h_expr} AS h FROM du),
+        rr AS (SELECT {key_col},
+                      (h >> {64 - precision})::BIGINT AS idx,
+                      (CASE WHEN (h << {precision}) & {_M64 - 1} = 0
+                            THEN {64 - precision}
+                            ELSE least(64 - length(bin(
+                                   (h << {precision}) & {_M64 - 1})),
+                                 {64 - precision}) END) + 1 AS rank
+               FROM hh),
+        regs AS (SELECT {key_col}, idx, max(rank) AS reg
+                 FROM rr GROUP BY {key_col}, idx),
+        agg AS (SELECT {key_col},
+                       count(*) AS present,
+                       sum(power(2.0, -reg)) AS inv_present
+                FROM regs GROUP BY {key_col}),
+        est AS (SELECT {key_col},
+                       {m} - present AS zeros,
+                       CAST({alpha!r} AS DOUBLE) * {m}::DOUBLE * {m}::DOUBLE
+                         / (({m} - present)::DOUBLE + inv_present) AS raw
+                FROM agg)
+        SELECT e.{key_col}, nev.n_events,
+               round(CASE WHEN raw <= {2.5 * m}::DOUBLE AND zeros > 0
+                          THEN {m}::DOUBLE * ln({m}::DOUBLE / zeros)
+                          ELSE raw END, {round_digits}) AS est_users
+        FROM est e JOIN nev ON e.{key_col} = nev.{key_col}
+    """
