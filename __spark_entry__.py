@@ -189,9 +189,12 @@ def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bloom_fpr_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured FPR vs the published theoretical bound (rows-only: the
-    statistical property is asserted in tests; here it is surfaced as data).
-    """
+    """Measured FPR vs the published theoretical bound — hash-checked: the
+    oracle replays the COMPLETE Bloom kernel in DuckDB SQL (sha256 digest
+    → seeded source hash → Kirsch-Mitzenmacher double-hash chain → Lemire
+    index → member bit set → 200k deterministic non-member probes), so the
+    measured hit counts are verified integer-exactly by an independent
+    engine (oracle_sql.oracle_bloom_fpr_envelope)."""
     import pandas as pd
 
     from fastbloom_spark.functions import digest64
@@ -1218,11 +1221,12 @@ def oracle_sql() -> dict[str, str]:
         # SQL replays (counter sums / register maxima / estimator math):
         "cms_heavy_hitters": _oracle_sql_mod().oracle_cms_heavy_hitters(),
         "hll_distinct_users": _oracle_sql_mod().oracle_hll_distinct_users(),
-        # bloom_fpr_envelope, ivf_topk, tdigest/kll quantiles,
-        # sketch_sql_estimates: remaining rows-only — t-digest/KLL states
-        # are insertion-ORDER-dependent (no SQL replay can pin them), IVF
-        # trains a driver-side quantizer, and the FPR envelope measures a
-        # probabilistic rate; bounds and determinism asserted in tests/.
+        "bloom_fpr_envelope":
+            _oracle_sql_mod().oracle_bloom_fpr_envelope(),
+        # ivf_topk, tdigest/kll quantiles, sketch_sql_estimates: remaining
+        # rows-only — t-digest/KLL states are insertion-ORDER-dependent
+        # (no SQL replay can pin them) and IVF trains a driver-side
+        # quantizer; bounds and determinism asserted in tests/.
     }
 
 

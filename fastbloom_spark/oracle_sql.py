@@ -599,3 +599,77 @@ def oracle_hll_distinct_users(*, precision: int = 12, seed: int = 42,
                           ELSE raw END, {round_digits}) AS est_users
         FROM est e JOIN nev ON e.{key_col} = nev.{key_col}
     """
+
+
+_KM_MULT = 0x517CC1B727220A95
+
+
+def oracle_bloom_fpr_envelope(*, expected_items: int = 500, seed: int = 42,
+                              trials: int = 200_000,
+                              fps=(0.1, 0.01, 0.001),
+                              table: str = "documents",
+                              text_col: str = "text") -> str:
+    """(target_fp, m, k, measured_fpr, theoretical_bound) — a FULL replay
+    of the Bloom kernel in SQL: member bit sets from the K-M double-hash
+    chain (h2 = h1*KM; h_{j+1} = rotl5(h_j) + h2) with Lemire indexing
+    ((h*m) >> 64 — m < 2^32 so the product fits HUGEINT), then 200k
+    deterministic non-member probes counted as hits iff ALL k bits are
+    set. m/k/bound fold from the same config math the engine uses
+    (config.py), so only the measured hit count is computed in SQL —
+    integer-exact. Chain stages are MATERIALIZED per step: inlining would
+    expand the rotl chain exponentially."""
+    from .config import BloomConfig
+
+    mixseed = _mix64_int(seed)
+    ctes, selects = [], []
+    for ci, fp in enumerate(fps):
+        cfg = BloomConfig.from_false_pos(fp, expected_items=expected_items,
+                                         seed=seed)
+        m, k = cfg.num_bits, cfg.num_hashes
+        bound = cfg.expected_false_pos(expected_items)
+
+        def chain(prefix: str, src: str, dig: str) -> list[str]:
+            out = [f"{prefix}0 AS MATERIALIZED (SELECT rid, "
+                   f"{sql_mix64(f'xor({dig}, {mixseed}::HUGEINT)')} AS g, "
+                   f"0::HUGEINT AS h2 FROM {src})",
+                   f"{prefix}1 AS MATERIALIZED (SELECT rid, g, "
+                   f"{sql_umul_const('g', _KM_MULT)} AS h2, "
+                   f"((g * {m}) >> 64)::BIGINT AS b0 FROM {prefix}0)"]
+            for j in range(1, k):
+                prev = f"{prefix}{j}" if j > 1 else f"{prefix}1"
+                rot = (f"((({ 'g' } & {(1 << 59) - 1}) * 32 + "
+                       f"(g >> 59) + h2) & {_M64 - 1})")
+                bits = ", ".join(f"b{x}" for x in range(j))
+                out.append(
+                    f"{prefix}{j + 1} AS MATERIALIZED (SELECT rid, "
+                    f"{rot} AS g, h2, {bits}, "
+                    f"(({rot} * {m}) >> 64)::BIGINT AS b{j} FROM {prev})")
+            return out
+
+        dig_m = sql_digest64_sha256_u64(text_col)
+        dig_p = sql_digest64_sha256_u64("('nonmember:' || rid)")
+        ctes += [f"c{ci}m AS (SELECT row_number() OVER () AS rid, "
+                 f"{dig_m} AS dg FROM {table})",
+                 f"c{ci}p AS (SELECT range::BIGINT AS rid, {dig_p} AS dg "
+                 f"FROM range({trials}))"]
+        ctes += chain(f"c{ci}mh", f"(SELECT rid, dg FROM c{ci}m)", "dg")
+        ctes += chain(f"c{ci}ph", f"(SELECT rid, dg FROM c{ci}p)", "dg")
+        last_m, last_p = f"c{ci}mh{k}", f"c{ci}ph{k}"
+        unpiv_m = " UNION ALL ".join(
+            f"SELECT b{j} AS bit FROM {last_m}" for j in range(k))
+        unpiv_p = " UNION ALL ".join(
+            f"SELECT rid, b{j} AS bit FROM {last_p}" for j in range(k))
+        ctes += [f"c{ci}bits AS MATERIALIZED "
+                 f"(SELECT DISTINCT bit FROM ({unpiv_m}))",
+                 f"c{ci}miss AS (SELECT DISTINCT rid FROM ({unpiv_p}) "
+                 f"WHERE bit NOT IN (SELECT bit FROM c{ci}bits))"]
+        # string-cast literals: DuckDB routes bare decimal literals
+        # through DECIMAL (rounding 17-digit doubles one ulp off); the
+        # VARCHAR->DOUBLE cast uses the exact float parser
+        selects.append(
+            f"SELECT CAST('{fp!r}' AS DOUBLE) AS target_fp, "
+            f"{m}::BIGINT AS m, {k}::BIGINT AS k, "
+            f"({trials} - (SELECT count(*) FROM c{ci}miss)) / {trials}.0 "
+            f"AS measured_fpr, "
+            f"CAST('{bound!r}' AS DOUBLE) AS theoretical_bound")
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
