@@ -200,9 +200,17 @@ def ngram_jaccard_pairs(
     runs): candidates are a vanishing fraction of the corpus at scale, so
     the verification pass costs O(candidate docs), not a second full-corpus
     shingle scan."""
+    # persist: `candidates` feeds three plan branches (id_a ids, id_b ids,
+    # the verification join) — without an explicit materialization the LSH
+    # candidate subtree (the most expensive stage) could re-execute per
+    # branch when exchange reuse doesn't apply
+    candidates = candidates.persist()
     cand_ids = candidates.select(F.col("id_a").alias(id_col)).union(
         candidates.select(F.col("id_b").alias(id_col))).distinct()
-    pruned = _widen(df).join(cand_ids, on=id_col, how="left_semi")
+    # prune FIRST (cheap id semi-join on the input as-is), widen the small
+    # surviving frame — widening before the prune would shuffle the whole
+    # corpus' text only to discard every non-candidate row
+    pruned = _widen(df.join(cand_ids, on=id_col, how="left_semi"))
     sh = pruned.select(F.col(id_col),
                        F.array_distinct(shingles_col(text_col, shingle_n))
                        .alias("__sh"))

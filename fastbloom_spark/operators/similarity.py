@@ -226,6 +226,19 @@ def kmeans_centroids(
     if len(sample) > sample_rows:
         sample = sample.sample(n=sample_rows,
                                random_state=seed & 0x7FFFFFFF)
+    elif len(sample) < sample_rows:
+        # short sample: either the corpus is genuinely small, or the
+        # partition layout is skewed (rows concentrated in few partitions,
+        # so per-partition quotas undersample). Disambiguate with a count
+        # — the slow path only fires when the cheap one came back short.
+        n_total = df.count()
+        if n_total > len(sample):
+            frac = min(1.0, (sample_rows * 1.2) / n_total)
+            sample = df.select(vec_col) \
+                .sample(fraction=frac, seed=seed).toPandas()
+            if len(sample) > sample_rows:
+                sample = sample.sample(n=sample_rows,
+                                       random_state=seed & 0x7FFFFFFF)
     dim = len(sample[vec_col].iloc[0])
     mat = _normalize_rows(_vectors_from_series(sample[vec_col], dim))
     rng = np.random.default_rng(seed)

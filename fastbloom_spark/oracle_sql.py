@@ -512,9 +512,6 @@ def oracle_cms_heavy_hitters(*, depth: int = 5, log2_width: int = 14,
                  for j in range(depth)]
     z1 = sql_umul_const(sql_xor_shr("z0", 30), _SM1)
     z2 = sql_umul_const(sql_xor_shr("z1", 27), _SM2)
-    idx_cols = ", ".join(
-        f"(xor(m2, m2 >> 31) & {width - 1}) AS i{j}"
-        for j in range(depth))
     # one mix64 per row j, staged per-column (z0 differs per j)
     per_j = ",\n          ".join(
         let("z0", f"xor(sh, {rs}::HUGEINT)",
@@ -594,7 +591,7 @@ def oracle_hll_distinct_users(*, precision: int = 12, seed: int = 42,
                          / (({m} - present)::DOUBLE + inv_present) AS raw
                 FROM agg)
         SELECT e.{key_col}, nev.n_events,
-               round(CASE WHEN raw <= {2.5 * m}::DOUBLE AND zeros > 0
+               round_even(CASE WHEN raw <= {2.5 * m}::DOUBLE AND zeros > 0
                           THEN {m}::DOUBLE * ln({m}::DOUBLE / zeros)
                           ELSE raw END, {round_digits}) AS est_users
         FROM est e JOIN nev ON e.{key_col} = nev.{key_col}

@@ -335,3 +335,35 @@ def test_simhash_dedup_single_survivor_per_cluster(spark, near_dup_docs):
     all_ids = {r.doc_id for r in near_dup_docs.collect()}
     losers = {x for x in all_ids if find(x) != x}
     assert kept == all_ids - losers
+
+
+def test_connected_min_ids_random_graphs_match_union_find(spark):
+    """Property check: on random edge sets, distributed min-id propagation
+    equals a plain union-find ground truth (components, min labels)."""
+    import random
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = 40
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(rng.randrange(5, 50))})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in
+                {x for e in edges for x in e}}
+
+        from fastbloom_spark.operators.dedup import connected_min_ids
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r.id: r.label for r in connected_min_ids(pairs).collect()}
+        assert got == want, (trial, edges)

@@ -117,6 +117,11 @@ def test_fold_seed_wide_domain():
         assert fold_seed(s) == s
     # negative = two's-complement view of a 64-bit seed (parquet round-trip)
     assert fold_seed(-1) == (1 << 64) - 1
+    assert fold_seed(-(1 << 63)) == 1 << 63  # int64 min stays 64-bit
+    # WIDE negatives fold their full two's-complement pattern — never
+    # silently truncated onto an unrelated 64-bit seed
+    assert fold_seed(-(2**64 + 1)) != fold_seed(-1)
+    assert fold_seed(-(2**64 + 1)) != fold_seed(-(2**65 + 1))
     # u128 seeds differing ONLY in the high word fold differently
     lo = 0x0123456789ABCDEF
     a = fold_seed((1 << 64) | lo)

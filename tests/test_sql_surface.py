@@ -454,8 +454,9 @@ def test_sql_probe_refuses_float64_corrupted_digests(spark, sf_dir):
     rows = spark.sql("""
         WITH p AS (SELECT CAST(12345 AS BIGINT) AS d
                    UNION ALL SELECT CAST(NULL AS BIGINT))
-        SELECT bloom_probe(b.sketch, b.k, b.seed, b.layout, p.d) AS r
+        SELECT p.d, bloom_probe(b.sketch, b.k, b.seed, b.layout, p.d) AS r
         FROM p CROSS JOIN fb_b b
     """).collect()
-    assert sorted([r.r for r in rows], key=str) == sorted(
-        [None, False], key=str) or any(r.r is not None for r in rows)
+    by_d = {r.d: r.r for r in rows}
+    assert by_d[None] is None          # NULL digest -> NULL result
+    assert by_d[12345] is False        # non-member small digest probes ok
