@@ -823,11 +823,23 @@ def q_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                          num_perm=128, bands=32, seed=42).select("doc_id")
 
 
+def q_simhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup survivors (one min-id per hamming-linked cluster,
+    fixpoint) — hash-checked against a DuckDB RECURSIVE transitive closure
+    over the same banded pairs (oracle_simhash_dedup_survivors)."""
+    from fastbloom_spark.operators.dedup import simhash_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_dedup(docs, "doc_id", "text", max_hamming=3,
+                         bands=4).select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "digest_parity": q_digest_parity,
         "salted_agg_invariance": q_salted_agg_invariance,
         "minhash_dedup_survivors": q_minhash_dedup_survivors,
+        "simhash_dedup_survivors": q_simhash_dedup_survivors,
         "bloom_zero_fn": q_bloom_zero_fn,
         "bloom_semijoin_agg": q_bloom_semijoin_agg,
         "dedup_exact": q_dedup_exact,
@@ -1188,6 +1200,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup_survivors":
             _oracle_sql_mod().oracle_minhash_dedup_survivors(),
+        "simhash_dedup_survivors":
+            _oracle_sql_mod().oracle_simhash_dedup_survivors(),
         "simhash": _oracle_sql_mod().oracle_simhash(),
         "simhash_pairs": _oracle_sql_mod().oracle_simhash_pairs(),
         "minhash_near_dups": _oracle_sql_mod().oracle_minhash_near_dups(),

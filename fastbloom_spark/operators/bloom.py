@@ -589,6 +589,7 @@ def bloom_semi_join(
     digest: str = "sha256",
     exact: bool = True,
     expected_items: int | None = None,
+    layout: str = "flat",
 ) -> DataFrame:
     """Sketch-accelerated semi-join: Bloom-prefilter the probe side with the
     build side's key filter, then (optionally) finish with an exact
@@ -604,6 +605,12 @@ def bloom_semi_join(
     Seed defaults to a fixed value (deterministic-by-default, like every
     operator entry point); build with ``BloomConfig(seed=None)`` +
     ``bloom_contains_col`` directly if random seeding is required.
+
+    ``layout="block64"`` builds the prefilter in the register-blocked
+    layout: ONE memory touch per probed row instead of k — the probe side
+    is the big side of a semi-join, so this is where the blocked layout's
+    ingest/probe advantage pays; costs ~1.3-2x bits for the same FPR
+    (still KBs-to-MBs broadcast once per executor).
     """
     right_on = right_on or left_on
     spark = left.sparkSession
@@ -611,9 +618,18 @@ def bloom_semi_join(
     # callers that know (even roughly) the build-side cardinality save a
     # full pass; over-estimates just waste bits, under-estimates raise FPR
     # but never break correctness (exact=True re-verifies)
-    bloom = bloom_build(
-        right.select(F.col(right_on).alias("__key")), "__key",
-        fp=fp, seed=seed, digest=digest, expected_items=expected_items)
+    if layout == "block64":
+        n_hint = expected_items
+        if n_hint is None:
+            n_hint = right.count()
+        cfg = BloomConfig.block64_from_false_pos(
+            fp, expected_items=max(n_hint, 1), seed=seed, digest=digest)
+        bloom = bloom_build(
+            right.select(F.col(right_on).alias("__key")), "__key", cfg)
+    else:
+        bloom = bloom_build(
+            right.select(F.col(right_on).alias("__key")), "__key",
+            fp=fp, seed=seed, digest=digest, expected_items=expected_items)
     pre = left.filter(
         bloom_contains_col(spark, bloom,
                            digest64(F.col(left_on), bloom.config.digest)))

@@ -670,3 +670,37 @@ def oracle_bloom_fpr_envelope(*, expected_items: int = 500, seed: int = 42,
             f"AS measured_fpr, "
             f"CAST('{bound!r}' AS DOUBLE) AS theoretical_bound")
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
+def oracle_simhash_dedup_survivors(table: str = "documents",
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text", *,
+                                   max_hamming: int = 3, bands: int = 4,
+                                   max_bucket_size: int = 1000) -> str:
+    """Surviving ids after full SimHash dedup — the banded-pair pipeline of
+    :func:`oracle_simhash_pairs` extended with a RECURSIVE transitive
+    closure (min id per single-link cluster survives), mirroring
+    operators/dedup.py simhash_dedup."""
+    pairs_sql = oracle_simhash_pairs(
+        table, id_col, text_col, max_hamming=max_hamming, bands=bands,
+        max_bucket_size=max_bucket_size)
+    body = pairs_sql.strip()
+    assert body.upper().startswith("WITH")
+    with_chain, _tail = body[4:].rsplit("SELECT DISTINCT a.doc", 1)
+    verified_select = "SELECT DISTINCT a.doc" + _tail
+    return f"""
+        WITH RECURSIVE {with_chain.rstrip()},
+        verified AS ({verified_select}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                  UNION SELECT id_b, id_a FROM verified),
+        reach(id, r) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT reach.id, edges.dst FROM reach
+          JOIN edges ON reach.r = edges.src
+        ),
+        comp AS (SELECT id, least(id, min(r)) AS label
+                 FROM reach GROUP BY id)
+        SELECT {id_col} FROM {table}
+        WHERE {id_col} NOT IN (SELECT id FROM comp WHERE label <> id)
+    """

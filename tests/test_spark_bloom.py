@@ -447,3 +447,22 @@ def test_custom_digest_strategy_end_to_end(spark, docs):
     # no local per-row path for custom digests
     with pytest.raises(ValueError, match="no local implementation"):
         digest64_bytes(b"abc", "custom:crc32x")
+
+
+def test_bloom_semi_join_block64_layout(spark, sf_dir):
+    """layout="block64" prefilter: identical exact semi-join results, zero
+    FN through the blocked probe."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sel = orders.filter(F.col("o_totalprice") > 100000)
+    want = lineitem.join(
+        sel.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey", "left_semi").count()
+    got = bloom_semi_join(lineitem, sel, "l_orderkey", "o_orderkey",
+                          fp=0.01, seed=7, layout="block64").count()
+    assert got == want
+    # prefilter-only mode keeps every true match (zero FN contract)
+    pre = bloom_semi_join(lineitem, sel, "l_orderkey", "o_orderkey",
+                          fp=0.01, seed=7, layout="block64",
+                          exact=False).count()
+    assert pre >= want
