@@ -618,14 +618,19 @@ def bloom_semi_join(
     # callers that know (even roughly) the build-side cardinality save a
     # full pass; over-estimates just waste bits, under-estimates raise FPR
     # but never break correctness (exact=True re-verifies)
+    if layout not in ("flat", "block64"):
+        raise ValueError(f"unknown layout {layout!r}")
     if layout == "block64":
         n_hint = expected_items
         if n_hint is None:
             n_hint = right.count()
         cfg = BloomConfig.block64_from_false_pos(
             fp, expected_items=max(n_hint, 1), seed=seed, digest=digest)
+        # forward the cardinality so the planner keeps its cost-model P*
+        # and scan-strategy choice (block64's faster kernel pushes P* down)
         bloom = bloom_build(
-            right.select(F.col(right_on).alias("__key")), "__key", cfg)
+            right.select(F.col(right_on).alias("__key")), "__key", cfg,
+            expected_items=n_hint)
     else:
         bloom = bloom_build(
             right.select(F.col(right_on).alias("__key")), "__key",
