@@ -1,6 +1,14 @@
 from .checkpoint import (read_checkpoint, resume_bloom_agg,
                          resume_bloom_build, write_checkpoint)
 from .codetable import synth_code_table
+from .index import (
+    PruneStats,
+    index_parquet_files,
+    prune_index,
+    pruned_read,
+    pruned_read_files,
+    write_indexed_table,
+)
 from .sink import (
     read_code_table,
     read_repo,
@@ -20,4 +28,10 @@ __all__ = [
     "read_repo",
     "repo_bucket_col",
     "write_sketch_table",
+    "PruneStats",
+    "write_indexed_table",
+    "index_parquet_files",
+    "prune_index",
+    "pruned_read",
+    "pruned_read_files",
 ]

@@ -1,0 +1,240 @@
+"""Bloom data-skipping index: per-bucket / per-file filters that prune scans.
+
+Partition pruning on the *partition* key is free (directory listing), but a
+point lookup on any OTHER column scans the whole table. A skip index stores
+one fixed-size Bloom sketch per storage unit (bucket directory or parquet
+file) over that non-partition column — the pattern Iceberg bloom stats,
+ClickHouse skip indexes, and parquet row-group bloom filters implement at
+the format layer, built here from the engine's own mergeable sketch rows so
+it works over any column expression and any digest strategy.
+
+Why this is the 100 TB shape:
+
+* index size is ``units * m/8`` bytes — governed by the bucket/file count
+  and the target FPR, NOT the table size; it stays driver-loadable (a
+  10^5-file table at 4 KiB/filter is 400 MiB worst-case, and per-bucket
+  indexes are KBs) and the probe is microseconds of numpy per unit;
+* pruning happens at the FILE-LISTING step: surviving buckets become an
+  ``IN`` predicate over the partition column (Catalyst partition pruning —
+  ``PartitionFilters`` in the scan node), surviving files become the
+  explicit read path list; skipped data is never opened, not merely
+  filtered after read;
+* zero false negatives (the reference ``contains`` contract, fastbloom
+  src/lib.rs:217-233) make pruning semantically transparent: a matching row
+  can never live in a skipped unit. False positives only cost reading one
+  extra unit — the index FPR bounds expected over-read.
+
+Index construction is one :func:`~fastbloom_spark.operators.bloom.bloom_agg`
+pass (map-side partials, sketch-row-only shuffle), so building the index
+costs one scan and shuffles ``units * m/8`` bytes regardless of row count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import BloomConfig
+from ..kernel import digest64_bytes
+from ..operators.bloom import bloom_agg, sketch_row_to_filter
+
+#: partition column added by write_indexed_table
+BUCKET_COL = "bucket_id"
+#: grouping column used by the per-file index
+FILE_COL = "file_path"
+
+
+@dataclass(frozen=True)
+class PruneStats:
+    """What the index did to the scan: units = bucket dirs or files."""
+
+    granularity: str  # "partition" | "file"
+    units_total: int
+    units_survived: int
+    survivors: tuple[str, ...]
+
+    @property
+    def skipped_fraction(self) -> float:
+        if self.units_total == 0:
+            return 0.0
+        return 1.0 - self.units_survived / self.units_total
+
+
+def bucket_col(source: str, num_buckets: int) -> Column:
+    """Stable bucket id: ``pmod(xxhash64(cast(source as string)), B)``.
+
+    The string cast pins one byte representation per value (UTF-8), so the
+    bucket function is engine-replayable (the DuckDB oracle recomputes it
+    bit-for-bit) and layout-stable across writes.
+    """
+    return F.pmod(F.xxhash64(F.col(source).cast("string")),
+                  F.lit(num_buckets)).cast("int")
+
+
+def _meta_cols(df: DataFrame, *, index_col: str, num_buckets: int,
+               bucket_source: str) -> DataFrame:
+    # self-describing index: pruned_read needs no caller-side config
+    return (df.withColumn("index_col", F.lit(index_col))
+              .withColumn("num_buckets", F.lit(num_buckets))
+              .withColumn("bucket_source", F.lit(bucket_source)))
+
+
+def write_indexed_table(
+    df: DataFrame,
+    path: str,
+    *,
+    index_col: str,
+    cfg: BloomConfig,
+    bucket_source: str,
+    num_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``{path}/data`` partitioned by a hash bucket of
+    ``bucket_source`` plus ``{path}/index``: one Bloom sketch row per bucket
+    over ``digest64(index_col)``.
+
+    ``cfg.expected_items`` should be sized for rows *per bucket* (rows /
+    num_buckets); over-sizing wastes ``m/8`` bytes per bucket, under-sizing
+    raises the index FPR (weaker pruning) but can never lose rows.
+
+    The explicit ``repartition(num_buckets, bucket)`` pins one task — and
+    so one output file — per bucket directory; AQE would otherwise coalesce
+    the small column-only shuffle into a handful of multi-bucket tasks.
+    """
+    bucketed = df.withColumn(BUCKET_COL, bucket_col(bucket_source,
+                                                    num_buckets))
+    (bucketed.repartition(num_buckets, F.col(BUCKET_COL))
+        .write.mode(mode).partitionBy(BUCKET_COL).parquet(f"{path}/data"))
+    index = bloom_agg(bucketed, [BUCKET_COL], index_col, cfg,
+                      distinct_keys_hint=num_buckets)
+    _meta_cols(index, index_col=index_col, num_buckets=num_buckets,
+               bucket_source=bucket_source) \
+        .write.mode(mode).parquet(f"{path}/index")
+
+
+def index_parquet_files(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    *,
+    index_col: str,
+    cfg: BloomConfig,
+    mode: str = "overwrite",
+) -> None:
+    """Per-FILE skip index over an EXISTING parquet table — no rewrite.
+
+    Finer granularity than bucket dirs (the row-group-bloom analogue): one
+    sketch per physical file, keyed by ``input_file_name()``. Strategy is
+    pinned to ``"partial"`` because a task only ever reads a handful of
+    files, so the per-(file, partition) partial count collapses to ~one
+    sketch per file with zero row shuffle — the auto cost model's
+    ``min(keys, P) * P`` worst case cannot happen for this key.
+    """
+    df = spark.read.parquet(data_path) \
+        .withColumn(FILE_COL, F.input_file_name())
+    index = bloom_agg(df, [FILE_COL], index_col, cfg, strategy="partial")
+    _meta_cols(index, index_col=index_col, num_buckets=0,
+               bucket_source=FILE_COL) \
+        .write.mode(mode).parquet(index_path)
+
+
+def probe_digests(values: Iterable, digest: str = "sha256") -> list[int]:
+    """Driver-side digest64 of probe values — bit-equal to the Spark-side
+    ``digest64(col, digest)`` column for string/int values (both hash the
+    UTF-8 bytes of the string rendering; parity tested in test_kernel)."""
+    out = []
+    for v in values:
+        data = bytes(v) if isinstance(v, (bytes, bytearray)) \
+            else str(v).encode("utf-8")
+        out.append(digest64_bytes(data, digest))
+    return out
+
+
+def prune_index(
+    index_pdf: pd.DataFrame,
+    digests: Sequence[int],
+    *,
+    key_field: str,
+    granularity: str = "partition",
+) -> PruneStats:
+    """Pure driver-side prune: a unit survives iff its filter says
+    maybe-contains for ANY probe digest. Microseconds per unit (vectorized
+    kernel over the whole digest vector); no Spark job."""
+    survivors = []
+    for _, row in index_pdf.iterrows():
+        filt = sketch_row_to_filter(row)
+        if len(digests) and bool(filt.contains_digests(list(digests)).any()):
+            survivors.append(str(row[key_field]))
+    return PruneStats(granularity=granularity,
+                      units_total=len(index_pdf),
+                      units_survived=len(survivors),
+                      survivors=tuple(sorted(survivors)))
+
+
+def read_index(spark: SparkSession, index_path: str) -> pd.DataFrame:
+    """Load index rows driver-side (Arrow path — binary-heavy collect)."""
+    return spark.read.parquet(index_path).toPandas()
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    probe_values: Sequence,
+    *,
+    exact: bool = True,
+) -> tuple[DataFrame, PruneStats]:
+    """Scan a :func:`write_indexed_table` table for the probe values,
+    reading only surviving bucket directories.
+
+    The returned plan filters ``bucket_id IN (survivors)`` — a partition
+    predicate Catalyst resolves at file listing (``PartitionFilters``), so
+    skipped directories are never opened. ``exact=True`` additionally
+    applies ``index_col IN (probe_values)``, turning maybe-contains into
+    exact membership (the Bloom zero-FN contract guarantees no row is
+    lost). ``exact=False`` returns all candidate rows of surviving buckets
+    (the caller owns verification — e.g. probing on digests of a column
+    that was transformed after indexing)."""
+    index_pdf = read_index(spark, f"{path}/index")
+    if not len(index_pdf):
+        raise ValueError(f"empty bloom index at {path}/index")
+    index_col = str(index_pdf["index_col"].iloc[0])
+    digest = str(index_pdf["digest"].iloc[0])
+    stats = prune_index(index_pdf, probe_digests(probe_values, digest),
+                        key_field=BUCKET_COL, granularity="partition")
+    df = spark.read.parquet(f"{path}/data")
+    df = df.filter(F.col(BUCKET_COL).isin(
+        [int(s) for s in stats.survivors] or [-1]))
+    if exact:
+        df = df.filter(F.col(index_col).isin(list(probe_values)))
+    return df, stats
+
+
+def pruned_read_files(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    probe_values: Sequence,
+    *,
+    exact: bool = True,
+) -> tuple[DataFrame, PruneStats]:
+    """File-granularity variant: survivors become the explicit read-path
+    list, so the scan's input is exactly the surviving files."""
+    index_pdf = read_index(spark, index_path)
+    if not len(index_pdf):
+        raise ValueError(f"empty bloom index at {index_path}")
+    index_col = str(index_pdf["index_col"].iloc[0])
+    digest = str(index_pdf["digest"].iloc[0])
+    stats = prune_index(index_pdf, probe_digests(probe_values, digest),
+                        key_field=FILE_COL, granularity="file")
+    if stats.survivors:
+        df = spark.read.parquet(*stats.survivors)
+    else:  # nothing can match: empty frame, full-table schema
+        df = spark.createDataFrame(
+            [], spark.read.parquet(data_path).schema)
+    if exact and len(df.columns):
+        df = df.filter(F.col(index_col).isin(list(probe_values)))
+    return df, stats

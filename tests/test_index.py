@@ -1,0 +1,153 @@
+"""Bloom data-skipping index: zero-FN pruned reads, real partition pruning
+(PartitionFilters in the scan node), per-file granularity, determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastbloom_spark import BloomConfig
+from fastbloom_spark.sources import (
+    index_parquet_files,
+    prune_index,
+    pruned_read,
+    pruned_read_files,
+    write_indexed_table,
+)
+from fastbloom_spark.sources.index import (
+    BUCKET_COL,
+    FILE_COL,
+    probe_digests,
+    read_index,
+)
+from tests.test_plan_shapes import formatted
+
+CFG = BloomConfig.from_false_pos(0.01, expected_items=80, seed=42)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def indexed_path(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bloom_index") / "docs")
+    write_indexed_table(docs, path, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8)
+    return path
+
+
+def member_texts(docs, n=5):
+    rows = docs.filter(F.col("doc_id") % 100 == 3).orderBy("doc_id") \
+        .limit(n).collect()
+    return [r.text for r in rows]
+
+
+def test_pruned_read_zero_false_negatives(spark, docs, indexed_path):
+    """Every row matching a probe value is returned — pruning never loses
+    data (the reference contains() contract, fastbloom src/lib.rs:217-233,
+    lifted to scan pruning)."""
+    probes = member_texts(docs)
+    got, stats = pruned_read(spark, indexed_path, probes)
+    want = docs.filter(F.col("text").isin(probes))
+    assert sorted(r.doc_id for r in got.collect()) \
+        == sorted(r.doc_id for r in want.collect())
+    assert stats.units_total == 8
+    assert 1 <= stats.units_survived <= 8
+
+
+def test_prune_is_partition_pruning_not_post_filter(spark, docs,
+                                                    indexed_path):
+    """The survivors reach the scan as a PARTITION predicate (resolved at
+    file listing), and the files actually read are exactly the surviving
+    bucket directories."""
+    probes = member_texts(docs, n=1)
+    got, stats = pruned_read(spark, indexed_path, probes, exact=False)
+    plan = formatted(got)
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and BUCKET_COL in scan[0], plan
+    files = {r.f for r in
+             got.select(F.input_file_name().alias("f")).distinct().collect()}
+    dirs = {f.rsplit("/", 2)[-2] for f in files}
+    assert dirs == {f"{BUCKET_COL}={s}" for s in stats.survivors}
+
+
+def test_selective_probe_skips_buckets(spark, docs, indexed_path):
+    """One member probe survives its own bucket plus FPR-bounded extras:
+    with fp=0.01 and 8 buckets the expected extra is 0.07 buckets, so
+    requiring <= 2 survivors leaves ~4 sigma of slack."""
+    probes = member_texts(docs, n=1)
+    _, stats = pruned_read(spark, indexed_path, probes)
+    assert stats.units_survived <= 2
+    assert stats.skipped_fraction >= 0.75
+
+
+def test_absent_probe_returns_nothing(spark, indexed_path):
+    got, stats = pruned_read(spark, indexed_path,
+                             ["no-such-document-xyzzy"])
+    assert got.count() == 0
+    assert stats.units_survived <= 1  # FPR-bounded over-read, never rows
+
+
+def test_prune_index_empty_probe_list(spark, indexed_path):
+    index_pdf = read_index(spark, f"{indexed_path}/index")
+    stats = prune_index(index_pdf, [], key_field=BUCKET_COL)
+    assert stats.units_survived == 0 and stats.survivors == ()
+
+
+def test_index_is_deterministic(spark, docs, tmp_path):
+    """Same input -> bitwise-identical index sketches (the distributed ==
+    local invariant carried through the index writer)."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (a, b):
+        write_indexed_table(docs, p, index_col="text", cfg=CFG,
+                            bucket_source="doc_id", num_buckets=8)
+    rows_a = {r[BUCKET_COL]: bytes(r["sketch"])
+              for _, r in read_index(spark, f"{a}/index").iterrows()}
+    rows_b = {r[BUCKET_COL]: bytes(r["sketch"])
+              for _, r in read_index(spark, f"{b}/index").iterrows()}
+    assert rows_a == rows_b and len(rows_a) == 8
+
+
+def test_file_granularity_roundtrip(spark, docs, tmp_path):
+    data = str(tmp_path / "data")
+    idx = str(tmp_path / "idx")
+    docs.repartition(4).write.parquet(data)
+    index_parquet_files(spark, data, idx, index_col="text", cfg=CFG)
+    index_pdf = read_index(spark, idx)
+    assert len(index_pdf) == 4  # one sketch row per physical file
+
+    probes = member_texts(docs)
+    got, stats = pruned_read_files(spark, data, idx, probes)
+    want = docs.filter(F.col("text").isin(probes))
+    assert sorted(r.doc_id for r in got.collect()) \
+        == sorted(r.doc_id for r in want.collect())
+    assert stats.granularity == "file"
+    assert set(stats.survivors) <= {str(r[FILE_COL])
+                                    for _, r in index_pdf.iterrows()}
+
+
+def test_file_granularity_no_survivors_empty_frame(spark, docs, tmp_path):
+    data = str(tmp_path / "data2")
+    idx = str(tmp_path / "idx2")
+    docs.repartition(3).write.parquet(data)
+    index_parquet_files(spark, data, idx, index_col="text", cfg=CFG)
+    got, stats = pruned_read_files(spark, data, idx, ["absent-abcdef"])
+    if stats.units_survived == 0:  # FPR makes a stray survivor possible
+        assert got.count() == 0
+        assert got.schema == spark.read.parquet(data).schema
+    else:
+        assert got.count() == 0  # exact filter still yields nothing
+
+
+def test_probe_digest_parity_with_column(spark, docs):
+    """Driver-side probe digests equal the Spark digest64 column — the
+    prune decision and the data scan agree on the hash space."""
+    from fastbloom_spark.functions import digest64
+
+    vals = member_texts(docs, n=3)
+    spark_side = {r.d for r in
+                  docs.filter(F.col("text").isin(vals))
+                      .select(digest64("text").alias("d")).collect()}
+    assert set(probe_digests(vals)) == spark_side
