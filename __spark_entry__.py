@@ -657,6 +657,52 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     }]))
 
 
+def q_bloom_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom data-skipping index end-to-end (hash-checked: the oracle
+    replays bucket assignment, the per-bucket kernel bit sets, and probe
+    survival in pure SQL): write the documents table bucketed 8 ways on
+    doc_id with a per-bucket text filter, then for member and absent
+    probes report how many buckets survive pruning and — from the PRUNED
+    read — how many rows match exactly. Member rows_matched equaling the
+    unpruned truth is the zero-FN pruning contract (reference contains(),
+    fastbloom src/lib.rs:217-233) carried to scan pruning."""
+    import tempfile
+
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.sources import prune_index, pruned_read, \
+        write_indexed_table
+    from fastbloom_spark.sources.index import (BUCKET_COL, probe_digests,
+                                               read_index)
+
+    docs = _read(spark, sf_dir, "documents")
+    cfg = BloomConfig.from_false_pos(0.02, expected_items=128, seed=42)
+    path = tempfile.mkdtemp(prefix="fb_idx_") + "/docs"
+    write_indexed_table(docs, path, index_col="text", cfg=cfg,
+                        bucket_source="doc_id", num_buckets=8)
+
+    members = docs.filter(F.col("doc_id") % 100 == 3) \
+        .select("doc_id", "text").orderBy("doc_id").collect()
+    probes = [(f"doc:{r.doc_id}", 1, r.text) for r in members] \
+        + [(f"absent:{i}", 0, f"absent:{i}") for i in range(5)]
+
+    index_pdf = read_index(spark, f"{path}/index")
+    rows = [(pid, mem,
+             prune_index(index_pdf, probe_digests([val]),
+                         key_field=BUCKET_COL).units_survived, val)
+            for pid, mem, val in probes]
+    probe_df = spark.createDataFrame(
+        rows, "probe_id string, is_member int, buckets_survived long, "
+              "val string")
+
+    pruned, _stats = pruned_read(spark, path, [p[2] for p in probes])
+    counts = pruned.groupBy("text").agg(F.count("*").alias("n"))
+    return probe_df.join(counts, probe_df.val == counts.text, "left") \
+        .select("probe_id", "is_member", "buckets_survived",
+                F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                 .alias("rows_matched")) \
+        .orderBy("probe_id")
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming stateful Bloom dedup (rows-only: streaming is
     not SQL-expressible for the oracle; exactness asserted in
@@ -875,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "user_top_event": q_user_top_event,
         "checkpoint_resume": q_checkpoint_resume,
+        "bloom_index_prune": q_bloom_index_prune,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sketch_state": q_streaming_sketch_state,
         "bloom_rollup": q_bloom_rollup,
@@ -1237,6 +1284,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": _oracle_sql_mod().oracle_hll_distinct_users(),
         "bloom_fpr_envelope":
             _oracle_sql_mod().oracle_bloom_fpr_envelope(),
+        "bloom_index_prune":
+            _oracle_sql_mod().oracle_bloom_index_prune(),
         # ivf_topk, tdigest/kll quantiles, sketch_sql_estimates: remaining
         # rows-only — t-digest/KLL states are insertion-ORDER-dependent
         # (no SQL replay can pin them) and IVF trains a driver-side

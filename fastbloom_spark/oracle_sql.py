@@ -704,3 +704,89 @@ def oracle_simhash_dedup_survivors(table: str = "documents",
         SELECT {id_col} FROM {table}
         WHERE {id_col} NOT IN (SELECT id FROM comp WHERE label <> id)
     """
+
+
+def _bloom_chain_ctes(prefix: str, src: str, key: str, k: int, m: int,
+                      mixseed: int) -> tuple[list[str], str]:
+    """K-M double-hash chain as MATERIALIZED CTE stages, carrying ``key``
+    through: ``src`` must expose ``({key}, dg)`` with dg a u64 HUGEINT
+    digest. Returns (ctes, last_cte_name); the last stage has columns
+    ``({key}, b0..b{k-1})`` — the filter bit indexes (kernel.py
+    source_hash -> DoubleHasher -> Lemire mulhi, bit-exact)."""
+    out = [f"{prefix}0 AS MATERIALIZED (SELECT {key}, "
+           f"{sql_mix64(f'xor(dg, {mixseed}::HUGEINT)')} AS g, "
+           f"0::HUGEINT AS h2 FROM {src})",
+           f"{prefix}1 AS MATERIALIZED (SELECT {key}, g, "
+           f"{sql_umul_const('g', _KM_MULT)} AS h2, "
+           f"((g * {m}) >> 64)::BIGINT AS b0 FROM {prefix}0)"]
+    for j in range(1, k):
+        prev = f"{prefix}{j}" if j > 1 else f"{prefix}1"
+        rot = (f"(((g & {(1 << 59) - 1}) * 32 + "
+               f"(g >> 59) + h2) & {_M64 - 1})")
+        bits = ", ".join(f"b{x}" for x in range(j))
+        out.append(
+            f"{prefix}{j + 1} AS MATERIALIZED (SELECT {key}, "
+            f"{rot} AS g, h2, {bits}, "
+            f"(({rot} * {m}) >> 64)::BIGINT AS b{j} FROM {prev})")
+    return out, f"{prefix}{k}"
+
+
+def oracle_bloom_index_prune(*, num_buckets: int = 8, fp: float = 0.02,
+                             expected_items: int = 128, seed: int = 42,
+                             table: str = "documents") -> str:
+    """Full replay of the data-skipping index (sources/index.py): bucket
+    assignment (xxh64 of the doc_id string, masked — num_buckets is a
+    power of two so unsigned mod == Spark's pmod), per-bucket Bloom bit
+    sets from the kernel chain, probe survival (ALL k bits present), and
+    the exact match counts that prove the pruned read lost no rows."""
+    from .config import BloomConfig
+
+    cfg = BloomConfig.from_false_pos(fp, expected_items=expected_items,
+                                     seed=seed)
+    m, k = cfg.num_bits, cfg.num_hashes
+    mixseed = _mix64_int(seed)
+    assert num_buckets & (num_buckets - 1) == 0
+    xxh_doc = sql_xxh64_utf8("CAST(doc_id AS VARCHAR)")
+
+    ctes = [
+        f"base AS MATERIALIZED (SELECT ({xxh_doc}) & {num_buckets - 1} "
+        f"AS bucket, {sql_digest64_sha256_u64('text')} AS dg FROM {table})",
+        f"probes AS MATERIALIZED ("
+        f"SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS probe_id, "
+        f"1 AS is_member, text AS val FROM {table} WHERE doc_id % 100 = 3 "
+        f"UNION ALL SELECT 'absent:' || CAST(range AS VARCHAR), 0, "
+        f"'absent:' || CAST(range AS VARCHAR) FROM range(5))",
+        f"pr AS (SELECT probe_id, {sql_digest64_sha256_u64('val')} AS dg "
+        f"FROM probes)",
+    ]
+    mch, mlast = _bloom_chain_ctes("mh", "base", "bucket", k, m, mixseed)
+    pch, plast = _bloom_chain_ctes("ph", "pr", "probe_id", k, m, mixseed)
+    ctes += mch + pch
+    unpiv_m = " UNION ALL ".join(
+        f"SELECT bucket, b{j} AS bit FROM {mlast}" for j in range(k))
+    unpiv_p = " UNION ALL ".join(
+        f"SELECT probe_id, b{j} AS bit FROM {plast}" for j in range(k))
+    ctes += [
+        f"bbits AS MATERIALIZED (SELECT DISTINCT bucket, bit "
+        f"FROM ({unpiv_m}))",
+        f"pbits AS MATERIALIZED (SELECT DISTINCT probe_id, bit "
+        f"FROM ({unpiv_p}))",
+        "pcnt AS (SELECT probe_id, count(*) AS nb FROM pbits "
+        "GROUP BY probe_id)",
+        "hit AS (SELECT p.probe_id, bb.bucket, count(*) AS got "
+        "FROM pbits p JOIN bbits bb USING (bit) "
+        "GROUP BY p.probe_id, bb.bucket)",
+        "surv AS (SELECT probe_id, count(*) AS buckets_survived "
+        "FROM hit JOIN pcnt USING (probe_id) WHERE got = nb "
+        "GROUP BY probe_id)",
+        f"matched AS (SELECT p.probe_id, count(d.text) AS rows_matched "
+        f"FROM probes p LEFT JOIN {table} d ON d.text = p.val "
+        f"GROUP BY p.probe_id)",
+    ]
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            "SELECT p.probe_id, p.is_member::INT AS is_member, "
+            "COALESCE(s.buckets_survived, 0)::BIGINT AS buckets_survived, "
+            "m2.rows_matched::BIGINT AS rows_matched "
+            "FROM probes p LEFT JOIN surv s USING (probe_id) "
+            "JOIN matched m2 ON m2.probe_id = p.probe_id "
+            "ORDER BY p.probe_id")
