@@ -777,6 +777,61 @@ def q_streaming_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rows_seen")
 
 
+def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed streaming HLL rollup (hash-checked): daily
+    tumbling windows of distinct-user sketches maintained in streaming
+    state, finalized exactly once when the watermark passes each window
+    end (EventTimeTimeout eviction — bounded state over unbounded time).
+    A sentinel event past the horizon finalizes every data window, so the
+    oracle replays the result as a batch per-day HLL estimate
+    (oracle_hll_distinct_users keyed by date_trunc('day', ts))."""
+    import tempfile
+
+    import pandas as pd
+
+    from fastbloom_spark.sketch import HllSketch
+    from fastbloom_spark.streaming import streaming_windowed_sketch_agg
+
+    # watermarks require TIMESTAMP (testdata ships TIMESTAMP_NTZ); the
+    # cast is value-identical under the UTC session timezone
+    events = _read(spark, sf_dir, "events") \
+        .select(F.col("ts").cast("timestamp").alias("ts"),
+                F.col("user_id").cast("string").alias("uid"))
+    work = tempfile.mkdtemp(prefix="fb_wstream_")
+    src, ckpt, out = f"{work}/src", f"{work}/ckpt", f"{work}/out"
+    events.coalesce(4).write.mode("overwrite").parquet(src)
+    impl = HllSketch(precision=12, seed=42)
+
+    def run_pass():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        agg = streaming_windowed_sketch_agg(
+            stream, "ts", "uid", impl, window="1 day", watermark="1 hour")
+        q = (agg.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_pass()
+    # sentinel 3 days past max(ts): watermark passes every data window's
+    # end, so ALL data windows finalize; the sentinel's own window stays
+    # open and is never emitted
+    max_ts = events.agg(F.max("ts")).first()[0]
+    spark.createDataFrame(
+        [(max_ts + __import__("datetime").timedelta(days=3), "sentinel")],
+        events.schema).coalesce(1).write.mode("append").parquet(src)
+    run_pass()
+
+    rows = spark.read.parquet(out).collect()
+    got = [(r.window_start.strftime("%Y-%m-%d %H:%M:%S"),
+            int(r.rows_seen),
+            round(float(impl.estimate(impl.deserialize(bytes(r.sketch)))),
+                  4))
+           for r in rows]
+    return spark.createDataFrame(
+        pd.DataFrame(got, columns=["window_start", "n_events", "est_users"])
+    ).orderBy("window_start")
+
+
 def q_bloom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical sketch rollup (rows-only: sketch-state output; level
     bitwise-parity vs direct builds asserted in tests). One row scan at the
@@ -924,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_index_prune": q_bloom_index_prune,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sketch_state": q_streaming_sketch_state,
+        "streaming_windowed_hll": q_streaming_windowed_hll,
         "bloom_rollup": q_bloom_rollup,
         "sketch_sql_estimates": q_sketch_sql_estimates,
     }
@@ -1286,6 +1342,14 @@ def oracle_sql() -> dict[str, str]:
             _oracle_sql_mod().oracle_bloom_fpr_envelope(),
         "bloom_index_prune":
             _oracle_sql_mod().oracle_bloom_index_prune(),
+        # the windowed streaming rollup finalizes EVERY data window (the
+        # sentinel pushes the watermark past them), so the batch per-day
+        # replay is exact; est rounded to 4 decimals like hll_distinct_users
+        "streaming_windowed_hll": _oracle_sql_mod().oracle_hll_distinct_users(
+            table="(SELECT strftime(date_trunc('day', ts), "
+                  "'%Y-%m-%d %H:%M:%S') AS window_start, user_id "
+                  "FROM events) s",
+            key_col="window_start"),
         # ivf_topk, tdigest/kll quantiles, sketch_sql_estimates: remaining
         # rows-only — t-digest/KLL states are insertion-ORDER-dependent
         # (no SQL replay can pin them) and IVF trains a driver-side

@@ -223,3 +223,90 @@ def test_streaming_sketch_agg_cms(spark, tmp_path):
     want = {r.event_type: bytes(r.sketch) for r in
             sketch_agg(events, ["event_type"], "val", impl).collect()}
     assert got == want  # byte-identical counter states
+
+
+# ---------------------------------------------------- windowed finalization --
+
+W_SCHEMA = StructType([
+    StructField("ts", TimestampType()),
+    StructField("event_type", StringType()),
+    StructField("uid", LongType()),
+])
+
+
+def _run_windowed(spark, src, ckpt, out, impl, **kw):
+    from fastbloom_spark.streaming import streaming_windowed_sketch_agg
+
+    stream = spark.readStream.schema(W_SCHEMA).parquet(src)
+    agg = streaming_windowed_sketch_agg(
+        stream, "ts", F.col("uid").cast("string"), impl, **kw)
+    q = (agg.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.read.parquet(out)
+
+
+def test_windowed_sketch_finalizes_on_watermark(spark, tmp_path):
+    """A window emits exactly ONE row — when the watermark passes its end —
+    and its state is removed (exactly-once finalization across restarts
+    from the same checkpoint)."""
+    from datetime import datetime
+
+    from fastbloom_spark.sketch import HllSketch
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    rows = [(datetime(2024, 1, 1, h, m, 0), "a", (h * 100 + m) % 37)
+            for h in range(3) for m in range(0, 60, 5)]
+    spark.createDataFrame(rows, W_SCHEMA).coalesce(2) \
+        .write.mode("overwrite").parquet(src)
+
+    impl = HllSketch(precision=10, seed=1)
+    r1 = _run_windowed(spark, src, ckpt, out, impl,
+                       window="1 hour", watermark="10 minutes")
+    got1 = sorted((str(r.window_start), r.rows_seen) for r in r1.collect())
+    # watermark = 02:55 - 10 min: hours 0 and 1 finalized, hour 2 open
+    assert got1 == [("2024-01-01 00:00:00", 12), ("2024-01-01 01:00:00", 12)]
+
+    # a later event pushes the watermark past hour 2; no re-emits of 0/1
+    spark.createDataFrame([(datetime(2024, 1, 1, 9, 0, 0), "a", 999)],
+                          W_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    r2 = _run_windowed(spark, src, ckpt, out, impl,
+                       window="1 hour", watermark="10 minutes")
+    got2 = sorted((str(r.window_start), r.rows_seen) for r in r2.collect())
+    assert got2 == [("2024-01-01 00:00:00", 12), ("2024-01-01 01:00:00", 12),
+                    ("2024-01-01 02:00:00", 12)]
+
+
+def test_windowed_sketch_byte_equals_batch(spark, tmp_path):
+    """Finalized window sketches byte-equal the batch sketch_agg over the
+    same rows for order-independent state (HLL register maxima), keyed
+    windows included."""
+    from datetime import datetime
+
+    from fastbloom_spark.operators.sketch_agg import sketch_agg
+    from fastbloom_spark.sketch import HllSketch
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("s2", "c2", "o2"))
+    rows = [(datetime(2024, 1, 1, h, m, 0), "ab"[m % 2], h * 59 + m)
+            for h in range(2) for m in range(0, 60, 3)]
+    df = spark.createDataFrame(rows, W_SCHEMA)
+    df.coalesce(3).write.mode("overwrite").parquet(src)
+    # nudge so both hours finalize
+    spark.createDataFrame([(datetime(2024, 1, 2), "a", 0)], W_SCHEMA) \
+        .write.mode("append").parquet(src)
+
+    impl = HllSketch(precision=9, seed=7)
+    got_df = _run_windowed(spark, src, ckpt, out, impl,
+                           window="1 hour", watermark="1 minute",
+                           key_cols=["event_type"])
+    got = {(str(r.window_start), r.event_type): bytes(r.sketch)
+           for r in got_df.collect()}
+
+    batch = sketch_agg(
+        df.withColumn("win_start", F.window("ts", "1 hour").getField("start")),
+        ["win_start", "event_type"], F.col("uid").cast("string"), impl)
+    want = {(str(r.win_start), r.event_type): bytes(r.sketch)
+            for r in batch.collect()}
+    assert got == want and len(got) == 4
