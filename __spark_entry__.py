@@ -846,9 +846,13 @@ def q_bloom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sketch_sql_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketches queried from PURE SQL (rows-only): per-event-type HLL
+    """Sketches queried from PURE SQL — hash-checked: per-event-type HLL
     estimates via the registered hll_estimate() SQL function over a
-    persisted-shape sketch view."""
+    persisted-shape sketch view, plus a global row re-aggregated with the
+    hll_union_agg SQL aggregate. HLL union is register-wise max
+    (associative), so the oracle replays the global row as an HLL built
+    over ALL users directly; estimates use bround/round_even (HALF_EVEN)
+    on both sides."""
     from fastbloom_spark.operators.sketch_agg import sketch_agg
     from fastbloom_spark.sketch import HllSketch
     from fastbloom_spark.sql import register_sketch_sql
@@ -863,12 +867,12 @@ def q_sketch_sql_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollup of persisted sketch state)
     return spark.sql("""
         SELECT event_type, rows_seen,
-               round(hll_estimate(sketch), 1) AS est_users
+               bround(hll_estimate(sketch), 1) AS est_users
         FROM hll_users_by_type
         UNION ALL
         SELECT '__all__' AS event_type,
                (SELECT sum(rows_seen) FROM hll_users_by_type) AS rows_seen,
-               round(hll_estimate(hll_union_agg(sketch)), 1) AS est_users
+               bround(hll_estimate(hll_union_agg(sketch)), 1) AS est_users
         FROM hll_users_by_type
     """)
 
@@ -1350,10 +1354,23 @@ def oracle_sql() -> dict[str, str]:
                   "'%Y-%m-%d %H:%M:%S') AS window_start, user_id "
                   "FROM events) s",
             key_col="window_start"),
-        # ivf_topk, tdigest/kll quantiles, sketch_sql_estimates: remaining
-        # rows-only — t-digest/KLL states are insertion-ORDER-dependent
-        # (no SQL replay can pin them) and IVF trains a driver-side
-        # quantizer; bounds and determinism asserted in tests/.
+        # hll_union_agg == register-wise max (associative), so the global
+        # '__all__' row replays as an HLL over ALL users; both engines
+        # round HALF_EVEN (bround / round_even)
+        "sketch_sql_estimates": (
+            "SELECT event_type, n_events AS rows_seen, est_users FROM ("
+            + _oracle_sql_mod().oracle_hll_distinct_users(round_digits=1)
+            + ") p UNION ALL "
+            "SELECT event_type, n_events AS rows_seen, est_users FROM ("
+            + _oracle_sql_mod().oracle_hll_distinct_users(
+                table="(SELECT '__all__' AS event_type, user_id "
+                      "FROM events) s",
+                key_col="event_type", round_digits=1)
+            + ") g"),
+        # ivf_topk, tdigest/kll quantiles: remaining rows-only —
+        # t-digest/KLL states are insertion-ORDER-dependent (no SQL
+        # replay can pin them) and IVF trains a driver-side quantizer;
+        # bounds and determinism asserted in tests/.
     }
 
 
