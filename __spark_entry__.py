@@ -821,12 +821,14 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.schema).coalesce(1).write.mode("append").parquet(src)
     run_pass()
 
-    rows = spark.read.parquet(out).collect()
+    # toPandas: Arrow transfer for the binary sketch column (CLAUDE.md
+    # gotcha — collect() of binary columns is slow py4j)
+    pdf = spark.read.parquet(out).toPandas()
     got = [(r.window_start.strftime("%Y-%m-%d %H:%M:%S"),
             int(r.rows_seen),
             round(float(impl.estimate(impl.deserialize(bytes(r.sketch)))),
                   4))
-           for r in rows]
+           for r in pdf.itertuples(index=False)]
     return spark.createDataFrame(
         pd.DataFrame(got, columns=["window_start", "n_events", "est_users"])
     ).orderBy("window_start")

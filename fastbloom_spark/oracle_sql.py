@@ -271,17 +271,16 @@ def oracle_simhash(table: str = "documents", id_col: str = "doc_id",
     """
 
 
-def oracle_simhash_pairs(table: str = "documents", id_col: str = "doc_id",
-                         text_col: str = "text", *, max_hamming: int = 3,
-                         bands: int = 4,
-                         max_bucket_size: int = 1000) -> str:
-    """Near-dup pairs via 16-bit pigeonhole banding + exact popcount —
-    mirrors operators/dedup.py simhash_near_dup_pairs (empty docs dropped,
-    oversized buckets skipped, hamming <= max_hamming, distinct pairs)."""
+def _simhash_pairs_parts(table: str, id_col: str, text_col: str, *,
+                         max_hamming: int, bands: int,
+                         max_bucket_size: int) -> tuple[str, str]:
+    """(cte_chain, final_select) for the banded-pairs pipeline — split so
+    composing oracles (dedup survivors) can extend the chain with named
+    CTEs instead of string surgery on the rendered SQL."""
     width = 64 // bands
     band_rows = ", ".join(f"({i})" for i in range(bands))
-    return f"""
-        WITH {_simhash_ctes(table, id_col, text_col)},
+    chain = f"""
+        {_simhash_ctes(table, id_col, text_col)},
         shifted AS (
           SELECT doc, sim, band_idx,
                  (sim // (CASE band_idx {" ".join(
@@ -294,12 +293,28 @@ def oracle_simhash_pairs(table: str = "documents", id_col: str = "doc_id",
                   AS bn FROM shifted),
         capped AS MATERIALIZED (
           SELECT * FROM sized WHERE bn <= {max_bucket_size})
+    """
+    final = f"""
         SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
                bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
         FROM capped a JOIN capped b USING (band_idx, band_val)
         WHERE a.doc < b.doc
           AND bit_count(xor(a.sim, b.sim)) <= {max_hamming}
     """
+    return chain.strip(), final
+
+
+def oracle_simhash_pairs(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text", *, max_hamming: int = 3,
+                         bands: int = 4,
+                         max_bucket_size: int = 1000) -> str:
+    """Near-dup pairs via 16-bit pigeonhole banding + exact popcount —
+    mirrors operators/dedup.py simhash_near_dup_pairs (empty docs dropped,
+    oversized buckets skipped, hamming <= max_hamming, distinct pairs)."""
+    chain, final = _simhash_pairs_parts(
+        table, id_col, text_col, max_hamming=max_hamming, bands=bands,
+        max_bucket_size=max_bucket_size)
+    return f"WITH {chain}\n{final}"
 
 
 def _shingle_ctes(table: str, id_col: str, text_col: str,
@@ -625,33 +640,19 @@ def oracle_bloom_fpr_envelope(*, expected_items: int = 500, seed: int = 42,
         m, k = cfg.num_bits, cfg.num_hashes
         bound = cfg.expected_false_pos(expected_items)
 
-        def chain(prefix: str, src: str, dig: str) -> list[str]:
-            out = [f"{prefix}0 AS MATERIALIZED (SELECT rid, "
-                   f"{sql_mix64(f'xor({dig}, {mixseed}::HUGEINT)')} AS g, "
-                   f"0::HUGEINT AS h2 FROM {src})",
-                   f"{prefix}1 AS MATERIALIZED (SELECT rid, g, "
-                   f"{sql_umul_const('g', _KM_MULT)} AS h2, "
-                   f"((g * {m}) >> 64)::BIGINT AS b0 FROM {prefix}0)"]
-            for j in range(1, k):
-                prev = f"{prefix}{j}" if j > 1 else f"{prefix}1"
-                rot = (f"((({ 'g' } & {(1 << 59) - 1}) * 32 + "
-                       f"(g >> 59) + h2) & {_M64 - 1})")
-                bits = ", ".join(f"b{x}" for x in range(j))
-                out.append(
-                    f"{prefix}{j + 1} AS MATERIALIZED (SELECT rid, "
-                    f"{rot} AS g, h2, {bits}, "
-                    f"(({rot} * {m}) >> 64)::BIGINT AS b{j} FROM {prev})")
-            return out
-
         dig_m = sql_digest64_sha256_u64(text_col)
         dig_p = sql_digest64_sha256_u64("('nonmember:' || rid)")
         ctes += [f"c{ci}m AS (SELECT row_number() OVER () AS rid, "
                  f"{dig_m} AS dg FROM {table})",
                  f"c{ci}p AS (SELECT range::BIGINT AS rid, {dig_p} AS dg "
                  f"FROM range({trials}))"]
-        ctes += chain(f"c{ci}mh", f"(SELECT rid, dg FROM c{ci}m)", "dg")
-        ctes += chain(f"c{ci}ph", f"(SELECT rid, dg FROM c{ci}p)", "dg")
-        last_m, last_p = f"c{ci}mh{k}", f"c{ci}ph{k}"
+        mch, last_m = _bloom_chain_ctes(
+            f"c{ci}mh", f"(SELECT rid, dg FROM c{ci}m)", "rid", k, m,
+            mixseed)
+        pch, last_p = _bloom_chain_ctes(
+            f"c{ci}ph", f"(SELECT rid, dg FROM c{ci}p)", "rid", k, m,
+            mixseed)
+        ctes += mch + pch
         unpiv_m = " UNION ALL ".join(
             f"SELECT b{j} AS bit FROM {last_m}" for j in range(k))
         unpiv_p = " UNION ALL ".join(
@@ -681,15 +682,11 @@ def oracle_simhash_dedup_survivors(table: str = "documents",
     :func:`oracle_simhash_pairs` extended with a RECURSIVE transitive
     closure (min id per single-link cluster survives), mirroring
     operators/dedup.py simhash_dedup."""
-    pairs_sql = oracle_simhash_pairs(
+    with_chain, verified_select = _simhash_pairs_parts(
         table, id_col, text_col, max_hamming=max_hamming, bands=bands,
         max_bucket_size=max_bucket_size)
-    body = pairs_sql.strip()
-    assert body.upper().startswith("WITH")
-    with_chain, _tail = body[4:].rsplit("SELECT DISTINCT a.doc", 1)
-    verified_select = "SELECT DISTINCT a.doc" + _tail
     return f"""
-        WITH RECURSIVE {with_chain.rstrip()},
+        WITH RECURSIVE {with_chain},
         verified AS ({verified_select}),
         edges AS (SELECT id_a AS src, id_b AS dst FROM verified
                   UNION SELECT id_b, id_a FROM verified),

@@ -109,7 +109,13 @@ def write_indexed_table(
                                                     num_buckets))
     (bucketed.repartition(num_buckets, F.col(BUCKET_COL))
         .write.mode(mode).partitionBy(BUCKET_COL).parquet(f"{path}/data"))
-    index = bloom_agg(bucketed, [BUCKET_COL], index_col, cfg,
+    # index the WRITTEN data, not a second evaluation of df's lineage — a
+    # nondeterministic input (sample, concurrent append) would otherwise
+    # produce an index missing rows that ARE in the data files, silently
+    # breaking the zero-FN pruning contract (and re-reading one bucketed
+    # table beats re-running the upstream lineage anyway)
+    written = df.sparkSession.read.parquet(f"{path}/data")
+    index = bloom_agg(written, [BUCKET_COL], index_col, cfg,
                       distinct_keys_hint=num_buckets)
     _meta_cols(index, index_col=index_col, num_buckets=num_buckets,
                bucket_source=bucket_source) \
@@ -231,7 +237,11 @@ def pruned_read_files(
     stats = prune_index(index_pdf, probe_digests(probe_values, digest),
                         key_field=FILE_COL, granularity="file")
     if stats.survivors:
-        df = spark.read.parquet(*stats.survivors)
+        # basePath keeps hive partition columns when data_path is a
+        # partitioned table (leaf-file reads drop them otherwise, and the
+        # two branches would return different schemas)
+        df = spark.read.option("basePath", data_path) \
+            .parquet(*stats.survivors)
     else:  # nothing can match: empty frame, full-table schema
         df = spark.createDataFrame(
             [], spark.read.parquet(data_path).schema)

@@ -61,6 +61,14 @@ def streaming_windowed_sketch_agg(
     instead of erroring on a stale timestamp.
     """
     keys = list(key_cols)
+    # Arrow delivers the struct key's timestamps as tz-NAIVE wall-clock in
+    # the session timezone, while getCurrentWatermarkMs() is true epoch ms
+    # — localize with the resolved session tz or the timeout would be
+    # offset by the tz (firing early == double emission). DST-ambiguous
+    # window ends resolve to the first occurrence (worst case: one window
+    # per year finalizes an hour off at the fall-back transition).
+    session_tz = stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC") or "UTC"
     # group by the window STRUCT itself: extracting .start/.end would strip
     # the event-time watermark tag and the analyzer would reject the
     # EventTimeTimeout ("watermark must be specified")
@@ -113,7 +121,10 @@ def streaming_windowed_sketch_agg(
             acc = impl.update(acc, _values_np(pdf["__value"], impl))
             rows_seen += len(pdf)
         state.update((rows_seen, impl.serialize(acc)))
-        end_ms = int(pd.Timestamp(win_end).timestamp() * 1000)
+        end_ms = int(pd.Timestamp(win_end)
+                     .tz_localize(session_tz, ambiguous=True,
+                                  nonexistent="shift_forward")
+                     .timestamp() * 1000)
         state.setTimeoutTimestamp(
             max(end_ms, state.getCurrentWatermarkMs() + 1))
 
