@@ -362,6 +362,27 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, "vec_id", "embedding", queries_np, k=5)
 
 
+def q_rademacher_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-replayable ANN (hash-checked): Rademacher ±1 sign
+    projections derived from the mix64 chain bucket the corpus,
+    integer-quantized dots make every signature bit float-tie-free across
+    engines, 1-bit multiprobe candidates are exact-cosine reranked. The
+    oracle (oracle_rademacher_ann) replays planes, signatures, candidate
+    generation, and the rerank in pure SQL — the ANN counterpart of the
+    exact embed_topk oracle."""
+    import numpy as np
+
+    from fastbloom_spark.operators.similarity import ann_topk_rhp
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = sorted((r.vec_id, r.embedding)
+                   for r in emb.filter("vec_id < 3").collect())
+    queries_np = np.array([q[1] for q in qrows], dtype=np.float64)
+    return ann_topk_rhp(emb, "vec_id", "embedding", queries_np, k=5,
+                        num_planes=6, multiprobe_bits=1, seed=42,
+                        planes_kind="rademacher", quant=1024)
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality scoring (rows-only: engine-defined heuristic)."""
     from fastbloom_spark.operators.text import quality_features
@@ -965,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "shingle_count": q_shingle_count,
         "embed_topk": q_embed_topk,
+        "rademacher_ann": q_rademacher_ann,
         "quality_scores": q_quality_scores,
         "lang_detect": q_lang_detect,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1348,6 +1370,7 @@ def oracle_sql() -> dict[str, str]:
             _oracle_sql_mod().oracle_bloom_fpr_envelope(),
         "bloom_index_prune":
             _oracle_sql_mod().oracle_bloom_index_prune(),
+        "rademacher_ann": _oracle_sql_mod().oracle_rademacher_ann(),
         # the windowed streaming rollup finalizes EVERY data window (the
         # sentinel pushes the watermark past them), so the batch per-day
         # replay is exact; est rounded to 4 decimals like hll_distinct_users

@@ -99,23 +99,67 @@ def cosine_topk(
         .select("query_id", id_col, "score", "rank")
 
 
+def rademacher_planes(num_planes: int, dim: int, seed: int = 42
+                      ) -> np.ndarray:
+    """Deterministic ±1 hyperplanes from splitmix64 bits: entry (p, i) is
+    +1 iff ``mix64(mix64(seed) ^ (p * 2^32 + i)) & 1``. Sign projections
+    with Rademacher entries (Achlioptas-style) carry the same
+    angular-LSH guarantee family as Gaussian planes, and — unlike a PRNG
+    stream — are ENGINE-REPLAYABLE: the DuckDB oracle recomputes the
+    exact matrix from the same mix64 chain."""
+    from ..kernel import U64, mix64
+
+    base = mix64(np.uint64(seed & ((1 << 64) - 1)))
+    p = np.arange(num_planes, dtype=U64)[:, None]
+    i = np.arange(dim, dtype=U64)[None, :]
+    bits = mix64(base ^ (p * np.uint64(1 << 32) + i)) & np.uint64(1)
+    return np.where(bits == 1, 1.0, -1.0)
+
+
+def _quantize(mat: np.ndarray, quant: int) -> np.ndarray:
+    """floor(v * quant + 0.5): exact for power-of-two quant (the multiply
+    is an exponent shift), so both engines compute identical integers and
+    the ±1-plane dot products are integer-exact in ANY summation order —
+    no float tie can flip a signature bit across engines."""
+    return np.floor(mat * quant + 0.5)
+
+
+def _planes_for(kind: str, num_planes: int, dim: int, seed: int
+                ) -> np.ndarray:
+    if kind == "gaussian":
+        return np.random.default_rng(seed).standard_normal((num_planes,
+                                                            dim))
+    if kind == "rademacher":
+        return rademacher_planes(num_planes, dim, seed)
+    raise ValueError(f"unknown planes kind {kind!r}")
+
+
+def _signature_vals(planes: np.ndarray, mat: np.ndarray,
+                    quant: int | None) -> np.ndarray:
+    if quant:
+        mat = _quantize(mat, quant)
+    bits = (planes @ mat.T) > 0  # (planes, n)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits.T.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+
+
 def rhp_signature_col(vec_col: str, num_planes: int, dim: int,
-                      seed: int = 42):
+                      seed: int = 42, *, kind: str = "gaussian",
+                      quant: int | None = None):
     """Random-hyperplane LSH signature (long): bit i = sign(plane_i · v).
-    Planes are a deterministic seeded Gaussian block, identical on every
-    executor (regenerated from the seed — nothing shipped)."""
+    Planes are a deterministic seeded block, identical on every executor
+    (regenerated from the seed — nothing shipped). ``kind="rademacher"``
+    with a power-of-two ``quant`` makes the signature integer-exact and
+    oracle-replayable (see :func:`rademacher_planes`)."""
     if num_planes > 63:
         raise ValueError("num_planes must be <= 63 to fit a long")
+    _planes_for(kind, 1, 1, seed)  # validate kind on the driver
 
     @F.pandas_udf("long")
     def sig(vecs: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((num_planes, dim))
+        planes = _planes_for(kind, num_planes, dim, seed)
         mat = _vectors_from_series(vecs, dim)
-        bits = (planes @ mat.T) > 0  # (planes, n)
-        weights = (1 << np.arange(num_planes, dtype=np.uint64))
-        vals = (bits.T.astype(np.uint64) * weights).sum(axis=1)
-        return pd.Series(vals.astype(np.int64))
+        return pd.Series(_signature_vals(planes, mat, quant))
 
     return sig(F.col(vec_col))
 
@@ -130,19 +174,26 @@ def ann_topk_rhp(
     num_planes: int = 16,
     multiprobe_bits: int = 1,
     seed: int = 42,
+    planes_kind: str = "gaussian",
+    quant: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only corpus vectors whose RHP bucket is
     within ``multiprobe_bits`` bit-flips of the query's bucket, then
     exact-rerank. Recall rises with multiprobe_bits at linear candidate
-    cost; recall vs the exact baseline is asserted in tests."""
+    cost; recall vs the exact baseline is asserted in tests.
+
+    ``planes_kind="rademacher"`` + power-of-two ``quant`` buckets by
+    integer-exact sign projections (engine-replayable; the driver oracle
+    replays the whole candidate pipeline in SQL). NOTE: signatures are
+    computed on the RAW (un-normalized) vectors — sign(p·v) is scale
+    invariant for positive scales, so bucketing matches normalized-space
+    angular locality either way; quantization requires the raw scale."""
     spark = df.sparkSession
-    q = _normalize_rows(np.asarray(queries, dtype=np.float64))
+    raw_q = np.asarray(queries, dtype=np.float64)
+    q = _normalize_rows(raw_q)
     dim = q.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
-    qbits = (planes @ q.T) > 0
-    weights = (1 << np.arange(num_planes, dtype=np.uint64))
-    qsigs = (qbits.T.astype(np.uint64) * weights).sum(axis=1)
+    planes = _planes_for(planes_kind, num_planes, dim, seed)
+    qsigs = _signature_vals(planes, raw_q, quant).view(np.uint64)
 
     # multiprobe: each query probes its bucket and all buckets within
     # `multiprobe_bits` Hamming flips
@@ -162,7 +213,8 @@ def ann_topk_rhp(
 
     corpus = df.select(
         id_col, vec_col,
-        rhp_signature_col(vec_col, num_planes, dim, seed).alias("bucket"))
+        rhp_signature_col(vec_col, num_planes, dim, seed,
+                          kind=planes_kind, quant=quant).alias("bucket"))
     candidates = corpus.join(F.broadcast(probes), "bucket") \
         .select("query_id", id_col, vec_col).distinct()
 

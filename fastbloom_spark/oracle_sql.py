@@ -787,3 +787,61 @@ def oracle_bloom_index_prune(*, num_buckets: int = 8, fp: float = 0.02,
             "FROM probes p LEFT JOIN surv s USING (probe_id) "
             "JOIN matched m2 ON m2.probe_id = p.probe_id "
             "ORDER BY p.probe_id")
+
+
+def oracle_rademacher_ann(*, num_planes: int = 6, dim: int = 64,
+                          quant: int = 1024, seed: int = 42,
+                          n_queries: int = 3, k: int = 5,
+                          table: str = "embeddings") -> str:
+    """Full replay of the Rademacher-projection ANN
+    (operators/similarity.py ann_topk_rhp with planes_kind="rademacher"):
+    the ±1 plane matrix from the mix64 chain, integer-quantized dot signs
+    (floor(x*quant+0.5) — exact for power-of-two quant, so no float tie
+    can flip a bit across engines), bucket + 1-bit multiprobe candidate
+    generation, and the exact cosine rerank (round-before-rank, tie-break
+    on vec_id — same conventions as the embed_topk oracle)."""
+    base = _mix64_int(seed)
+    wexpr = sql_mix64(f"xor({u64(base)}, "
+                      f"(pp * 4294967296 + ii)::HUGEINT)")
+    return f"""
+        WITH planes AS MATERIALIZED (
+          SELECT pp AS p, ii AS i,
+                 CASE WHEN ({wexpr}) & 1 = 1 THEN 1 ELSE -1 END AS w
+          FROM (SELECT range AS pp FROM range({num_planes})),
+               (SELECT range AS ii FROM range({dim}))
+        ),
+        vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM {table}),
+        comp AS MATERIALIZED (
+          SELECT vec_id, di.i AS i,
+                 floor(e[di.i + 1] * {quant} + 0.5)::BIGINT AS q
+          FROM vecs, (SELECT range AS i FROM range({dim})) di
+        ),
+        dots AS (SELECT c.vec_id, pl.p, sum(pl.w * c.q) AS dot
+                 FROM comp c JOIN planes pl ON c.i = pl.i
+                 GROUP BY c.vec_id, pl.p),
+        sig AS MATERIALIZED (
+          SELECT vec_id,
+                 sum(CASE WHEN dot > 0 THEN (1::BIGINT << p)
+                     ELSE 0 END)::BIGINT AS bucket
+          FROM dots GROUP BY vec_id),
+        pb AS (SELECT s.vec_id AS query_id,
+                      CASE WHEN f.b < 0 THEN s.bucket
+                           ELSE xor(s.bucket, (1::BIGINT << f.b)) END
+                      AS bucket
+               FROM sig s,
+                    (SELECT range AS b FROM range(-1, {num_planes})) f
+               WHERE s.vec_id < {n_queries}),
+        cand AS (SELECT DISTINCT pb.query_id, c.vec_id
+                 FROM pb JOIN sig c ON pb.bucket = c.bucket),
+        scored AS (
+          SELECT cand.query_id, cand.vec_id,
+                 round(list_cosine_similarity(qe.e, ce.e), 6) AS score
+          FROM cand JOIN vecs qe ON qe.vec_id = cand.query_id
+                    JOIN vecs ce ON ce.vec_id = cand.vec_id)
+        SELECT CAST(query_id AS INT) AS query_id, vec_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, vec_id)
+                    AS INT) AS rank
+        FROM scored QUALIFY rank <= {k}
+    """

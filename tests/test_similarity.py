@@ -342,3 +342,51 @@ def test_embedding_dedup_clusters_to_min_id(spark):
         seed=11).collect())
     assert 1 in kept and 2 not in kept and 3 not in kept
     assert set(range(10, 30)) <= set(kept)
+
+
+def test_rademacher_ann_recall_and_determinism(spark):
+    """Rademacher ±1 planes (mix64-derived, engine-replayable) keep the
+    angular-LSH recall of Gaussian planes on the near-dup regime, and the
+    bucketing is bit-deterministic (integer-quantized dots — no float
+    ties)."""
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((60, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        for j in range(3):
+            rows.append((1000 + 10 * i + j,
+                         (v + 0.05 * rng.standard_normal(32)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = base[:10]
+    kw = dict(k=4, num_planes=10, multiprobe_bits=2, seed=42,
+              planes_kind="rademacher", quant=1024)
+    got = ann_topk_rhp(df, "vec_id", "embedding", queries, **kw)
+    rows1 = sorted(map(tuple, got.collect()))
+    by_q = {}
+    for qid, vid, *_ in rows1:
+        by_q.setdefault(qid, set()).add(vid)
+    hits = sum(len(by_q.get(qi, set())
+                   & {qi, 1000 + 10 * qi, 1000 + 10 * qi + 1,
+                      1000 + 10 * qi + 2}) for qi in range(10))
+    assert hits / 40 >= 0.8, hits / 40
+    # bit-determinism: a second run returns identical rows
+    rows2 = sorted(map(tuple,
+                       ann_topk_rhp(df, "vec_id", "embedding", queries,
+                                    **kw).collect()))
+    assert rows1 == rows2
+
+
+def test_rademacher_planes_replayable():
+    """Plane entries derive from the documented mix64 chain — the contract
+    the SQL oracle replays (and Gaussian planes cannot honor)."""
+    from fastbloom_spark.kernel import mix64
+    from fastbloom_spark.operators.similarity import rademacher_planes
+
+    P = rademacher_planes(8, 16, seed=7)
+    base = int(mix64(np.uint64(7)))
+    for p in range(8):
+        for i in range(16):
+            bit = int(mix64(np.uint64((base ^ (p * (1 << 32) + i))
+                                      & ((1 << 64) - 1)))) & 1
+            assert P[p, i] == (1.0 if bit else -1.0)
