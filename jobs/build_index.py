@@ -1,0 +1,54 @@
+"""spark-submit job: write a Bloom data-skipping index over a parquet table.
+
+Usage:
+    spark-submit --py-files fastbloom_spark.zip jobs/build_index.py \
+        <input_parquet> <out_path> <index_col> <bucket_source> \
+        <num_buckets> <fp> [probe_value ...]
+
+Writes ``<out_path>/data`` (bucket-partitioned copy) + ``<out_path>/index``
+(one sketch row per bucket over digest64(index_col)); if probe values are
+given, runs a pruned read for them and reports the prune stats — the
+cluster entry point for building skip indexes over landed tables.
+Per-bucket expected_items is sized from one count() of the input.
+"""
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    inp, out_path, index_col, bucket_source, num_buckets, fp = sys.argv[1:7]
+    probes = sys.argv[7:]
+    num_buckets = int(num_buckets)
+    spark = SparkSession.builder.appName("fastbloom-index").getOrCreate()
+
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.sources import pruned_read, write_indexed_table
+
+    df = spark.read.parquet(inp)
+    n = df.count()
+    cfg = BloomConfig.from_false_pos(
+        float(fp), expected_items=max(1, n // num_buckets), seed=42)
+    write_indexed_table(df, out_path, index_col=index_col, cfg=cfg,
+                        bucket_source=bucket_source,
+                        num_buckets=num_buckets)
+    report = {
+        "rows": n, "num_buckets": num_buckets,
+        "bits_per_bucket": cfg.num_bits, "num_hashes": cfg.num_hashes,
+        "index_bytes": num_buckets * cfg.num_words * 8,
+    }
+    if probes:
+        pruned, stats = pruned_read(spark, out_path, probes)
+        report.update({
+            "probe_rows_matched": pruned.count(),
+            "buckets_survived": stats.units_survived,
+            "skipped_fraction": round(stats.skipped_fraction, 4),
+        })
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -136,3 +136,34 @@ def test_spark_submit_build_block64_xxh64(tmp_path):
     out = json.loads(line)
     assert out["rows"] == 500
     assert out["layout"] == "block64" and out["digest"] == "xxh64"
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None,
+                    reason="spark-submit not on PATH")
+def test_spark_submit_index_job(tmp_path):
+    """Skip-index job over the zip-only deployment path: builds the
+    bucketed table + index and reports pruning for a member probe."""
+    import duckdb
+
+    zip_path = make_pyfiles_zip(str(tmp_path / "fastbloom_spark.zip"))
+    out_path = str(tmp_path / "indexed")
+    probe = duckdb.sql(
+        "SELECT text FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id = 7").fetchone()[0]
+    env = dict(os.environ, PYTHONPATH="")
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "build_index.py"),
+         "/root/testdata/sf0.001/documents.parquet", out_path,
+         "text", "doc_id", "8", "0.01", probe],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["rows"] == 500 and out["num_buckets"] == 8
+    assert out["probe_rows_matched"] >= 1      # zero-FN: the row is found
+    assert 1 <= out["buckets_survived"] <= 2   # FPR-bounded over-read
+    assert os.path.isdir(f"{out_path}/index")
