@@ -222,6 +222,32 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
         .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
         .collect())
 
+    # data-skipping index: point lookup through the pruned path vs the
+    # full scan. At bench scale the wall-clock gap is noise (one small
+    # file either way) — the SCALE evidence is structural and exact:
+    # skipped_fraction of bucket directories never opened, which is the
+    # fraction of a 100 TB table a probe would not read.
+    import tempfile
+
+    from fastbloom_spark.sources import pruned_read, write_indexed_table
+    idx_path = tempfile.mkdtemp(prefix="fb_bench_idx_") + "/docs"
+    icfg = BloomConfig.from_false_pos(
+        0.01, expected_items=max(64, int(facts["minhash_docs"]) // 16),
+        seed=SEED)
+    write_indexed_table(docs, idx_path, index_col="text", cfg=icfg,
+                        bucket_source="doc_id", num_buckets=16)
+    probe = [docs.filter(F.col("doc_id") == 7).first().text]
+    timed("index_lookup_pruned", lambda: pruned_read(
+        spark, idx_path, probe)[0].count(), runs=2)
+    timed("index_lookup_full", lambda: docs.filter(
+        F.col("text") == probe[0]).count(), runs=2)
+    _, pstats = pruned_read(spark, idx_path, probe)
+    facts["skip_index"] = {
+        "buckets": pstats.units_total,
+        "survived_1probe": pstats.units_survived,
+        "skipped_fraction": round(pstats.skipped_fraction, 4),
+    }
+
     code.unpersist()
     facts["build_stages_sec"] = stages
     return times, facts, runs_log
