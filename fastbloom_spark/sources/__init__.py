@@ -3,6 +3,7 @@ from .checkpoint import (read_checkpoint, resume_bloom_agg,
 from .codetable import synth_code_table
 from .index import (
     PruneStats,
+    append_to_indexed_table,
     index_parquet_files,
     prune_index,
     pruned_read,
@@ -29,6 +30,7 @@ __all__ = [
     "repo_bucket_col",
     "write_sketch_table",
     "PruneStats",
+    "append_to_indexed_table",
     "write_indexed_table",
     "index_parquet_files",
     "prune_index",

@@ -75,27 +75,54 @@ def bucket_col(source: str, num_buckets: int) -> Column:
                   F.lit(num_buckets)).cast("int")
 
 
-def _meta_cols(df: DataFrame, *, index_col: str, num_buckets: int,
+def _meta_cols(df: DataFrame, *, num_buckets: int,
                bucket_source: str) -> DataFrame:
     # self-describing index: pruned_read needs no caller-side config
-    return (df.withColumn("index_col", F.lit(index_col))
-              .withColumn("num_buckets", F.lit(num_buckets))
+    return (df.withColumn("num_buckets", F.lit(num_buckets))
               .withColumn("bucket_source", F.lit(bucket_source)))
+
+
+def _digest_stack(df: DataFrame, cols: Sequence[str],
+                  cfg: BloomConfig) -> DataFrame:
+    """(bucket, index_col, __digest64) rows for every indexed column in
+    ONE scan: digests are computed JVM-side before a struct-array explode,
+    so k indexed columns cost one pass + a k-way row expansion of 16-byte
+    rows, never k scans of the source."""
+    from ..functions.digest import digest64
+
+    stack = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("index_col"),
+                 digest64(F.col(c), cfg.digest).alias("__digest64"))
+        for c in cols])).alias("x")
+    return df.select(BUCKET_COL, stack) \
+        .select(BUCKET_COL, "x.index_col", "x.__digest64")
+
+
+def _build_index_rows(written: DataFrame, cols: Sequence[str],
+                      cfg: BloomConfig, num_buckets: int,
+                      bucket_source: str) -> DataFrame:
+    index = bloom_agg(_digest_stack(written, cols, cfg),
+                      [BUCKET_COL, "index_col"], "__digest64", cfg,
+                      digest_precomputed=True,
+                      distinct_keys_hint=num_buckets * len(cols))
+    return _meta_cols(index, num_buckets=num_buckets,
+                      bucket_source=bucket_source)
 
 
 def write_indexed_table(
     df: DataFrame,
     path: str,
     *,
-    index_col: str,
+    index_col: str | Sequence[str],
     cfg: BloomConfig,
     bucket_source: str,
     num_buckets: int = 16,
     mode: str = "overwrite",
 ) -> None:
     """Write ``{path}/data`` partitioned by a hash bucket of
-    ``bucket_source`` plus ``{path}/index``: one Bloom sketch row per bucket
-    over ``digest64(index_col)``.
+    ``bucket_source`` plus ``{path}/index``: one Bloom sketch row per
+    (bucket, indexed column) over ``digest64(col)`` — pass a list to index
+    several columns in one scan.
 
     ``cfg.expected_items`` should be sized for rows *per bucket* (rows /
     num_buckets); over-sizing wastes ``m/8`` bytes per bucket, under-sizing
@@ -105,6 +132,7 @@ def write_indexed_table(
     so one output file — per bucket directory; AQE would otherwise coalesce
     the small column-only shuffle into a handful of multi-bucket tasks.
     """
+    cols = [index_col] if isinstance(index_col, str) else list(index_col)
     bucketed = df.withColumn(BUCKET_COL, bucket_col(bucket_source,
                                                     num_buckets))
     (bucketed.repartition(num_buckets, F.col(BUCKET_COL))
@@ -115,10 +143,7 @@ def write_indexed_table(
     # breaking the zero-FN pruning contract (and re-reading one bucketed
     # table beats re-running the upstream lineage anyway)
     written = df.sparkSession.read.parquet(f"{path}/data")
-    index = bloom_agg(written, [BUCKET_COL], index_col, cfg,
-                      distinct_keys_hint=num_buckets)
-    _meta_cols(index, index_col=index_col, num_buckets=num_buckets,
-               bucket_source=bucket_source) \
+    _build_index_rows(written, cols, cfg, num_buckets, bucket_source) \
         .write.mode(mode).parquet(f"{path}/index")
 
 
@@ -142,9 +167,9 @@ def index_parquet_files(
     """
     df = spark.read.parquet(data_path) \
         .withColumn(FILE_COL, F.input_file_name())
-    index = bloom_agg(df, [FILE_COL], index_col, cfg, strategy="partial")
-    _meta_cols(index, index_col=index_col, num_buckets=0,
-               bucket_source=FILE_COL) \
+    index = bloom_agg(df, [FILE_COL], index_col, cfg, strategy="partial") \
+        .withColumn("index_col", F.lit(index_col))
+    _meta_cols(index, num_buckets=0, bucket_source=FILE_COL) \
         .write.mode(mode).parquet(index_path)
 
 
@@ -186,11 +211,24 @@ def read_index(spark: SparkSession, index_path: str) -> pd.DataFrame:
     return spark.read.parquet(index_path).toPandas()
 
 
+def _select_index_col(index_pdf: pd.DataFrame, on: str | None) -> str:
+    cols = sorted(index_pdf["index_col"].unique())
+    if on is None:
+        if len(cols) > 1:
+            raise ValueError(
+                f"index covers several columns {cols}; pass on=<column>")
+        return cols[0]
+    if on not in cols:
+        raise ValueError(f"column {on!r} is not indexed (have {cols})")
+    return on
+
+
 def pruned_read(
     spark: SparkSession,
     path: str,
     probe_values: Sequence,
     *,
+    on: str | None = None,
     exact: bool = True,
 ) -> tuple[DataFrame, PruneStats]:
     """Scan a :func:`write_indexed_table` table for the probe values,
@@ -198,16 +236,18 @@ def pruned_read(
 
     The returned plan filters ``bucket_id IN (survivors)`` — a partition
     predicate Catalyst resolves at file listing (``PartitionFilters``), so
-    skipped directories are never opened. ``exact=True`` additionally
-    applies ``index_col IN (probe_values)``, turning maybe-contains into
-    exact membership (the Bloom zero-FN contract guarantees no row is
+    skipped directories are never opened. ``on`` names the indexed column
+    to probe (required when several are indexed). ``exact=True``
+    additionally applies ``col IN (probe_values)``, turning maybe-contains
+    into exact membership (the Bloom zero-FN contract guarantees no row is
     lost). ``exact=False`` returns all candidate rows of surviving buckets
     (the caller owns verification — e.g. probing on digests of a column
     that was transformed after indexing)."""
     index_pdf = read_index(spark, f"{path}/index")
     if not len(index_pdf):
         raise ValueError(f"empty bloom index at {path}/index")
-    index_col = str(index_pdf["index_col"].iloc[0])
+    index_col = _select_index_col(index_pdf, on)
+    index_pdf = index_pdf[index_pdf["index_col"] == index_col]
     digest = str(index_pdf["digest"].iloc[0])
     stats = prune_index(index_pdf, probe_digests(probe_values, digest),
                         key_field=BUCKET_COL, granularity="partition")
@@ -248,3 +288,64 @@ def pruned_read_files(
     if exact and len(df.columns):
         df = df.filter(F.col(index_col).isin(list(probe_values)))
     return df, stats
+
+
+def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
+    """Incremental ingest: append rows to ``{path}/data`` and OR the new
+    per-bucket sketches into the existing index — NO rebuild.
+
+    Bloom OR is associative and commutative (reference ``union``, fastbloom
+    src/bit_vector.rs:98-104), so append-then-merge equals indexing the
+    full table in one shot: the merged filter WORDS are bitwise-identical
+    (tested), and the zero-FN pruning contract holds across any append
+    history. Cost per append: one scan of the NEW rows only, plus a
+    driver-side OR over the KB-scale index. The new sketch rows are built
+    from the files the append actually WROTE (snapshot diff + basePath
+    read), never from a re-evaluation of ``df_new``'s lineage."""
+    spark = df_new.sparkSession
+    index_pdf = read_index(spark, f"{path}/index")
+    if not len(index_pdf):
+        raise ValueError(f"empty bloom index at {path}/index")
+    index_schema = spark.read.parquet(f"{path}/index").schema
+    meta = index_pdf.iloc[0]
+    num_buckets = int(meta["num_buckets"])
+    bucket_source = str(meta["bucket_source"])
+    cols = sorted(index_pdf["index_col"].unique())
+    cfg = BloomConfig(num_bits=int(meta["m"]), num_hashes=int(meta["k"]),
+                      seed=int(meta["seed"]) & ((1 << 64) - 1),
+                      layout=str(meta["layout"]),
+                      digest=str(meta["digest"]))
+
+    before = set(spark.read.parquet(f"{path}/data").inputFiles())
+    bucketed = df_new.withColumn(BUCKET_COL, bucket_col(bucket_source,
+                                                        num_buckets))
+    (bucketed.repartition(num_buckets, F.col(BUCKET_COL))
+        .write.mode("append").partitionBy(BUCKET_COL)
+        .parquet(f"{path}/data"))
+    new_files = [f for f in spark.read.parquet(f"{path}/data").inputFiles()
+                 if f not in before]
+    if not new_files:
+        return
+    written_new = spark.read.option("basePath", f"{path}/data") \
+        .parquet(*new_files)
+    new_pdf = _build_index_rows(written_new, cols, cfg, num_buckets,
+                                bucket_source).toPandas()
+
+    from ..kernel import (decode_words, encode_words, union_words,
+                          words_from_bytes)  # noqa: F401 (decode pairs)
+
+    combined = pd.concat([index_pdf, new_pdf], ignore_index=True)
+    out = []
+    for (bucket, icol), grp in combined.groupby([BUCKET_COL, "index_col"],
+                                                sort=True):
+        words = decode_words(bytes(grp["sketch"].iloc[0]))
+        for buf in grp["sketch"].iloc[1:]:
+            words = union_words(words, decode_words(bytes(buf)))
+        row = grp.iloc[0].to_dict()
+        row.update({BUCKET_COL: bucket, "index_col": icol,
+                    "rows_seen": int(grp["rows_seen"].sum()),
+                    "sketch": encode_words(words)})
+        out.append(row)
+    merged = pd.DataFrame(out, columns=list(index_pdf.columns))
+    spark.createDataFrame(merged, schema=index_schema) \
+        .write.mode("overwrite").parquet(f"{path}/index")

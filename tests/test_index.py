@@ -151,3 +151,75 @@ def test_probe_digest_parity_with_column(spark, docs):
                   docs.filter(F.col("text").isin(vals))
                       .select(digest64("text").alias("d")).collect()}
     assert set(probe_digests(vals)) == spark_side
+
+
+def test_multi_column_index_one_pass(spark, docs, tmp_path):
+    """A list of index columns builds (bucket x column) sketch rows in one
+    scan; probes must name the column and prune independently."""
+    path = str(tmp_path / "multi")
+    write_indexed_table(docs, path, index_col=["text", "source"], cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8)
+    index_pdf = read_index(spark, f"{path}/index")
+    assert sorted(index_pdf["index_col"].unique()) == ["source", "text"]
+    assert len(index_pdf) == 16  # 8 buckets x 2 columns
+
+    probes = member_texts(docs, n=2)
+    got, stats = pruned_read(spark, path, probes, on="text")
+    want = docs.filter(F.col("text").isin(probes))
+    assert sorted(r.doc_id for r in got.collect()) \
+        == sorted(r.doc_id for r in want.collect())
+
+    # a source-column probe goes through its own sketch family
+    src = docs.select("source").first().source
+    got_s, stats_s = pruned_read(spark, path, [src], on="source")
+    assert got_s.count() == docs.filter(F.col("source") == src).count()
+
+    with pytest.raises(ValueError, match="pass on="):
+        pruned_read(spark, path, probes)
+    with pytest.raises(ValueError, match="not indexed"):
+        pruned_read(spark, path, probes, on="lang")
+
+
+def test_append_equals_full_rebuild_bitwise(spark, docs, tmp_path):
+    """Incremental append ORs new sketches into the index: the merged
+    filter WORDS are bitwise-identical to indexing the full table in one
+    shot (OR associativity, reference union semantics), and rows_seen
+    totals match."""
+    from fastbloom_spark.kernel import decode_words
+    from fastbloom_spark.sources import append_to_indexed_table
+
+    first = docs.filter(F.col("doc_id") % 3 != 0)
+    rest = docs.filter(F.col("doc_id") % 3 == 0)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_indexed_table(first, inc, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8)
+    append_to_indexed_table(rest, inc)
+    write_indexed_table(docs, full, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8)
+
+    def words_by_bucket(p):
+        pdf = read_index(spark, f"{p}/index")
+        return {int(r[BUCKET_COL]):
+                (decode_words(bytes(r["sketch"])).tolist(),
+                 int(r["rows_seen"]))
+                for _, r in pdf.iterrows()}
+    assert words_by_bucket(inc) == words_by_bucket(full)
+
+    # pruned reads see appended rows (zero-FN across the append history)
+    probe = [rest.orderBy("doc_id").first().text]
+    got, _ = pruned_read(spark, inc, probe)
+    assert got.count() == docs.filter(F.col("text") == probe[0]).count()
+
+
+def test_append_empty_frame_is_noop(spark, docs, tmp_path):
+    from fastbloom_spark.sources import append_to_indexed_table
+
+    path = str(tmp_path / "noop")
+    write_indexed_table(docs, path, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8)
+    before = read_index(spark, f"{path}/index")
+    append_to_indexed_table(docs.filter(F.lit(False)), path)
+    after = read_index(spark, f"{path}/index")
+    assert sorted(bytes(b) for b in before["sketch"]) \
+        == sorted(bytes(b) for b in after["sketch"])
