@@ -223,3 +223,43 @@ def test_append_empty_frame_is_noop(spark, docs, tmp_path):
     after = read_index(spark, f"{path}/index")
     assert sorted(bytes(b) for b in before["sketch"]) \
         == sorted(bytes(b) for b in after["sketch"])
+
+
+def test_streaming_ingest_maintains_index(spark, docs, tmp_path):
+    """Structured Streaming ingest keeps the skip index fresh: each
+    micro-batch lands through append_to_indexed_table inside foreachBatch
+    (batches are serialized by the engine), and the final index is
+    bitwise-equal to a one-shot build over everything ingested."""
+    from fastbloom_spark.kernel import decode_words
+    from fastbloom_spark.sources import append_to_indexed_table
+
+    seed_rows = docs.filter(F.col("doc_id") % 2 == 0)
+    late_rows = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "stream_idx")
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "stream_ckpt")
+    write_indexed_table(seed_rows, path, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8)
+    late_rows.repartition(4).write.parquet(src)  # 4 files -> >1 batch
+
+    stream = spark.readStream.schema(docs.schema) \
+        .option("maxFilesPerTrigger", 2).parquet(src)
+    q = (stream.writeStream
+         .foreachBatch(lambda bdf, _bid: append_to_indexed_table(bdf, path))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    full = str(tmp_path / "full_idx")
+    write_indexed_table(docs, full, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8)
+
+    def words_of(p):
+        pdf = read_index(spark, f"{p}/index")
+        return {int(r[BUCKET_COL]): decode_words(bytes(r["sketch"])).tolist()
+                for _, r in pdf.iterrows()}
+    assert words_of(path) == words_of(full)
+
+    probe = [late_rows.orderBy("doc_id").first().text]
+    got, _ = pruned_read(spark, path, probe)
+    assert got.count() == docs.filter(F.col("text") == probe[0]).count()
