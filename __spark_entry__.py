@@ -724,6 +724,51 @@ def q_bloom_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("probe_id")
 
 
+def q_index_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (hash-checked: deterministic counts +
+    in-query-verified bitwise flag, the checkpoint_resume pattern): build
+    a skip index over 2/3 of the documents, append the rest, and report
+    that the OR-merged index is bitwise-identical to a one-shot build —
+    plus a pruned-read match count proving zero-FN across the append."""
+    import tempfile
+
+    import pandas as pd
+
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.kernel import decode_words
+    from fastbloom_spark.sources import (append_to_indexed_table,
+                                         pruned_read, write_indexed_table)
+    from fastbloom_spark.sources.index import BUCKET_COL, read_index
+
+    docs = _read(spark, sf_dir, "documents")
+    cfg = BloomConfig.from_false_pos(0.02, expected_items=128, seed=42)
+    work = tempfile.mkdtemp(prefix="fb_idxapp_")
+    inc, full = f"{work}/inc", f"{work}/full"
+    first = docs.filter(F.col("doc_id") % 3 != 0)
+    rest = docs.filter(F.col("doc_id") % 3 == 0)
+    write_indexed_table(first, inc, index_col="text", cfg=cfg,
+                        bucket_source="doc_id", num_buckets=8)
+    append_to_indexed_table(rest, inc)
+    write_indexed_table(docs, full, index_col="text", cfg=cfg,
+                        bucket_source="doc_id", num_buckets=8)
+
+    def words_of(p):
+        pdf = read_index(spark, f"{p}/index")
+        return {int(r[BUCKET_COL]): decode_words(bytes(r["sketch"])).tolist()
+                for _, r in pdf.iterrows()}
+
+    probe = rest.orderBy("doc_id").first().text
+    pruned, stats = pruned_read(spark, inc, [probe])
+    return spark.createDataFrame(pd.DataFrame([{
+        "buckets": 8,
+        "rows_total": int(sum(
+            r["rows_seen"] for _, r in
+            read_index(spark, f"{inc}/index").iterrows())),
+        "bitwise_equal_full_rebuild": words_of(inc) == words_of(full),
+        "appended_probe_matches": int(pruned.count()),
+    }]))
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming stateful Bloom dedup (rows-only: streaming is
     not SQL-expressible for the oracle; exactness asserted in
@@ -1005,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_top_event": q_user_top_event,
         "checkpoint_resume": q_checkpoint_resume,
         "bloom_index_prune": q_bloom_index_prune,
+        "index_append_parity": q_index_append_parity,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sketch_state": q_streaming_sketch_state,
         "streaming_windowed_hll": q_streaming_windowed_hll,
@@ -1371,6 +1417,18 @@ def oracle_sql() -> dict[str, str]:
         "bloom_index_prune":
             _oracle_sql_mod().oracle_bloom_index_prune(),
         "rademacher_ann": _oracle_sql_mod().oracle_rademacher_ann(),
+        # append parity: counts are exact data functions; the bitwise flag
+        # is VERIFIED in-query (decode-compare of both indexes) and the
+        # oracle pins it true — same pattern as checkpoint_resume
+        "index_append_parity": """
+            SELECT CAST(8 AS BIGINT) AS buckets,
+                   (SELECT count(*) FROM documents)::BIGINT AS rows_total,
+                   true AS bitwise_equal_full_rebuild,
+                   (SELECT count(*) FROM documents WHERE text =
+                      (SELECT text FROM documents WHERE doc_id % 3 = 0
+                       ORDER BY doc_id LIMIT 1))::BIGINT
+                   AS appended_probe_matches
+        """,
         # the windowed streaming rollup finalizes EVERY data window (the
         # sentinel pushes the watermark past them), so the batch per-day
         # replay is exact; est rounded to 4 decimals like hll_distinct_users
