@@ -83,3 +83,52 @@ def test_hll_cms_merge_invariance(n, n_parts, perm_seed):
     cms_merged = functools.reduce(
         cms.merge, [cms.update(cms.empty(), p) for p in parts])
     assert np.array_equal(cms_whole, cms_merged)
+
+
+# ------------------------------------------------- skip-index prune laws --
+
+def _index_frame(bucket_values: dict[int, list[str]], cfg):
+    """Driver-shape index rows (sources/index.py) from in-memory data."""
+    import pandas as pd
+
+    from fastbloom_spark.kernel import digest64_bytes, encode_words
+
+    rows = []
+    for b, vals in bucket_values.items():
+        f = BloomFilter(cfg)
+        f.insert_digests([digest64_bytes(v.encode()) for v in vals])
+        rows.append({"bucket_id": b, "index_col": "v", "m": cfg.num_bits,
+                     "k": cfg.num_hashes, "seed": cfg.seed,
+                     "layout": cfg.layout, "digest": cfg.digest,
+                     "rows_seen": len(vals), "sketch": encode_words(f.words)})
+    return pd.DataFrame(rows)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.dictionaries(
+    st.integers(min_value=0, max_value=7),
+    st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=30),
+    min_size=1, max_size=8),
+    extra=st.lists(st.text(min_size=1, max_size=12), max_size=5))
+def test_prune_zero_fn_and_monotone(data, extra):
+    """Two laws for ANY bucket layout and probe set: (1) zero-FN — a
+    probe that IS in some bucket always keeps that bucket in the
+    survivors; (2) monotonicity — adding probes never shrinks the
+    survivor set (more lookups can only open more units)."""
+    from fastbloom_spark.kernel import digest64_bytes
+    from fastbloom_spark.sources.index import prune_index
+
+    cfg = BloomConfig.with_num_bits(1 << 10, num_hashes=4, seed=3)
+    pdf = _index_frame(data, cfg)
+    members = sorted({v for vals in data.values() for v in vals})
+    probes = members[:3]
+    digs = [digest64_bytes(v.encode()) for v in probes]
+    stats = prune_index(pdf, digs, key_field="bucket_id")
+    for v in probes:  # zero-FN: every home bucket survives
+        for b, vals in data.items():
+            if v in vals:
+                assert str(b) in stats.survivors
+    digs2 = digs + [digest64_bytes(v.encode()) for v in extra]
+    stats2 = prune_index(pdf, digs2, key_field="bucket_id")
+    assert set(stats.survivors) <= set(stats2.survivors)
+    assert stats2.units_total == stats.units_total == len(data)
