@@ -7,6 +7,7 @@ from .index import (
     index_parquet_files,
     prune_index,
     pruned_read,
+    pruned_semi_join,
     pruned_read_files,
     write_indexed_table,
 )
@@ -35,5 +36,6 @@ __all__ = [
     "index_parquet_files",
     "prune_index",
     "pruned_read",
+    "pruned_semi_join",
     "pruned_read_files",
 ]

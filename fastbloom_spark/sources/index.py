@@ -349,3 +349,51 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
     merged = pd.DataFrame(out, columns=list(index_pdf.columns))
     spark.createDataFrame(merged, schema=index_schema) \
         .write.mode("overwrite").parquet(f"{path}/index")
+
+
+def pruned_semi_join(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    key_col: str,
+    *,
+    on: str | None = None,
+    max_keys: int = 1_000_000,
+) -> tuple[DataFrame, PruneStats]:
+    """Dynamic file pruning for a semi-join: keep the indexed table's rows
+    whose ``on`` column appears in ``keys_df.key_col``, scanning only
+    bucket directories whose filter says maybe-contains for ANY key.
+
+    The index-level analogue of Spark's dynamic partition pruning, driven
+    by the Bloom index instead of the partition key: the build side's
+    digests are collected (Arrow; they must be driver-sized — ``max_keys``
+    guards against collecting a data-scale side, use ``bloom_semi_join``
+    for that), the KB-scale index is probed driver-side, and the probe
+    side's scan starts from a file listing that already excludes every
+    non-surviving bucket. The final exact ``left_semi`` join keeps
+    semantics identical to an unpruned join (zero-FN pruning: no matching
+    row can live in a skipped bucket)."""
+    from ..functions.digest import digest64
+
+    index_pdf = read_index(spark, f"{path}/index")
+    if not len(index_pdf):
+        raise ValueError(f"empty bloom index at {path}/index")
+    index_col = _select_index_col(index_pdf, on)
+    index_pdf = index_pdf[index_pdf["index_col"] == index_col]
+    digest = str(index_pdf["digest"].iloc[0])
+
+    keys = keys_df.select(F.col(key_col).alias("__key")).distinct()
+    digs_pdf = keys.select(
+        digest64(F.col("__key"), digest).alias("d")).limit(max_keys + 1) \
+        .toPandas()
+    if len(digs_pdf) > max_keys:
+        raise ValueError(
+            f"build side exceeds max_keys={max_keys}; use bloom_semi_join "
+            "for data-scale build sides")
+    stats = prune_index(index_pdf, digs_pdf["d"].tolist(),
+                        key_field=BUCKET_COL, granularity="partition")
+    df = spark.read.parquet(f"{path}/data").filter(F.col(BUCKET_COL).isin(
+        [int(s) for s in stats.survivors] or [-1]))
+    joined = df.join(keys.withColumnRenamed("__key", index_col),
+                     on=index_col, how="left_semi")
+    return joined, stats

@@ -263,3 +263,42 @@ def test_streaming_ingest_maintains_index(spark, docs, tmp_path):
     probe = [late_rows.orderBy("doc_id").first().text]
     got, _ = pruned_read(spark, path, probe)
     assert got.count() == docs.filter(F.col("text") == probe[0]).count()
+
+
+def test_pruned_semi_join_matches_exact(spark, docs, indexed_path):
+    """Index-driven dynamic pruning for a semi-join: result equals the
+    plain left_semi join, the scan is partition-pruned to surviving
+    buckets, and an oversized build side is refused."""
+    keys = docs.filter(F.col("doc_id") % 50 == 1).select(
+        F.col("text").alias("k"))
+    from fastbloom_spark.sources import pruned_semi_join
+
+    got, stats = pruned_semi_join(spark, indexed_path, keys, "k")
+    want = docs.join(keys.withColumnRenamed("k", "text"),
+                     on="text", how="left_semi")
+    assert sorted(r.doc_id for r in got.collect()) \
+        == sorted(r.doc_id for r in want.collect())
+    assert 1 <= stats.units_survived <= stats.units_total
+    plan = formatted(got)
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and BUCKET_COL in scan[0], plan
+
+    with pytest.raises(ValueError, match="max_keys"):
+        pruned_semi_join(spark, indexed_path, keys, "k", max_keys=2)
+
+
+def test_block64_layout_index(spark, docs, tmp_path):
+    """The register-blocked layout rides through the index: sketch rows
+    carry layout='block64' and pruned reads stay zero-FN."""
+    path = str(tmp_path / "b64")
+    cfg = BloomConfig.block64_from_false_pos(0.01, expected_items=80,
+                                             seed=42)
+    write_indexed_table(docs, path, index_col="text", cfg=cfg,
+                        bucket_source="doc_id", num_buckets=8)
+    index_pdf = read_index(spark, f"{path}/index")
+    assert set(index_pdf["layout"]) == {"block64"}
+    probes = member_texts(docs)
+    got, stats = pruned_read(spark, path, probes)
+    want = docs.filter(F.col("text").isin(probes))
+    assert sorted(r.doc_id for r in got.collect()) \
+        == sorted(r.doc_id for r in want.collect())
