@@ -140,3 +140,28 @@ def test_dedup_widens_narrow_inputs_only(spark, sf_dir):
         spark.sparkContext.defaultParallelism
     # already-wide input: untouched (no extra exchange)
     assert _widen(wide) is wide
+
+
+def test_index_build_prunes_columns(spark, sf_dir, tmp_path):
+    """The multi-column index build reads ONLY the indexed columns from
+    parquet (bucket ids come from partition directories; digests are
+    computed pre-explode) — at 100 TB the index pass must not drag the
+    full row width through the scan."""
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.sources.index import (BUCKET_COL,
+                                               _build_index_rows,
+                                               bucket_col)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = BloomConfig.from_false_pos(0.01, expected_items=80, seed=42)
+    path = str(tmp_path / "idxplan")
+    docs.withColumn(BUCKET_COL, bucket_col("doc_id", 8)) \
+        .repartition(8, F.col(BUCKET_COL)) \
+        .write.partitionBy(BUCKET_COL).parquet(f"{path}/data")
+    written = spark.read.parquet(f"{path}/data")
+    idx = _build_index_rows(written, ["text", "source"], cfg, 8, "doc_id")
+    plan = formatted(idx)
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in scan_schema and "source" in scan_schema
+    for unneeded in ("doc_id", "lang", "n_chars"):
+        assert unneeded not in scan_schema, scan_schema
