@@ -196,16 +196,19 @@ def ann_topk_rhp(
     qsigs = _signature_vals(planes, raw_q, quant).view(np.uint64)
 
     # multiprobe: each query probes its bucket and all buckets within
-    # `multiprobe_bits` Hamming flips
+    # `multiprobe_bits` Hamming flips (C(num_planes, j) per level — the
+    # caller owns keeping the probe set sane for large levels)
+    from itertools import combinations
+
     probe_rows = []
     for qi, s in enumerate(qsigs.tolist()):
         sigs = {s}
-        if multiprobe_bits >= 1:
-            sigs |= {s ^ (1 << b) for b in range(num_planes)}
-        if multiprobe_bits >= 2:
-            sigs |= {s ^ (1 << b1) ^ (1 << b2)
-                     for b1 in range(num_planes)
-                     for b2 in range(b1 + 1, num_planes)}
+        for j in range(1, multiprobe_bits + 1):
+            for flips in combinations(range(num_planes), j):
+                x = s
+                for b in flips:
+                    x ^= 1 << b
+                sigs.add(x)
         # num_planes <= 63 keeps signatures inside the signed-long range
         probe_rows += [(qi, int(x)) for x in sigs]
     probes = spark.createDataFrame(

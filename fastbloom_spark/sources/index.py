@@ -94,8 +94,14 @@ def _digest_stack(df: DataFrame, cols: Sequence[str],
         F.struct(F.lit(c).alias("index_col"),
                  digest64(F.col(c), cfg.digest).alias("__digest64"))
         for c in cols])).alias("x")
+    # NULL values digest to NULL and MUST be dropped here: one NULL in an
+    # Arrow batch turns the whole long column float64 in pandas, silently
+    # corrupting every digest above 2^53 (CLAUDE.md: mask nulls BEFORE).
+    # NULL-in -> NULL-out: a NULL is never a probe value, so zero-FN for
+    # real values is unaffected.
     return df.select(BUCKET_COL, stack) \
-        .select(BUCKET_COL, "x.index_col", "x.__digest64")
+        .select(BUCKET_COL, "x.index_col", "x.__digest64") \
+        .filter(F.col("__digest64").isNotNull())
 
 
 def _build_index_rows(written: DataFrame, cols: Sequence[str],
@@ -132,6 +138,11 @@ def write_indexed_table(
     so one output file — per bucket directory; AQE would otherwise coalesce
     the small column-only shuffle into a handful of multi-bucket tasks.
     """
+    if mode == "append":
+        raise ValueError(
+            "mode='append' would append a second full-table index next to "
+            "the stale rows — use append_to_indexed_table for incremental "
+            "ingest")
     cols = [index_col] if isinstance(index_col, str) else list(index_col)
     bucketed = df.withColumn(BUCKET_COL, bucket_col(bucket_source,
                                                     num_buckets))
@@ -303,10 +314,11 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
     from the files the append actually WROTE (snapshot diff + basePath
     read), never from a re-evaluation of ``df_new``'s lineage."""
     spark = df_new.sparkSession
-    index_pdf = read_index(spark, f"{path}/index")
+    idx_df = spark.read.parquet(f"{path}/index")
+    index_pdf = idx_df.toPandas()
     if not len(index_pdf):
         raise ValueError(f"empty bloom index at {path}/index")
-    index_schema = spark.read.parquet(f"{path}/index").schema
+    index_schema = idx_df.schema
     meta = index_pdf.iloc[0]
     num_buckets = int(meta["num_buckets"])
     bucket_source = str(meta["bucket_source"])
@@ -331,8 +343,7 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
     new_pdf = _build_index_rows(written_new, cols, cfg, num_buckets,
                                 bucket_source).toPandas()
 
-    from ..kernel import (decode_words, encode_words, union_words,
-                          words_from_bytes)  # noqa: F401 (decode pairs)
+    from ..kernel import decode_words, encode_words, union_words
 
     combined = pd.concat([index_pdf, new_pdf], ignore_index=True)
     out = []
@@ -382,7 +393,11 @@ def pruned_semi_join(
     index_pdf = index_pdf[index_pdf["index_col"] == index_col]
     digest = str(index_pdf["digest"].iloc[0])
 
-    keys = keys_df.select(F.col(key_col).alias("__key")).distinct()
+    # NULL keys never match a semi-join (NULL = NULL is not true) AND a
+    # single NULL digest would float64-corrupt the whole collected column
+    # (see _digest_stack) — drop them before the Arrow transfer
+    keys = keys_df.select(F.col(key_col).alias("__key")) \
+        .filter(F.col("__key").isNotNull()).distinct()
     digs_pdf = keys.select(
         digest64(F.col("__key"), digest).alias("d")).limit(max_keys + 1) \
         .toPandas()

@@ -302,3 +302,43 @@ def test_block64_layout_index(spark, docs, tmp_path):
     want = docs.filter(F.col("text").isin(probes))
     assert sorted(r.doc_id for r in got.collect()) \
         == sorted(r.doc_id for r in want.collect())
+
+
+def test_null_values_do_not_corrupt_index(spark, docs, tmp_path):
+    """A NULL in an indexed column must not poison the batch (Arrow ships
+    nullable longs as float64 — digests above 2^53 would silently change
+    value): NULL digests are dropped pre-aggregation, and every real
+    value stays zero-FN findable."""
+    with_nulls = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+                   .otherwise(F.col("source")))
+    path = str(tmp_path / "nulls")
+    write_indexed_table(with_nulls, path, index_col=["text", "source"],
+                        cfg=CFG, bucket_source="doc_id", num_buckets=8)
+    probes = member_texts(docs)
+    got, _ = pruned_read(spark, path, probes, on="text")
+    want = with_nulls.filter(F.col("text").isin(probes))
+    assert sorted(r.doc_id for r in got.collect()) \
+        == sorted(r.doc_id for r in want.collect())
+
+
+def test_semi_join_with_null_keys(spark, docs, indexed_path):
+    """NULL build-side keys are dropped (they can never match a semi-join)
+    instead of float64-corrupting the collected digest column."""
+    from fastbloom_spark.sources import pruned_semi_join
+
+    keys = docs.filter(F.col("doc_id") % 50 == 1) \
+        .select(F.col("text").alias("k")) \
+        .unionByName(spark.createDataFrame([(None,)], "k string"))
+    got, _ = pruned_semi_join(spark, indexed_path, keys, "k")
+    want = docs.join(keys.filter(F.col("k").isNotNull())
+                     .withColumnRenamed("k", "text"),
+                     on="text", how="left_semi")
+    assert sorted(r.doc_id for r in got.collect()) \
+        == sorted(r.doc_id for r in want.collect())
+
+
+def test_write_indexed_table_rejects_append_mode(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="append_to_indexed_table"):
+        write_indexed_table(docs, str(tmp_path / "x"), index_col="text",
+                            cfg=CFG, bucket_source="doc_id", mode="append")

@@ -390,3 +390,24 @@ def test_rademacher_planes_replayable():
             bit = int(mix64(np.uint64((base ^ (p * (1 << 32) + i))
                                       & ((1 << 64) - 1)))) & 1
             assert P[p, i] == (1.0 if bit else -1.0)
+
+
+def test_multiprobe_levels_expand_generically(spark):
+    """multiprobe_bits=3 probes strictly more buckets than 2 (the flip set
+    is generated for ANY level, not capped at 2)."""
+    rng = np.random.default_rng(5)
+    rows = [(i, v.tolist()) for i, v in
+            enumerate(rng.standard_normal((40, 16)))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = np.array([r[1] for r in rows[:2]])
+    counts = {}
+    for mp in (2, 3):
+        got = ann_topk_rhp(df, "vec_id", "embedding", queries, k=40,
+                           num_planes=8, multiprobe_bits=mp, seed=9)
+        counts[mp] = got.count()
+    assert counts[3] >= counts[2]
+    # structural check on the flip-set arithmetic: 1+C(8,1)+C(8,2)+C(8,3)
+    from itertools import combinations
+    sets = {mp: 1 + sum(len(list(combinations(range(8), j)))
+                        for j in range(1, mp + 1)) for mp in (2, 3)}
+    assert sets[3] == sets[2] + 56
