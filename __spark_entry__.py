@@ -724,6 +724,40 @@ def q_bloom_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("probe_id")
 
 
+def q_zone_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map range pruning end-to-end (hash-checked: min/max are exact
+    aggregates, so the oracle replays bucket assignment + per-bucket
+    zones + overlap + counts in plain SQL): per range, how many buckets'
+    [vmin, vmax] overlap and — from the PRUNED read — how many rows match
+    exactly. rows_matched equaling the unpruned truth is the zero-FN
+    range-pruning contract."""
+    import tempfile
+
+    import pandas as pd
+
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.sources import (pruned_range_read,
+                                         write_indexed_table)
+
+    docs = _read(spark, sf_dir, "documents")
+    cfg = BloomConfig.from_false_pos(0.02, expected_items=128, seed=42)
+    path = tempfile.mkdtemp(prefix="fb_zone_") + "/docs"
+    write_indexed_table(docs, path, index_col="text", cfg=cfg,
+                        bucket_source="doc_id", num_buckets=8,
+                        zone_cols=["n_chars"])
+    ranges = [("narrow", 0, 50), ("mid", 100, 200),
+              ("empty", 1_000_000, 2_000_000)]
+    rows = []
+    for rid, lo, hi in ranges:
+        pruned, stats = pruned_range_read(spark, path, "n_chars", lo, hi)
+        rows.append((rid, lo, hi, stats.units_survived,
+                     int(pruned.count())))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["range_id", "lo", "hi",
+                                    "buckets_survived", "rows_matched"])
+    ).orderBy("range_id")
+
+
 def q_index_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance (hash-checked: deterministic counts +
     in-query-verified bitwise flag, the checkpoint_resume pattern): build
@@ -1051,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": q_checkpoint_resume,
         "bloom_index_prune": q_bloom_index_prune,
         "index_append_parity": q_index_append_parity,
+        "zone_index_prune": q_zone_index_prune,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sketch_state": q_streaming_sketch_state,
         "streaming_windowed_hll": q_streaming_windowed_hll,
@@ -1417,6 +1452,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_index_prune":
             _oracle_sql_mod().oracle_bloom_index_prune(),
         "rademacher_ann": _oracle_sql_mod().oracle_rademacher_ann(),
+        "zone_index_prune": _oracle_sql_mod().oracle_zone_index_prune(),
         # append parity: counts are exact data functions; the bitwise flag
         # is VERIFIED in-query (decode-compare of both indexes) and the
         # oracle pins it true — same pattern as checkpoint_resume

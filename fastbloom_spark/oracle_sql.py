@@ -845,3 +845,38 @@ def oracle_rademacher_ann(*, num_planes: int = 6, dim: int = 64,
                     AS INT) AS rank
         FROM scored QUALIFY rank <= {k}
     """
+
+
+def oracle_zone_index_prune(*, num_buckets: int = 8,
+                            table: str = "documents") -> str:
+    """Replay of the zone-map range pruning (sources/index.py
+    pruned_range_read): xxh64 bucket assignment, per-bucket exact min/max
+    of n_chars, inclusive-overlap survival, and the unpruned match counts
+    that prove zero-FN range pruning."""
+    assert num_buckets & (num_buckets - 1) == 0
+    xxh_doc = sql_xxh64_utf8("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT doc_id, n_chars,
+                 ({xxh_doc}) & {num_buckets - 1} AS bucket FROM {table}),
+        zones AS (SELECT bucket, min(n_chars) AS vmin, max(n_chars) AS vmax
+                  FROM base GROUP BY bucket),
+        ranges(range_id, lo, hi) AS (
+          VALUES ('narrow', 0, 50), ('mid', 100, 200),
+                 ('empty', 1000000, 2000000)),
+        surv AS (SELECT r.range_id, count(*) AS buckets_survived
+                 FROM ranges r JOIN zones z
+                   ON z.vmax >= r.lo AND z.vmin <= r.hi
+                 GROUP BY r.range_id),
+        m AS (SELECT r.range_id, count(d.doc_id) AS rows_matched
+              FROM ranges r LEFT JOIN {table} d
+                ON d.n_chars BETWEEN r.lo AND r.hi
+              GROUP BY r.range_id)
+        SELECT r.range_id, r.lo::BIGINT AS lo, r.hi::BIGINT AS hi,
+               COALESCE(s.buckets_survived, 0)::BIGINT AS buckets_survived,
+               m.rows_matched::BIGINT AS rows_matched
+        FROM ranges r
+        LEFT JOIN surv s ON s.range_id = r.range_id
+        JOIN m ON m.range_id = r.range_id
+        ORDER BY r.range_id
+    """

@@ -6,6 +6,7 @@ from .index import (
     append_to_indexed_table,
     index_parquet_files,
     prune_index,
+    pruned_range_read,
     pruned_read,
     pruned_semi_join,
     pruned_read_files,
@@ -35,6 +36,7 @@ __all__ = [
     "write_indexed_table",
     "index_parquet_files",
     "prune_index",
+    "pruned_range_read",
     "pruned_read",
     "pruned_semi_join",
     "pruned_read_files",

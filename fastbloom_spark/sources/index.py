@@ -115,6 +115,23 @@ def _build_index_rows(written: DataFrame, cols: Sequence[str],
                       bucket_source=bucket_source)
 
 
+def _write_zone_maps(written: DataFrame, zone_cols: Sequence[str],
+                     path: str, mode: str) -> None:
+    """Per-(bucket, column) min/max zone maps — the range-predicate
+    counterpart of the Bloom rows (ClickHouse minmax skip index / parquet
+    column statistics, lifted to bucket granularity). Each column's zones
+    live in their own parquet dir so values keep the COLUMN'S OWN TYPE and
+    pruning comparisons are exact — no silent narrowing from a cast (a
+    long just above 2^53 cast to double can round INTO the range and lose
+    rows). One tiny groupBy per column over already-bucketed data; NULLs
+    are ignored by min/max (a NULL never matches a range predicate)."""
+    for c in zone_cols:
+        written.groupBy(BUCKET_COL).agg(
+            F.min(c).alias("vmin"), F.max(c).alias("vmax"),
+            F.count(c).alias("rows_seen")) \
+            .write.mode(mode).parquet(f"{path}/zones/{c}")
+
+
 def write_indexed_table(
     df: DataFrame,
     path: str,
@@ -123,12 +140,17 @@ def write_indexed_table(
     cfg: BloomConfig,
     bucket_source: str,
     num_buckets: int = 16,
+    zone_cols: Sequence[str] = (),
     mode: str = "overwrite",
 ) -> None:
     """Write ``{path}/data`` partitioned by a hash bucket of
     ``bucket_source`` plus ``{path}/index``: one Bloom sketch row per
     (bucket, indexed column) over ``digest64(col)`` — pass a list to index
-    several columns in one scan.
+    several columns in one scan. ``zone_cols`` additionally writes
+    ``{path}/zones``: per-bucket min/max zone maps enabling RANGE-predicate
+    pruning (:func:`pruned_range_read`) — Bloom rows answer equality,
+    zones answer ranges; together they are the two halves of a real skip
+    index.
 
     ``cfg.expected_items`` should be sized for rows *per bucket* (rows /
     num_buckets); over-sizing wastes ``m/8`` bytes per bucket, under-sizing
@@ -155,7 +177,10 @@ def write_indexed_table(
     # table beats re-running the upstream lineage anyway)
     written = df.sparkSession.read.parquet(f"{path}/data")
     _build_index_rows(written, cols, cfg, num_buckets, bucket_source) \
+        .withColumn("zone_cols", F.lit(",".join(zone_cols))) \
         .write.mode(mode).parquet(f"{path}/index")
+    if zone_cols:
+        _write_zone_maps(written, zone_cols, path, mode)
 
 
 def index_parquet_files(
@@ -342,6 +367,9 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
         .parquet(*new_files)
     new_pdf = _build_index_rows(written_new, cols, cfg, num_buckets,
                                 bucket_source).toPandas()
+    for c in index_pdf.columns:  # carry meta-only columns (zone_cols, ...)
+        if c not in new_pdf.columns:
+            new_pdf[c] = meta[c]
 
     from ..kernel import decode_words, encode_words, union_words
 
@@ -360,6 +388,23 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
     merged = pd.DataFrame(out, columns=list(index_pdf.columns))
     spark.createDataFrame(merged, schema=index_schema) \
         .write.mode("overwrite").parquet(f"{path}/index")
+
+    # zone maps merge the same way: min/max are associative, so
+    # append-then-merge equals a full rebuild exactly
+    zcols = [c for c in
+             str(meta.get("zone_cols", "") or "").split(",") if c]
+    for c in zcols:
+        zdf = spark.read.parquet(f"{path}/zones/{c}")
+        old_z = zdf.toPandas()
+        new_z = written_new.groupBy(BUCKET_COL).agg(
+            F.min(c).alias("vmin"), F.max(c).alias("vmax"),
+            F.count(c).alias("rows_seen")).toPandas()
+        comb = pd.concat([old_z, new_z], ignore_index=True) \
+            .groupby(BUCKET_COL, sort=True) \
+            .agg(vmin=("vmin", "min"), vmax=("vmax", "max"),
+                 rows_seen=("rows_seen", "sum")).reset_index()
+        spark.createDataFrame(comb[list(old_z.columns)], schema=zdf.schema) \
+            .write.mode("overwrite").parquet(f"{path}/zones/{c}")
 
 
 def pruned_semi_join(
@@ -412,3 +457,38 @@ def pruned_semi_join(
     joined = df.join(keys.withColumnRenamed("__key", index_col),
                      on=index_col, how="left_semi")
     return joined, stats
+
+
+def pruned_range_read(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    *,
+    exact: bool = True,
+) -> tuple[DataFrame, PruneStats]:
+    """Range-predicate scan through the zone maps: read only buckets whose
+    [vmin, vmax] overlaps [lo, hi] (inclusive). min/max are EXACT
+    aggregates in the column's own type, so range pruning has zero false
+    negatives by construction — a matching row cannot live in a
+    non-overlapping bucket. ``exact=True`` finishes with the BETWEEN
+    filter (pushed into the parquet scan of the surviving buckets)."""
+    try:
+        zones = spark.read.parquet(f"{path}/zones/{col}").toPandas()
+    except Exception as exc:
+        raise ValueError(
+            f"no zone map for column {col!r} at {path}/zones — pass "
+            "zone_cols=[...] to write_indexed_table") from exc
+    alive = zones[zones["vmin"].notna()]
+    surv = alive[(alive["vmax"] >= lo) & (alive["vmin"] <= hi)]
+    stats = PruneStats(granularity="partition",
+                       units_total=len(zones),
+                       units_survived=len(surv),
+                       survivors=tuple(sorted(
+                           str(int(b)) for b in surv[BUCKET_COL])))
+    df = spark.read.parquet(f"{path}/data").filter(F.col(BUCKET_COL).isin(
+        [int(s) for s in stats.survivors] or [-1]))
+    if exact:
+        df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    return df, stats

@@ -342,3 +342,54 @@ def test_write_indexed_table_rejects_append_mode(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="append_to_indexed_table"):
         write_indexed_table(docs, str(tmp_path / "x"), index_col="text",
                             cfg=CFG, bucket_source="doc_id", mode="append")
+
+
+def test_zone_map_range_pruning(spark, docs, tmp_path):
+    """Zone maps (per-bucket min/max) prune range predicates with zero
+    false negatives: results equal the plain BETWEEN filter and only
+    overlapping buckets are scanned; appends merge zones exactly."""
+    from fastbloom_spark.sources import (append_to_indexed_table,
+                                         pruned_range_read)
+
+    path = str(tmp_path / "zones")
+    first = docs.filter(F.col("doc_id") % 4 != 0)
+    rest = docs.filter(F.col("doc_id") % 4 == 0)
+    write_indexed_table(first, path, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8,
+                        zone_cols=["n_chars", "doc_id"])
+    append_to_indexed_table(rest, path)
+
+    lo, hi = 120, 180
+    got, stats = pruned_range_read(spark, path, "n_chars", lo, hi)
+    want = docs.filter(F.col("n_chars").between(lo, hi))
+    assert sorted(r.doc_id for r in got.collect()) \
+        == sorted(r.doc_id for r in want.collect())
+    assert stats.units_total == 8
+
+    # a narrow doc_id range: hash-bucketing spreads ids, so zones are wide
+    # — but an out-of-domain range must prune EVERYTHING
+    got2, stats2 = pruned_range_read(spark, path, "doc_id", 10_000, 20_000)
+    assert got2.count() == 0 and stats2.units_survived == 0
+    assert stats2.skipped_fraction == 1.0
+
+    # zones after append == zones of a one-shot build (min/max assoc.)
+    full = str(tmp_path / "zfull")
+    write_indexed_table(docs, full, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8,
+                        zone_cols=["n_chars", "doc_id"])
+    for c in ("n_chars", "doc_id"):
+        a = spark.read.parquet(f"{path}/zones/{c}").toPandas() \
+            .sort_values(BUCKET_COL).reset_index(drop=True)
+        b = spark.read.parquet(f"{full}/zones/{c}").toPandas() \
+            .sort_values(BUCKET_COL).reset_index(drop=True)
+        assert a.equals(b), c
+
+
+def test_zone_map_missing_column_raises(spark, docs, tmp_path):
+    from fastbloom_spark.sources import pruned_range_read
+
+    path = str(tmp_path / "nozone")
+    write_indexed_table(docs, path, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8)
+    with pytest.raises(ValueError, match="no zone map"):
+        pruned_range_read(spark, path, "n_chars", 0, 10)
