@@ -141,6 +141,7 @@ def write_indexed_table(
     bucket_source: str,
     num_buckets: int = 16,
     zone_cols: Sequence[str] = (),
+    sort_within_buckets_by: Sequence[str] = (),
     mode: str = "overwrite",
 ) -> None:
     """Write ``{path}/data`` partitioned by a hash bucket of
@@ -159,6 +160,13 @@ def write_indexed_table(
     The explicit ``repartition(num_buckets, bucket)`` pins one task — and
     so one output file — per bucket directory; AQE would otherwise coalesce
     the small column-only shuffle into a handful of multi-bucket tasks.
+
+    ``sort_within_buckets_by`` clusters each bucket's rows before the
+    write: parquet row-group min/max statistics then become tight on those
+    columns, so the exact BETWEEN/IN filter a pruned read pushes down ALSO
+    skips row groups INSIDE surviving files — zone maps prune buckets,
+    sorted row groups prune within them. No extra shuffle (the sort is
+    task-local).
     """
     if mode == "append":
         raise ValueError(
@@ -168,8 +176,15 @@ def write_indexed_table(
     cols = [index_col] if isinstance(index_col, str) else list(index_col)
     bucketed = df.withColumn(BUCKET_COL, bucket_col(bucket_source,
                                                     num_buckets))
-    (bucketed.repartition(num_buckets, F.col(BUCKET_COL))
-        .write.mode(mode).partitionBy(BUCKET_COL).parquet(f"{path}/data"))
+    writer = bucketed.repartition(num_buckets, F.col(BUCKET_COL))
+    if sort_within_buckets_by:
+        # lead with the bucket column: the parquet writer requires rows
+        # ordered by the partition columns and would otherwise re-sort
+        # (unstably) by bucket alone, destroying the clustering
+        writer = writer.sortWithinPartitions(BUCKET_COL,
+                                             *sort_within_buckets_by)
+    (writer.write.mode(mode).partitionBy(BUCKET_COL)
+        .parquet(f"{path}/data"))
     # index the WRITTEN data, not a second evaluation of df's lineage — a
     # nondeterministic input (sample, concurrent append) would otherwise
     # produce an index missing rows that ARE in the data files, silently
@@ -492,3 +507,30 @@ def pruned_range_read(
     if exact:
         df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
     return df, stats
+
+
+def describe_index(spark: SparkSession, path: str) -> pd.DataFrame:
+    """Operator-facing summary: one row per (bucket, indexed column) with
+    geometry, rows_seen, measured bit density, and the density-implied
+    point-query FPR (density^k — what a probe actually pays, which drifts
+    above the configured target once a bucket exceeds expected_items).
+    Driver-side over the KB-scale index; use it to decide when appends
+    have saturated the filters and a rebuild with larger m is due."""
+    import numpy as np
+
+    from ..kernel import decode_words
+
+    index_pdf = read_index(spark, f"{path}/index")
+    out = []
+    for _, r in index_pdf.iterrows():
+        words = decode_words(bytes(r["sketch"]))
+        bits_set = int(np.unpackbits(words.view(np.uint8)).sum())
+        m, k = int(r["m"]), int(r["k"])
+        density = bits_set / m
+        out.append({BUCKET_COL: int(r[BUCKET_COL]),
+                    "index_col": str(r["index_col"]),
+                    "m": m, "k": k, "rows_seen": int(r["rows_seen"]),
+                    "density": density,
+                    "implied_fpr": density ** k})
+    return pd.DataFrame(out).sort_values(
+        [BUCKET_COL, "index_col"]).reset_index(drop=True)

@@ -393,3 +393,32 @@ def test_zone_map_missing_column_raises(spark, docs, tmp_path):
                         bucket_source="doc_id", num_buckets=8)
     with pytest.raises(ValueError, match="no zone map"):
         pruned_range_read(spark, path, "n_chars", 0, 10)
+
+
+def test_sorted_buckets_and_describe(spark, docs, tmp_path):
+    """sort_within_buckets_by clusters rows inside each bucket file (rows
+    arrive ordered per file), and describe_index reports sane geometry,
+    density, and implied FPR."""
+    from fastbloom_spark.sources import describe_index
+
+    path = str(tmp_path / "sorted")
+    write_indexed_table(docs, path, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=4,
+                        zone_cols=["n_chars"],
+                        sort_within_buckets_by=["n_chars"])
+    pdf = spark.read.parquet(f"{path}/data") \
+        .withColumn("f", F.input_file_name()) \
+        .select("f", "n_chars").toPandas()
+    for _, grp in pdf.groupby("f"):
+        vals = grp["n_chars"].tolist()
+        assert vals == sorted(vals)  # task-local sort reached the file
+
+    desc = describe_index(spark, path)
+    assert len(desc) == 4 and set(desc["index_col"]) == {"text"}
+    assert (desc["rows_seen"] > 0).all()
+    assert ((desc["density"] > 0) & (desc["density"] < 1)).all()
+    # 4 buckets x ~125 rows against expected_items=80: the report must
+    # SHOW the saturation (implied fpr above the 1% target) — that drift
+    # signal is what describe_index exists for
+    assert (desc["implied_fpr"] > 0.01).all()
+    assert (desc["implied_fpr"] < 0.9).all()
