@@ -2,8 +2,8 @@
 
 Usage:
     spark-submit --py-files fastbloom_spark.zip jobs/build_index.py \
-        <input_parquet> <out_path> <index_col> <bucket_source> \
-        <num_buckets> <fp> [probe_value ...]
+        <input_parquet> <out_path> <index_col[,col2,...]> <bucket_source> \
+        <num_buckets> <fp> [zones=<col,col>] [probe_value ...]
 
 Writes ``<out_path>/data`` (bucket-partitioned copy) + ``<out_path>/index``
 (one sketch row per bucket over digest64(index_col)); if probe values are
@@ -20,7 +20,13 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     inp, out_path, index_col, bucket_source, num_buckets, fp = sys.argv[1:7]
-    probes = sys.argv[7:]
+    # optional trailing args: zones=<col,col> then probe values
+    rest = sys.argv[7:]
+    zone_cols: list[str] = []
+    if rest and rest[0].startswith("zones="):
+        zone_cols = [c for c in rest[0][len("zones="):].split(",") if c]
+        rest = rest[1:]
+    probes = rest
     num_buckets = int(num_buckets)
     spark = SparkSession.builder.appName("fastbloom-index").getOrCreate()
 
@@ -31,16 +37,18 @@ def main() -> None:
     n = df.count()
     cfg = BloomConfig.from_false_pos(
         float(fp), expected_items=max(1, n // num_buckets), seed=42)
-    write_indexed_table(df, out_path, index_col=index_col, cfg=cfg,
-                        bucket_source=bucket_source,
-                        num_buckets=num_buckets)
+    write_indexed_table(df, out_path,
+                        index_col=[c for c in index_col.split(",") if c],
+                        cfg=cfg, bucket_source=bucket_source,
+                        num_buckets=num_buckets, zone_cols=zone_cols)
     report = {
         "rows": n, "num_buckets": num_buckets,
         "bits_per_bucket": cfg.num_bits, "num_hashes": cfg.num_hashes,
         "index_bytes": num_buckets * cfg.num_words * 8,
     }
     if probes:
-        pruned, stats = pruned_read(spark, out_path, probes)
+        pruned, stats = pruned_read(spark, out_path, probes,
+                                    on=index_col.split(",")[0])
         report.update({
             "probe_rows_matched": pruned.count(),
             "buckets_survived": stats.units_survived,

@@ -157,7 +157,7 @@ def test_spark_submit_index_job(tmp_path):
          "--py-files", zip_path,
          os.path.join(REPO, "jobs", "build_index.py"),
          "/root/testdata/sf0.001/documents.parquet", out_path,
-         "text", "doc_id", "8", "0.01", probe],
+         "text", "doc_id", "8", "0.01", "zones=n_chars", probe],
         capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
         env=env)
     assert proc.returncode == 0, proc.stderr[-3000:]
@@ -167,3 +167,4 @@ def test_spark_submit_index_job(tmp_path):
     assert out["probe_rows_matched"] >= 1      # zero-FN: the row is found
     assert 1 <= out["buckets_survived"] <= 2   # FPR-bounded over-read
     assert os.path.isdir(f"{out_path}/index")
+    assert os.path.isdir(f"{out_path}/zones/n_chars")
