@@ -3,6 +3,7 @@ from .checkpoint import (read_checkpoint, resume_bloom_agg,
 from .codetable import synth_code_table
 from .index import (
     PruneStats,
+    compact_indexed_table,
     describe_index,
     append_to_indexed_table,
     index_parquet_files,
@@ -34,6 +35,7 @@ __all__ = [
     "write_sketch_table",
     "PruneStats",
     "append_to_indexed_table",
+    "compact_indexed_table",
     "describe_index",
     "write_indexed_table",
     "index_parquet_files",

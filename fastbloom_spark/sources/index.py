@@ -534,3 +534,65 @@ def describe_index(spark: SparkSession, path: str) -> pd.DataFrame:
                     "implied_fpr": density ** k})
     return pd.DataFrame(out).sort_values(
         [BUCKET_COL, "index_col"]).reset_index(drop=True)
+
+
+def compact_indexed_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    sort_within_buckets_by: Sequence[str] = (),
+) -> dict:
+    """Small-files remedy after an append-heavy history: rewrite each
+    bucket directory to one file and rebuild index + zones from the
+    rewritten data. Contents are unchanged, so the rebuilt Bloom words are
+    bitwise-identical to the pre-compaction index (tested) — compaction
+    is purely physical.
+
+    The swap (write aside -> delete old -> rename) goes through the
+    Hadoop FileSystem API, so it works on any supported store, but it is
+    NOT transactional: a crash between delete and rename leaves only the
+    ``data_compacting`` directory to recover from. Production tables
+    under a table format (Iceberg/Delta) should compact via that format's
+    commit protocol instead; this is the bare-parquet rendering.
+
+    Returns ``{"buckets", "files_before", "files_after"}``.
+    """
+    idx_df = spark.read.parquet(f"{path}/index")
+    index_pdf = idx_df.toPandas()
+    if not len(index_pdf):
+        raise ValueError(f"empty bloom index at {path}/index")
+    meta = index_pdf.iloc[0]
+    num_buckets = int(meta["num_buckets"])
+    bucket_source = str(meta["bucket_source"])
+    cols = sorted(index_pdf["index_col"].unique())
+    cfg = BloomConfig(num_bits=int(meta["m"]), num_hashes=int(meta["k"]),
+                      seed=int(meta["seed"]) & ((1 << 64) - 1),
+                      layout=str(meta["layout"]),
+                      digest=str(meta["digest"]))
+    zcols = [c for c in
+             str(meta.get("zone_cols", "") or "").split(",") if c]
+
+    files_before = len(spark.read.parquet(f"{path}/data").inputFiles())
+    writer = spark.read.parquet(f"{path}/data") \
+        .repartition(num_buckets, F.col(BUCKET_COL))
+    if sort_within_buckets_by:
+        writer = writer.sortWithinPartitions(BUCKET_COL,
+                                             *sort_within_buckets_by)
+    writer.write.mode("overwrite").partitionBy(BUCKET_COL) \
+        .parquet(f"{path}/data_compacting")
+
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(f"{path}/data_compacting"),
+              hpath)
+
+    written = spark.read.parquet(f"{path}/data")
+    _build_index_rows(written, cols, cfg, num_buckets, bucket_source) \
+        .withColumn("zone_cols", F.lit(",".join(zcols))) \
+        .write.mode("overwrite").parquet(f"{path}/index")
+    if zcols:
+        _write_zone_maps(written, zcols, path, "overwrite")
+    return {"buckets": num_buckets, "files_before": files_before,
+            "files_after": len(written.inputFiles())}

@@ -422,3 +422,43 @@ def test_sorted_buckets_and_describe(spark, docs, tmp_path):
     # signal is what describe_index exists for
     assert (desc["implied_fpr"] > 0.01).all()
     assert (desc["implied_fpr"] < 0.9).all()
+
+
+def test_compaction_physical_only(spark, docs, tmp_path):
+    """After an append-heavy history, compaction rewrites each bucket to
+    one file; contents (and therefore the rebuilt Bloom words and zones)
+    are unchanged — compaction is purely physical."""
+    from fastbloom_spark.kernel import decode_words
+    from fastbloom_spark.sources import (append_to_indexed_table,
+                                         compact_indexed_table,
+                                         pruned_range_read)
+
+    path = str(tmp_path / "compact")
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    write_indexed_table(parts[0], path, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8,
+                        zone_cols=["n_chars"])
+    for p in parts[1:]:
+        append_to_indexed_table(p, path)
+
+    def index_words(p):
+        pdf = read_index(spark, f"{p}/index")
+        return {(int(r[BUCKET_COL]), r["index_col"]):
+                decode_words(bytes(r["sketch"])).tolist()
+                for _, r in pdf.iterrows()}
+
+    before_words = index_words(path)
+    stats = compact_indexed_table(spark, path,
+                                  sort_within_buckets_by=["n_chars"])
+    assert stats["files_before"] > 8  # three write generations
+    assert stats["files_after"] == 8  # one file per bucket
+    assert index_words(path) == before_words  # purely physical
+
+    probes = member_texts(docs, n=3)
+    got, _ = pruned_read(spark, path, probes)
+    want = docs.filter(F.col("text").isin(probes))
+    assert sorted(r.doc_id for r in got.collect()) \
+        == sorted(r.doc_id for r in want.collect())
+    got2, _ = pruned_range_read(spark, path, "n_chars", 100, 200)
+    assert got2.count() == docs.filter(
+        F.col("n_chars").between(100, 200)).count()
