@@ -82,6 +82,46 @@ def _meta_cols(df: DataFrame, *, num_buckets: int,
               .withColumn("bucket_source", F.lit(bucket_source)))
 
 
+@dataclass(frozen=True)
+class _IndexMeta:
+    num_buckets: int
+    bucket_source: str
+    cols: tuple[str, ...]
+    zone_cols: tuple[str, ...]
+    cfg: BloomConfig
+
+
+def _read_index_meta(index_pdf: pd.DataFrame) -> _IndexMeta:
+    """Reconstruct the build config from self-describing index rows — the
+    ONE place meta fields are parsed (append + compact + range reads must
+    agree or the bitwise-rebuild guarantee silently breaks)."""
+    meta = index_pdf.iloc[0]
+    return _IndexMeta(
+        num_buckets=int(meta["num_buckets"]),
+        bucket_source=str(meta["bucket_source"]),
+        cols=tuple(sorted(index_pdf["index_col"].unique())),
+        zone_cols=tuple(
+            c for c in str(meta.get("zone_cols", "") or "").split(",")
+            if c),
+        cfg=BloomConfig(num_bits=int(meta["m"]), num_hashes=int(meta["k"]),
+                        seed=int(meta["seed"]) & ((1 << 64) - 1),
+                        layout=str(meta["layout"]),
+                        digest=str(meta["digest"])))
+
+
+def _hadoop_fs(spark: SparkSession, p: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _delete_dir(spark: SparkSession, p: str) -> None:
+    fs, hpath = _hadoop_fs(spark, p)
+    if fs.exists(hpath) and not fs.delete(hpath, True):
+        raise IOError(f"hadoop fs delete failed for {p}")
+
+
 def _digest_stack(df: DataFrame, cols: Sequence[str],
                   cfg: BloomConfig) -> DataFrame:
     """(bucket, index_col, __digest64) rows for every indexed column in
@@ -115,6 +155,25 @@ def _build_index_rows(written: DataFrame, cols: Sequence[str],
                       bucket_source=bucket_source)
 
 
+def _zone_agg_rows(written: DataFrame, zone_cols: Sequence[str]) -> list:
+    """ONE combined aggregation for every zone column (single scan), rows
+    collected via py4j — Python ints are arbitrary-precision, so native
+    values survive exactly. NEVER route zone values through pandas: one
+    all-NULL bucket turns an int64 min/max column float64 and values
+    above 2^53 round — the silent zero-FN break the own-type design
+    exists to prevent."""
+    aggs = []
+    for c in zone_cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}"),
+                 F.count(c).alias(f"__cnt_{c}")]
+    return written.groupBy(BUCKET_COL).agg(*aggs).collect()
+
+
+def _zone_schema(written: DataFrame, c: str) -> str:
+    dt = written.schema[c].dataType.simpleString()
+    return f"{BUCKET_COL} int, vmin {dt}, vmax {dt}, rows_seen long"
+
+
 def _write_zone_maps(written: DataFrame, zone_cols: Sequence[str],
                      path: str, mode: str) -> None:
     """Per-(bucket, column) min/max zone maps — the range-predicate
@@ -123,12 +182,14 @@ def _write_zone_maps(written: DataFrame, zone_cols: Sequence[str],
     live in their own parquet dir so values keep the COLUMN'S OWN TYPE and
     pruning comparisons are exact — no silent narrowing from a cast (a
     long just above 2^53 cast to double can round INTO the range and lose
-    rows). One tiny groupBy per column over already-bucketed data; NULLs
-    are ignored by min/max (a NULL never matches a range predicate)."""
+    rows). One scan for all columns; NULLs are ignored by min/max (a NULL
+    never matches a range predicate)."""
+    spark = written.sparkSession
+    rows = _zone_agg_rows(written, zone_cols)
     for c in zone_cols:
-        written.groupBy(BUCKET_COL).agg(
-            F.min(c).alias("vmin"), F.max(c).alias("vmax"),
-            F.count(c).alias("rows_seen")) \
+        data = [(r[BUCKET_COL], r[f"__min_{c}"], r[f"__max_{c}"],
+                 r[f"__cnt_{c}"]) for r in rows]
+        spark.createDataFrame(data, _zone_schema(written, c)) \
             .write.mode(mode).parquet(f"{path}/zones/{c}")
 
 
@@ -194,6 +255,10 @@ def write_indexed_table(
     _build_index_rows(written, cols, cfg, num_buckets, bucket_source) \
         .withColumn("zone_cols", F.lit(",".join(zone_cols))) \
         .write.mode(mode).parquet(f"{path}/index")
+    # drop stale zones ALWAYS: a previous write's zone dirs would
+    # otherwise keep pruning fresh data with obsolete min/max (overwrite
+    # mode only rewrites the CURRENT zone_cols' dirs)
+    _delete_dir(df.sparkSession, f"{path}/zones")
     if zone_cols:
         _write_zone_maps(written, zone_cols, path, mode)
 
@@ -359,14 +424,8 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
     if not len(index_pdf):
         raise ValueError(f"empty bloom index at {path}/index")
     index_schema = idx_df.schema
-    meta = index_pdf.iloc[0]
-    num_buckets = int(meta["num_buckets"])
-    bucket_source = str(meta["bucket_source"])
-    cols = sorted(index_pdf["index_col"].unique())
-    cfg = BloomConfig(num_bits=int(meta["m"]), num_hashes=int(meta["k"]),
-                      seed=int(meta["seed"]) & ((1 << 64) - 1),
-                      layout=str(meta["layout"]),
-                      digest=str(meta["digest"]))
+    meta = _read_index_meta(index_pdf)
+    num_buckets, bucket_source = meta.num_buckets, meta.bucket_source
 
     before = set(spark.read.parquet(f"{path}/data").inputFiles())
     bucketed = df_new.withColumn(BUCKET_COL, bucket_col(bucket_source,
@@ -380,11 +439,11 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
         return
     written_new = spark.read.option("basePath", f"{path}/data") \
         .parquet(*new_files)
-    new_pdf = _build_index_rows(written_new, cols, cfg, num_buckets,
-                                bucket_source).toPandas()
+    new_pdf = _build_index_rows(written_new, list(meta.cols), meta.cfg,
+                                num_buckets, bucket_source).toPandas()
     for c in index_pdf.columns:  # carry meta-only columns (zone_cols, ...)
         if c not in new_pdf.columns:
-            new_pdf[c] = meta[c]
+            new_pdf[c] = index_pdf.iloc[0][c]
 
     from ..kernel import decode_words, encode_words, union_words
 
@@ -405,21 +464,31 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
         .write.mode("overwrite").parquet(f"{path}/index")
 
     # zone maps merge the same way: min/max are associative, so
-    # append-then-merge equals a full rebuild exactly
-    zcols = [c for c in
-             str(meta.get("zone_cols", "") or "").split(",") if c]
-    for c in zcols:
-        zdf = spark.read.parquet(f"{path}/zones/{c}")
-        old_z = zdf.toPandas()
-        new_z = written_new.groupBy(BUCKET_COL).agg(
-            F.min(c).alias("vmin"), F.max(c).alias("vmax"),
-            F.count(c).alias("rows_seen")).toPandas()
-        comb = pd.concat([old_z, new_z], ignore_index=True) \
-            .groupby(BUCKET_COL, sort=True) \
-            .agg(vmin=("vmin", "min"), vmax=("vmax", "max"),
-                 rows_seen=("rows_seen", "sum")).reset_index()
-        spark.createDataFrame(comb[list(old_z.columns)], schema=zdf.schema) \
-            .write.mode("overwrite").parquet(f"{path}/zones/{c}")
+    # append-then-merge equals a full rebuild exactly. Values stay in
+    # py4j-native Python objects end-to-end (see _zone_agg_rows: pandas
+    # would float64-corrupt nullable int64 zones above 2^53).
+    if meta.zone_cols:
+        new_rows = _zone_agg_rows(written_new, meta.zone_cols)
+        for c in meta.zone_cols:
+            old = [(r[BUCKET_COL], r["vmin"], r["vmax"], r["rows_seen"])
+                   for r in spark.read.parquet(f"{path}/zones/{c}")
+                   .collect()]
+            new = [(r[BUCKET_COL], r[f"__min_{c}"], r[f"__max_{c}"],
+                    r[f"__cnt_{c}"]) for r in new_rows]
+            by: dict = {}
+            for b, vmin, vmax, n in old + new:
+                if b not in by:
+                    by[b] = [vmin, vmax, n]
+                    continue
+                cur = by[b]
+                if vmin is not None:
+                    cur[0] = vmin if cur[0] is None else min(cur[0], vmin)
+                if vmax is not None:
+                    cur[1] = vmax if cur[1] is None else max(cur[1], vmax)
+                cur[2] += n
+            data = [(b, v[0], v[1], v[2]) for b, v in sorted(by.items())]
+            spark.createDataFrame(data, _zone_schema(written_new, c)) \
+                .write.mode("overwrite").parquet(f"{path}/zones/{c}")
 
 
 def pruned_semi_join(
@@ -489,19 +558,25 @@ def pruned_range_read(
     negatives by construction — a matching row cannot live in a
     non-overlapping bucket. ``exact=True`` finishes with the BETWEEN
     filter (pushed into the parquet scan of the surviving buckets)."""
-    try:
-        zones = spark.read.parquet(f"{path}/zones/{col}").toPandas()
-    except Exception as exc:
+    # validate against the index's OWN meta — a stale zones dir from a
+    # previous write must not prune fresh data with obsolete min/max
+    meta = _read_index_meta(read_index(spark, f"{path}/index"))
+    if col not in meta.zone_cols:
         raise ValueError(
-            f"no zone map for column {col!r} at {path}/zones — pass "
-            "zone_cols=[...] to write_indexed_table") from exc
-    alive = zones[zones["vmin"].notna()]
-    surv = alive[(alive["vmax"] >= lo) & (alive["vmin"] <= hi)]
+            f"no zone map for column {col!r} (indexed zone_cols: "
+            f"{list(meta.zone_cols)}) — pass zone_cols=[...] to "
+            "write_indexed_table")
+    # collect, not toPandas: zone values must stay py4j-native (an
+    # all-NULL bucket would float64-corrupt an int64 zone column)
+    zones = spark.read.parquet(f"{path}/zones/{col}").collect()
+    surv = [r for r in zones
+            if r["vmin"] is not None and r["vmax"] >= lo
+            and r["vmin"] <= hi]
     stats = PruneStats(granularity="partition",
                        units_total=len(zones),
                        units_survived=len(surv),
                        survivors=tuple(sorted(
-                           str(int(b)) for b in surv[BUCKET_COL])))
+                           str(int(r[BUCKET_COL])) for r in surv)))
     df = spark.read.parquet(f"{path}/data").filter(F.col(BUCKET_COL).isin(
         [int(s) for s in stats.survivors] or [-1]))
     if exact:
@@ -557,42 +632,38 @@ def compact_indexed_table(
 
     Returns ``{"buckets", "files_before", "files_after"}``.
     """
-    idx_df = spark.read.parquet(f"{path}/index")
-    index_pdf = idx_df.toPandas()
+    index_pdf = read_index(spark, f"{path}/index")
     if not len(index_pdf):
         raise ValueError(f"empty bloom index at {path}/index")
-    meta = index_pdf.iloc[0]
-    num_buckets = int(meta["num_buckets"])
-    bucket_source = str(meta["bucket_source"])
-    cols = sorted(index_pdf["index_col"].unique())
-    cfg = BloomConfig(num_bits=int(meta["m"]), num_hashes=int(meta["k"]),
-                      seed=int(meta["seed"]) & ((1 << 64) - 1),
-                      layout=str(meta["layout"]),
-                      digest=str(meta["digest"]))
-    zcols = [c for c in
-             str(meta.get("zone_cols", "") or "").split(",") if c]
+    meta = _read_index_meta(index_pdf)
 
     files_before = len(spark.read.parquet(f"{path}/data").inputFiles())
     writer = spark.read.parquet(f"{path}/data") \
-        .repartition(num_buckets, F.col(BUCKET_COL))
+        .repartition(meta.num_buckets, F.col(BUCKET_COL))
     if sort_within_buckets_by:
         writer = writer.sortWithinPartitions(BUCKET_COL,
                                              *sort_within_buckets_by)
     writer.write.mode("overwrite").partitionBy(BUCKET_COL) \
         .parquet(f"{path}/data_compacting")
 
+    # Hadoop FS signals failure via RETURN VALUE, not exceptions — an
+    # unchecked rename would rebuild the index over wrong/partial data
+    fs, hpath = _hadoop_fs(spark, f"{path}/data")
+    _delete_dir(spark, f"{path}/data")
     jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(f"{path}/data_compacting"),
-              hpath)
+    if not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/data_compacting"),
+            hpath):
+        raise IOError(
+            f"compaction swap failed: rename {path}/data_compacting -> "
+            f"{path}/data returned false; recover from data_compacting")
 
     written = spark.read.parquet(f"{path}/data")
-    _build_index_rows(written, cols, cfg, num_buckets, bucket_source) \
-        .withColumn("zone_cols", F.lit(",".join(zcols))) \
+    _build_index_rows(written, list(meta.cols), meta.cfg,
+                      meta.num_buckets, meta.bucket_source) \
+        .withColumn("zone_cols", F.lit(",".join(meta.zone_cols))) \
         .write.mode("overwrite").parquet(f"{path}/index")
-    if zcols:
-        _write_zone_maps(written, zcols, path, "overwrite")
-    return {"buckets": num_buckets, "files_before": files_before,
+    if meta.zone_cols:
+        _write_zone_maps(written, meta.zone_cols, path, "overwrite")
+    return {"buckets": meta.num_buckets, "files_before": files_before,
             "files_after": len(written.inputFiles())}

@@ -462,3 +462,58 @@ def test_compaction_physical_only(spark, docs, tmp_path):
     got2, _ = pruned_range_read(spark, path, "n_chars", 100, 200)
     assert got2.count() == docs.filter(
         F.col("n_chars").between(100, 200)).count()
+
+
+def test_zone_values_survive_null_buckets_exactly(spark, tmp_path):
+    """Int64 zone values above 2^53 stay EXACT even when some bucket is
+    all-NULL in the zone column (the pandas float64 coercion trap): range
+    pruning loses no rows, and appends merge such zones exactly."""
+    from fastbloom_spark.sources import (append_to_indexed_table,
+                                         pruned_range_read)
+    from fastbloom_spark.sources.index import bucket_col
+
+    big = (1 << 60) + 12345
+    ids = list(range(40))
+    base = spark.createDataFrame([(i,) for i in ids], "id long")
+    by_bucket = {r.id: r.b for r in
+                 base.withColumn("b", bucket_col("id", 8)).collect()}
+    null_bucket = by_bucket[ids[0]]
+    rows = [(i, f"t{i}",
+             None if by_bucket[i] == null_bucket else big + i)
+            for i in ids]
+    df = spark.createDataFrame(rows, "id long, text string, v long")
+    path = str(tmp_path / "bigzones")
+    write_indexed_table(df, path, index_col="text", cfg=CFG,
+                        bucket_source="id", num_buckets=8,
+                        zone_cols=["v"])
+
+    lo, hi = big + 10, big + 20
+    got, stats = pruned_range_read(spark, path, "v", lo, hi)
+    want = df.filter(F.col("v").between(lo, hi))
+    assert sorted(r.id for r in got.collect()) \
+        == sorted(r.id for r in want.collect())
+    assert stats.units_survived < stats.units_total  # pruning happened
+
+    # append through the same NULL-bucket shape: still exact
+    extra = spark.createDataFrame(
+        [(100 + i, f"x{i}", big + 100 + i) for i in range(10)],
+        "id long, text string, v long")
+    append_to_indexed_table(extra, path)
+    got2, _ = pruned_range_read(spark, path, "v", big + 100, big + 105)
+    assert sorted(r.id for r in got2.collect()) == list(range(100, 106))
+
+
+def test_stale_zone_maps_rejected_after_rewrite(spark, docs, tmp_path):
+    """Overwriting a table WITHOUT zone_cols must invalidate the previous
+    write's zones — pruning fresh data with obsolete min/max would lose
+    rows silently."""
+    from fastbloom_spark.sources import pruned_range_read
+
+    path = str(tmp_path / "stale")
+    write_indexed_table(docs, path, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8,
+                        zone_cols=["n_chars"])
+    write_indexed_table(docs, path, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8)
+    with pytest.raises(ValueError, match="no zone map"):
+        pruned_range_read(spark, path, "n_chars", 0, 10)
