@@ -3,15 +3,16 @@ from .checkpoint import (read_checkpoint, resume_bloom_agg,
 from .codetable import synth_code_table
 from .index import (
     PruneStats,
+    append_to_indexed_table,
     compact_indexed_table,
     describe_index,
-    append_to_indexed_table,
+    index_filter,
     index_parquet_files,
     prune_index,
     pruned_range_read,
     pruned_read,
-    pruned_semi_join,
     pruned_read_files,
+    pruned_semi_join,
     write_indexed_table,
 )
 from .sink import (
@@ -37,6 +38,7 @@ __all__ = [
     "append_to_indexed_table",
     "compact_indexed_table",
     "describe_index",
+    "index_filter",
     "write_indexed_table",
     "index_parquet_files",
     "prune_index",

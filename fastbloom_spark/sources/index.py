@@ -667,3 +667,34 @@ def compact_indexed_table(
         _write_zone_maps(written, meta.zone_cols, path, "overwrite")
     return {"buckets": meta.num_buckets, "files_before": files_before,
             "files_after": len(written.inputFiles())}
+
+
+def index_filter(spark: SparkSession, path: str, *, on: str | None = None):
+    """OR-union of every bucket's sketch for one indexed column — a single
+    whole-table membership filter (the reference ``union``, fastbloom
+    src/lib.rs:286-317, over the index rows). Useful as a broadcastable
+    pre-filter: compose with ``bloom_contains_col`` /
+    ``register_bloom_sql`` so SQL WHERE clauses and join prefilters can
+    consult the index without touching the data — the per-bucket rows
+    answer "WHERE might it be", the union answers "is it anywhere at
+    all". Sizing caveat: the union holds the TABLE'S rows in one m-bit
+    array, so its FPR follows total rows against m — when the union
+    matters, size ``cfg.expected_items`` for the table (per-bucket
+    filters then carry ~B× headroom); per-bucket-sized indexes yield a
+    saturated (zero-FN but high-FPR) union."""
+    from ..kernel import decode_words, union_words
+    from ..local import BloomFilter
+
+    index_pdf = read_index(spark, f"{path}/index")
+    if not len(index_pdf):
+        raise ValueError(f"empty bloom index at {path}/index")
+    index_col = _select_index_col(index_pdf, on)
+    sub = index_pdf[index_pdf["index_col"] == index_col]
+    meta = _read_index_meta(sub)
+    words = None
+    rows_seen = 0
+    for _, r in sub.iterrows():
+        w = decode_words(bytes(r["sketch"]))
+        words = w if words is None else union_words(words, w)
+        rows_seen += int(r["rows_seen"])
+    return BloomFilter(meta.cfg, words, rows_seen=rows_seen)

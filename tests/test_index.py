@@ -517,3 +517,35 @@ def test_stale_zone_maps_rejected_after_rewrite(spark, docs, tmp_path):
                         bucket_source="doc_id", num_buckets=8)
     with pytest.raises(ValueError, match="no zone map"):
         pruned_range_read(spark, path, "n_chars", 0, 10)
+
+
+def test_index_filter_union_and_sql(spark, docs, tmp_path):
+    """The union of bucket sketches is a whole-table membership filter:
+    zero FN over every indexed value, FPR-bounded on absents when the cfg
+    is sized for the TABLE (per-bucket sizing saturates the union — the
+    documented tradeoff), and registrable for SQL probes."""
+    from fastbloom_spark.kernel import digest64_bytes
+    from fastbloom_spark.operators import register_bloom_sql
+    from fastbloom_spark.sources import index_filter
+
+    path = str(tmp_path / "unionidx")
+    cfg = BloomConfig.from_false_pos(0.01, expected_items=600, seed=42)
+    write_indexed_table(docs, path, index_col="text", cfg=cfg,
+                        bucket_source="doc_id", num_buckets=8)
+    filt = index_filter(spark, path)
+    texts = [r.text for r in docs.select("text").collect()]
+    digs = [digest64_bytes(t.encode()) for t in texts]
+    assert filt.contains_digests(digs).all()  # zero FN
+    assert filt.rows_seen == len(texts)
+    absent = [digest64_bytes(f"absent:{i}".encode()) for i in range(2000)]
+    # 500 rows in a 600-item filter: union fpr stays near the 1% target
+    assert filt.contains_digests(absent).mean() < 0.05
+
+    from fastbloom_spark.functions import digest64
+
+    fn = register_bloom_sql(spark, "docidx", filt)
+    docs.select("text", digest64("text").alias("d")) \
+        .createOrReplaceTempView("docs_v")
+    n = spark.sql(f"SELECT count(*) AS n FROM docs_v WHERE {fn}(d)") \
+        .first().n
+    assert n == docs.count()  # every row probes true from SQL
