@@ -109,6 +109,16 @@ def _read_index_meta(index_pdf: pd.DataFrame) -> _IndexMeta:
                         digest=str(meta["digest"])))
 
 
+def _read_meta_pdf(spark: SparkSession, path: str) -> pd.DataFrame:
+    """Index rows WITHOUT the sketch payloads — meta consumers (range
+    reads, compaction) need row-0 scalars + index_col values only, not
+    KBs-to-MBs of filter blobs collected per call."""
+    pdf = spark.read.parquet(f"{path}/index").drop("sketch").toPandas()
+    if not len(pdf):
+        raise ValueError(f"empty bloom index at {path}/index")
+    return pdf
+
+
 def _hadoop_fs(spark: SparkSession, p: str):
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(p)
@@ -234,6 +244,18 @@ def write_indexed_table(
             "mode='append' would append a second full-table index next to "
             "the stale rows — use append_to_indexed_table for incremental "
             "ingest")
+    if mode == "ignore":
+        raise ValueError(
+            "mode='ignore' is ambiguous for the index sidecars (a no-op "
+            "data write must not touch zones/index) — use 'overwrite' or "
+            "'error'")
+    # overwrite: drop stale zones BEFORE any write, so every crash state
+    # mid-rewrite fails LOUDLY (missing zones) instead of letting the
+    # previous write's min/max silently prune fresh data. For 'error'
+    # modes the path is fresh-or-raise, so deletion after the data write
+    # (below) is equivalent and keeps a raising no-op truly untouched.
+    if mode == "overwrite":
+        _delete_dir(df.sparkSession, f"{path}/zones")
     cols = [index_col] if isinstance(index_col, str) else list(index_col)
     bucketed = df.withColumn(BUCKET_COL, bucket_col(bucket_source,
                                                     num_buckets))
@@ -246,6 +268,8 @@ def write_indexed_table(
                                              *sort_within_buckets_by)
     (writer.write.mode(mode).partitionBy(BUCKET_COL)
         .parquet(f"{path}/data"))
+    if mode != "overwrite":
+        _delete_dir(df.sparkSession, f"{path}/zones")
     # index the WRITTEN data, not a second evaluation of df's lineage — a
     # nondeterministic input (sample, concurrent append) would otherwise
     # produce an index missing rows that ARE in the data files, silently
@@ -255,10 +279,6 @@ def write_indexed_table(
     _build_index_rows(written, cols, cfg, num_buckets, bucket_source) \
         .withColumn("zone_cols", F.lit(",".join(zone_cols))) \
         .write.mode(mode).parquet(f"{path}/index")
-    # drop stale zones ALWAYS: a previous write's zone dirs would
-    # otherwise keep pruning fresh data with obsolete min/max (overwrite
-    # mode only rewrites the CURRENT zone_cols' dirs)
-    _delete_dir(df.sparkSession, f"{path}/zones")
     if zone_cols:
         _write_zone_maps(written, zone_cols, path, mode)
 
@@ -560,7 +580,7 @@ def pruned_range_read(
     filter (pushed into the parquet scan of the surviving buckets)."""
     # validate against the index's OWN meta — a stale zones dir from a
     # previous write must not prune fresh data with obsolete min/max
-    meta = _read_index_meta(read_index(spark, f"{path}/index"))
+    meta = _read_index_meta(_read_meta_pdf(spark, path))
     if col not in meta.zone_cols:
         raise ValueError(
             f"no zone map for column {col!r} (indexed zone_cols: "
@@ -632,10 +652,7 @@ def compact_indexed_table(
 
     Returns ``{"buckets", "files_before", "files_after"}``.
     """
-    index_pdf = read_index(spark, f"{path}/index")
-    if not len(index_pdf):
-        raise ValueError(f"empty bloom index at {path}/index")
-    meta = _read_index_meta(index_pdf)
+    meta = _read_index_meta(_read_meta_pdf(spark, path))
 
     files_before = len(spark.read.parquet(f"{path}/data").inputFiles())
     writer = spark.read.parquet(f"{path}/data") \
@@ -648,8 +665,8 @@ def compact_indexed_table(
 
     # Hadoop FS signals failure via RETURN VALUE, not exceptions — an
     # unchecked rename would rebuild the index over wrong/partial data
-    fs, hpath = _hadoop_fs(spark, f"{path}/data")
     _delete_dir(spark, f"{path}/data")
+    fs, hpath = _hadoop_fs(spark, f"{path}/data")
     jvm = spark.sparkContext._jvm
     if not fs.rename(
             jvm.org.apache.hadoop.fs.Path(f"{path}/data_compacting"),
@@ -682,19 +699,16 @@ def index_filter(spark: SparkSession, path: str, *, on: str | None = None):
     matters, size ``cfg.expected_items`` for the table (per-bucket
     filters then carry ~B× headroom); per-bucket-sized indexes yield a
     saturated (zero-FN but high-FPR) union."""
-    from ..kernel import decode_words, union_words
-    from ..local import BloomFilter
-
     index_pdf = read_index(spark, f"{path}/index")
     if not len(index_pdf):
         raise ValueError(f"empty bloom index at {path}/index")
     index_col = _select_index_col(index_pdf, on)
     sub = index_pdf[index_pdf["index_col"] == index_col]
-    meta = _read_index_meta(sub)
-    words = None
-    rows_seen = 0
+    # hydrate + union through the library surface: BloomFilter.union
+    # verifies geometry/seed compatibility row by row, so a corrupted or
+    # mixed-config index fails loudly instead of ORing incompatible words
+    filt = None
     for _, r in sub.iterrows():
-        w = decode_words(bytes(r["sketch"]))
-        words = w if words is None else union_words(words, w)
-        rows_seen += int(r["rows_seen"])
-    return BloomFilter(meta.cfg, words, rows_seen=rows_seen)
+        f = sketch_row_to_filter(r)
+        filt = f if filt is None else filt.union(f)
+    return filt

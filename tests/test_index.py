@@ -549,3 +549,9 @@ def test_index_filter_union_and_sql(spark, docs, tmp_path):
     n = spark.sql(f"SELECT count(*) AS n FROM docs_v WHERE {fn}(d)") \
         .first().n
     assert n == docs.count()  # every row probes true from SQL
+
+
+def test_write_mode_ignore_rejected(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="ambiguous"):
+        write_indexed_table(docs, str(tmp_path / "ig"), index_col="text",
+                            cfg=CFG, bucket_source="doc_id", mode="ignore")
