@@ -555,3 +555,35 @@ def test_write_mode_ignore_rejected(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="ambiguous"):
         write_indexed_table(docs, str(tmp_path / "ig"), index_col="text",
                             cfg=CFG, bucket_source="doc_id", mode="ignore")
+
+
+def test_append_after_compaction_stays_bitwise(spark, docs, tmp_path):
+    """Maintenance ops compose: append -> compact -> append still equals
+    the one-shot index bitwise, and zones stay exact."""
+    from fastbloom_spark.kernel import decode_words
+    from fastbloom_spark.sources import (append_to_indexed_table,
+                                         compact_indexed_table,
+                                         pruned_range_read)
+
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    path = str(tmp_path / "cycle")
+    write_indexed_table(parts[0], path, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8,
+                        zone_cols=["n_chars"])
+    append_to_indexed_table(parts[1], path)
+    compact_indexed_table(spark, path)
+    append_to_indexed_table(parts[2], path)
+
+    full = str(tmp_path / "cyclefull")
+    write_indexed_table(docs, full, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8,
+                        zone_cols=["n_chars"])
+
+    def words_of(p):
+        pdf = read_index(spark, f"{p}/index")
+        return {int(r[BUCKET_COL]): decode_words(bytes(r["sketch"])).tolist()
+                for _, r in pdf.iterrows()}
+    assert words_of(path) == words_of(full)
+    got, _ = pruned_range_read(spark, path, "n_chars", 100, 200)
+    assert got.count() == docs.filter(
+        F.col("n_chars").between(100, 200)).count()

@@ -310,3 +310,30 @@ def test_windowed_sketch_byte_equals_batch(spark, tmp_path):
     want = {(str(r.win_start), r.event_type): bytes(r.sketch)
             for r in batch.collect()}
     assert got == want and len(got) == 4
+
+
+def test_windowed_sketch_cms_byte_equals_batch(spark, tmp_path):
+    """Counter sketches through the windowed rollup: CMS adds are exact
+    and order-independent, so finalized windows byte-equal batch state."""
+    from datetime import datetime
+
+    from fastbloom_spark.operators.sketch_agg import sketch_agg
+    from fastbloom_spark.sketch import CountMinSketch
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("s3", "c3", "o3"))
+    rows = [(datetime(2024, 1, 1, h, m, 0), "a", (h * 13 + m) % 9)
+            for h in range(2) for m in range(0, 60, 4)]
+    df = spark.createDataFrame(rows, W_SCHEMA)
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+    spark.createDataFrame([(datetime(2024, 1, 3), "a", 0)], W_SCHEMA) \
+        .write.mode("append").parquet(src)
+
+    impl = CountMinSketch(depth=4, log2_width=10, seed=3)
+    got_df = _run_windowed(spark, src, ckpt, out, impl,
+                           window="1 hour", watermark="1 minute")
+    got = {str(r.window_start): bytes(r.sketch) for r in got_df.collect()}
+    batch = sketch_agg(
+        df.withColumn("ws", F.window("ts", "1 hour").getField("start")),
+        ["ws"], F.col("uid").cast("string"), impl)
+    want = {str(r.ws): bytes(r.sketch) for r in batch.collect()}
+    assert got == want and len(got) == 2
