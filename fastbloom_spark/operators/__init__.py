@@ -27,6 +27,7 @@ __all__ = [
 ]
 
 from .dedup import (
+    ConvergenceError,
     connected_min_ids,
     minhash_candidate_pairs,
     minhash_dedup,
@@ -71,6 +72,7 @@ __all__ += [
     "bpe_token_count_col", "ivf_topk_from_index", "minhash_jaccard_est_col",
     "resize_media", "sample_frames", "winnow_fingerprints_col",
     "winnow_near_dup_pairs", "write_ivf_index",
+    "ConvergenceError",
     "connected_min_ids", "minhash_candidate_pairs", "minhash_dedup",
     "minhash_signature_col",
     "ngram_jaccard_pairs", "shingles_col", "simhash64_col", "simhash_dedup",

@@ -352,9 +352,11 @@ def _bloom_agg_shuffled(
                           F.lit(salt)).cast("int")
         # explicit numPartitions: AQE coalesces column-only repartitions of
         # small exchanges back into few tasks, silently undoing the salt —
-        # the caller asked for the spread, so pin it
-        n_shuffle = int(prepared.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions"))
+        # the caller asked for the spread, so pin it ("auto"-managed confs
+        # fall back to defaultParallelism)
+        from ..session import shuffle_partition_count
+
+        n_shuffle = shuffle_partition_count(prepared.sparkSession)
         salted = prepared.repartition(
             n_shuffle, *[F.col(c) for c in keys], salt_col)
         partials = bloom_partials(salted, "__digest64", cfg, keys)

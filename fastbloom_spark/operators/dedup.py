@@ -30,6 +30,15 @@ from ..kernel import U64, mix64
 from .text import tokens_col
 
 
+class ConvergenceError(RuntimeError):
+    """Raised when min-label propagation hits ``max_rounds`` before the
+    fixpoint: returning partially-propagated labels would silently merge or
+    split dedup clusters, so the loop refuses instead. ``max_rounds=25``
+    with pointer jumping covers component diameters up to ~2^25; seeing
+    this error on real data means the edge set is pathological (check the
+    bucket caps upstream) or max_rounds was lowered."""
+
+
 def _widen(df: DataFrame) -> DataFrame:
     """Hash-heavy map stages (shingling, signatures, banding) are CPU-bound:
     an input with fewer partitions than the cluster has task slots (small
@@ -203,7 +212,11 @@ def ngram_jaccard_pairs(
     # persist: `candidates` feeds three plan branches (id_a ids, id_b ids,
     # the verification join) — without an explicit materialization the LSH
     # candidate subtree (the most expensive stage) could re-execute per
-    # branch when exchange reuse doesn't apply
+    # branch when exchange reuse doesn't apply. persist() marks the
+    # CALLER'S frame in place, so the caller owns the cache: unpersist the
+    # candidates frame once the returned pairs have been materialized
+    # (minhash_dedup does; long-lived sessions calling this directly would
+    # otherwise accumulate cached partitions in executor storage)
     candidates = candidates.persist()
     cand_ids = candidates.select(F.col("id_a").alias(id_col)).union(
         candidates.select(F.col("id_b").alias(id_col))).distinct()
@@ -242,15 +255,23 @@ def connected_min_ids(
     components of diameter ~2^25. Rounds run over the EDGE set only (dup
     pairs, a tiny fraction of the corpus at any scale); each is one
     edge⋈label shuffle + one label⋈label pointer jump, early-exiting on a
-    converged round. Lineage is truncated per round with localCheckpoint
-    (executor-local storage — on a cluster where executor loss during the
-    loop must be survivable, set a reliable checkpoint dir and swap in
-    ``checkpoint()``; the frames are edge-sized either way)."""
+    converged round — and costs exactly ONE Spark action: the round's
+    frame carries a ``__changed`` flag, is marked for local checkpointing
+    lazily, and a single sum-aggregate job both materializes the
+    checkpoint (lineage truncation) and returns the convergence count (no
+    separate join+count job; job count asserted in tests). On a cluster
+    where executor loss during the loop must be survivable, set a reliable
+    checkpoint dir and swap ``localCheckpoint`` for ``checkpoint()``; the
+    frames are edge-sized either way.
+
+    Raises :class:`ConvergenceError` if the fixpoint is not reached within
+    ``max_rounds`` — partially-propagated labels are never returned."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.union(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst"))).persist()
     labels = edges.select(F.col("src").alias("id")).distinct() \
         .withColumn("label", F.col("id")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_rounds):
         lab_src = labels.select(F.col("id").alias("src"),
                                 F.col("label").alias("src_label"))
@@ -263,20 +284,32 @@ def connected_min_ids(
         new_labels = (labels
                       .join(neigh_min, "id", "left")
                       .join(lab_jump, "label", "left")
-                      .select("id", F.least(
-                          F.col("label"),
-                          F.coalesce("neigh_min", F.col("label")),
-                          F.coalesce("jump_min", F.col("label")))
-                          .alias("label"))
-                      # truncate lineage per round (the frame is edge-sized)
-                      .localCheckpoint(eager=True))
-        changed = new_labels.join(
-            labels.select("id", F.col("label").alias("old_label")), "id") \
-            .filter(F.col("label") != F.col("old_label")).count()
-        labels = new_labels
+                      .select("id",
+                              F.col("label").alias("__old"),
+                              F.least(
+                                  F.col("label"),
+                                  F.coalesce("neigh_min", F.col("label")),
+                                  F.coalesce("jump_min", F.col("label")))
+                              .alias("label"))
+                      .select("id", "label",
+                              (F.col("label") != F.col("__old"))
+                              .cast("long").alias("__changed"))
+                      # lazy mark: the aggregate below is the ONE action of
+                      # the round — it computes the joins, materializes the
+                      # local checkpoint (truncating lineage), and returns
+                      # the changed-count from that same pass
+                      .localCheckpoint(eager=False))
+        changed = new_labels.agg(F.sum("__changed")).first()[0] or 0
+        labels = new_labels.drop("__changed")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise ConvergenceError(
+            f"min-label propagation did not converge within max_rounds="
+            f"{max_rounds} pointer-jumped rounds — refusing to return "
+            "partially-propagated labels")
     return labels
 
 
@@ -299,12 +332,20 @@ def minhash_dedup(
     Transitive chains resolve correctly: A~B~C~D with only adjacent pairs
     verified keeps A alone, even though (A, C)/(A, D) never shared a band
     bucket (tested in tests/test_dedup.py)."""
+    candidates = minhash_candidate_pairs(df, id_col, text_col,
+                                         shingle_n=shingle_n,
+                                         num_perm=num_perm, bands=bands,
+                                         seed=seed)
     pairs = ngram_jaccard_pairs(
-        minhash_candidate_pairs(df, id_col, text_col, shingle_n=shingle_n,
-                                num_perm=num_perm, bands=bands, seed=seed),
-        df, id_col, text_col, shingle_n=shingle_n, threshold=threshold)
+        candidates, df, id_col, text_col, shingle_n=shingle_n,
+        threshold=threshold)
     comp = connected_min_ids(pairs.select("id_a", "id_b"),
                              max_rounds=max_rounds)
+    # connected_min_ids materialized the verified pairs into checkpointed
+    # label frames, so the LSH candidate cache (persisted inside
+    # ngram_jaccard_pairs) is no longer referenced — release it instead of
+    # leaking cached partitions across repeated dedups in one session
+    candidates.unpersist()
     losers = comp.filter(F.col("label") != F.col("id")) \
         .select(F.col("id").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")

@@ -196,9 +196,11 @@ def _sketch_agg_shuffled(prepared: DataFrame, keys: list[str], impl,
         salt_col = F.pmod(F.xxhash64(F.col("__value")),
                           F.lit(salt)).cast("int")
         # explicit numPartitions: AQE would coalesce a small column-only
-        # repartition back into few tasks, undoing the salt
-        n_shuffle = int(prepared.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions"))
+        # repartition back into few tasks, undoing the salt ("auto"-managed
+        # confs fall back to defaultParallelism)
+        from ..session import shuffle_partition_count
+
+        n_shuffle = shuffle_partition_count(prepared.sparkSession)
         salted = prepared.repartition(n_shuffle,
                                       *[F.col(c) for c in keys], salt_col)
         # per-(key, partition) states on the salted layout == sub-sketches

@@ -7,6 +7,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def shuffle_partition_count(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    ``defaultParallelism`` when the conf is non-numeric — platforms that
+    manage the value through AQE (e.g. set it to ``"auto"``) would
+    otherwise blow up every explicit-width repartition (salted shuffles
+    pin a partition count because AQE coalesces column-only repartitions
+    back into few tasks)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def get_spark(
     app_name: str = "fastbloom_spark",
     *,

@@ -367,3 +367,48 @@ def test_connected_min_ids_random_graphs_match_union_find(spark):
         pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
         got = {r.id: r.label for r in connected_min_ids(pairs).collect()}
         assert got == want, (trial, edges)
+
+
+def test_connected_min_ids_refuses_partial_labels(spark):
+    """Hitting max_rounds before the fixpoint raises ConvergenceError —
+    silently-partial labels would corrupt a dedup (merge/split clusters)."""
+    from fastbloom_spark.operators.dedup import (ConvergenceError,
+                                                 connected_min_ids)
+
+    # an 8-link chain cannot converge in one round even with pointer jumps
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"])
+    with pytest.raises(ConvergenceError, match="max_rounds=1"):
+        connected_min_ids(pairs, max_rounds=1)
+
+
+def test_connected_min_ids_one_action_per_round(spark):
+    """Each fixpoint round costs exactly ONE Spark action: the sum
+    aggregate that materializes the round's local checkpoint also returns
+    the convergence count (no separate join+count job). With AQE off the
+    job budget is deterministic: 1 init checkpoint + 1 job per round."""
+    from fastbloom_spark.operators.dedup import connected_min_ids
+
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # pair graph: round 1 relabels (changed=1), round 2 confirms
+        # (changed=0) -> 2 rounds
+        pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        sc.setJobGroup("ccfix-jobcount", "connected_min_ids job audit")
+        try:
+            labels = connected_min_ids(pairs)
+            jobs_loop = len(sc.statusTracker().getJobIdsForGroup(
+                "ccfix-jobcount"))
+            got = {r.id: r.label for r in labels.collect()}
+        finally:
+            sc.setJobGroup("", "")
+        assert got == {1: 1, 2: 1}
+        # 9 = 1 init checkpoint + 2 rounds x (3 broadcast-exchange builds
+        # for the round's joins + exactly ONE action job). The OLD per-round
+        # convergence join+count added its own action AND broadcast builds
+        # on top — a regression there pushes this count up.
+        assert jobs_loop == 9, jobs_loop
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
