@@ -40,7 +40,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, DoubleType, LongType
 
-from .kernel import contains_hashes, decode_words, source_hash
+from .kernel import (contains_hashes, decode_words, source_hash,
+                     words_from_bytes)
 
 
 def _cached(fn):
@@ -101,6 +102,84 @@ def _check_same_params(family: str, first, current) -> None:
         raise ValueError(
             f"mixed sketch parameters in {family} group: {current} vs "
             f"{first} — merge only groups built with one configuration")
+
+
+#: driver-side registry behind ``bloom_probe_bc``: name -> (Broadcast of
+#: the filter bytes, num_hashes, seed, layout). publish_bloom_sql snapshots
+#: this dict into the UDF closure at each (re)registration, so workers
+#: resolve names against broadcast HANDLES — the m/8-byte buffer moves once
+#: per executor through the broadcast machinery, never through the rows.
+_BLOOM_BC_REGISTRY: dict[str, tuple] = {}
+
+
+def _make_bloom_probe_bc(registry: dict):
+    @F.pandas_udf(BooleanType())
+    def bloom_probe_bc(name: pd.Series, digest: pd.Series) -> pd.Series:
+        out = pd.array(np.zeros(len(name), dtype=bool), dtype="boolean")
+        valid = _valid_mask(name, digest)
+        out[~valid] = pd.NA
+        if valid.any():
+            sub = np.zeros(int(valid.sum()), dtype=bool)
+            codes, uniques = pd.factorize(name[valid])
+            digs = _exact_int64(digest[valid], "bloom_probe_bc digest")
+            for gi, nm in enumerate(uniques):
+                entry = registry.get(str(nm))
+                if entry is None:
+                    raise ValueError(
+                        f"bloom_probe_bc: no published filter named "
+                        f"{nm!r} (published: {sorted(registry)}) — call "
+                        "publish_bloom_sql(spark, name, filter) on the "
+                        "driver first")
+                bc, k, seed, layout = entry
+                words = words_from_bytes(bc.value)
+                mask = codes == gi
+                h = source_hash(digs[mask], seed)
+                sub[mask] = contains_hashes(words, h, k, layout)
+            out[valid] = sub
+        return pd.Series(out)
+
+    return bloom_probe_bc
+
+
+def publish_bloom_sql(spark: SparkSession, name: str, bloom) -> str:
+    """Publish a :class:`~fastbloom_spark.local.BloomFilter` for pure-SQL
+    probing WITHOUT shipping its buffer through the rows::
+
+        publish_bloom_sql(spark, "orders", big_filter)
+        spark.sql("SELECT * FROM probes "
+                  "WHERE bloom_probe_bc('orders', digest)")
+
+    ``bloom_probe(sketch, ...)`` joins the sketch BUFFER column onto every
+    probe row — right for KB-to-MB sketch TABLES (one buffer per group
+    row), pathological for one large flat filter: a 57-Mbit filter would
+    ship ~7 MB per Arrow batch through the join and re-factorize by full
+    buffer bytes. This path broadcasts the words ONCE per executor (the
+    same mechanism :func:`~fastbloom_spark.operators.bloom
+    .bloom_contains_col` uses) and binds them to ``name``; the probe plan
+    is a bare filter, no sketch join (plan-asserted in tests).
+
+    Re-publishing a name replaces it (the old broadcast is unpersisted) and
+    re-registers ``bloom_probe_bc`` with the updated snapshot — queries
+    planned AFTER the call see the new filter. Returns the SQL function
+    name (``"bloom_probe_bc"``)."""
+    bc = spark.sparkContext.broadcast(bloom.to_bytes())
+    old = _BLOOM_BC_REGISTRY.get(name)
+    _BLOOM_BC_REGISTRY[name] = (bc, bloom.num_hashes, bloom.seed,
+                                bloom.config.layout)
+    spark.udf.register("bloom_probe_bc",
+                       _make_bloom_probe_bc(dict(_BLOOM_BC_REGISTRY)))
+    if old is not None:
+        old[0].unpersist()
+    return "bloom_probe_bc"
+
+
+def unpublish_bloom_sql(spark: SparkSession, name: str) -> None:
+    """Drop a published filter and release its executor-side broadcast."""
+    entry = _BLOOM_BC_REGISTRY.pop(name, None)
+    spark.udf.register("bloom_probe_bc",
+                       _make_bloom_probe_bc(dict(_BLOOM_BC_REGISTRY)))
+    if entry is not None:
+        entry[0].unpersist()
 
 
 def register_sketch_sql(spark: SparkSession) -> list[str]:
@@ -212,6 +291,10 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         # contains_hashes per Arrow batch instead of a per-row Python loop.
         # NULL sketch/k/seed/digest rows come back NULL (a NULL layout
         # defaults to "flat" for pre-layout sketch tables).
+        # Sizing: right for KB-to-MB sketch TABLES; probing ONE large flat
+        # filter from SQL should go through publish_bloom_sql /
+        # bloom_probe_bc instead (broadcast handle — the buffer never rides
+        # the rows and factorize never hashes multi-MB payloads).
         valid = _valid_mask(sketch, k, seed, digest)
         out = pd.array(np.zeros(len(sketch), dtype=bool), dtype="boolean")
         out[~valid] = pd.NA
@@ -382,6 +465,7 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         return impl.serialize(acc) if impl is not None else None
 
     fns = {
+        "bloom_probe_bc": _make_bloom_probe_bc(dict(_BLOOM_BC_REGISTRY)),
         "bloom_union": bloom_union,
         "bloom_intersect": bloom_intersect,
         "hll_estimate": hll_estimate,
