@@ -815,7 +815,7 @@ def q_bloom_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastbloom_spark.sources import prune_index, pruned_read, \
         write_indexed_table
     from fastbloom_spark.sources.index import (BUCKET_COL, probe_digests,
-                                               read_index)
+                                               read_table_index)
 
     docs = _read(spark, sf_dir, "documents")
     cfg = BloomConfig.from_false_pos(0.02, expected_items=128, seed=42)
@@ -828,7 +828,7 @@ def q_bloom_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = [(f"doc:{r.doc_id}", 1, r.text) for r in members] \
         + [(f"absent:{i}", 0, f"absent:{i}") for i in range(5)]
 
-    index_pdf = read_index(spark, f"{path}/index")
+    index_pdf = read_table_index(spark, path)
     rows = [(pid, mem,
              prune_index(index_pdf, probe_digests([val]),
                          key_field=BUCKET_COL).units_survived, val)
@@ -894,7 +894,7 @@ def q_index_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastbloom_spark.kernel import decode_words
     from fastbloom_spark.sources import (append_to_indexed_table,
                                          pruned_read, write_indexed_table)
-    from fastbloom_spark.sources.index import BUCKET_COL, read_index
+    from fastbloom_spark.sources.index import BUCKET_COL, read_table_index
 
     docs = _read(spark, sf_dir, "documents")
     cfg = BloomConfig.from_false_pos(0.02, expected_items=128, seed=42)
@@ -909,7 +909,7 @@ def q_index_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bucket_source="doc_id", num_buckets=8)
 
     def words_of(p):
-        pdf = read_index(spark, f"{p}/index")
+        pdf = read_table_index(spark, p)
         return {int(r[BUCKET_COL]): decode_words(bytes(r["sketch"])).tolist()
                 for _, r in pdf.iterrows()}
 
@@ -919,7 +919,7 @@ def q_index_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "buckets": 8,
         "rows_total": int(sum(
             r["rows_seen"] for _, r in
-            read_index(spark, f"{inc}/index").iterrows())),
+            read_table_index(spark, inc).iterrows())),
         "bitwise_equal_full_rebuild": words_of(inc) == words_of(full),
         "appended_probe_matches": int(pruned.count()),
     }]))

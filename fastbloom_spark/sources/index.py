@@ -46,6 +46,14 @@ from ..operators.bloom import bloom_agg, sketch_row_to_filter
 BUCKET_COL = "bucket_id"
 #: grouping column used by the per-file index
 FILE_COL = "file_path"
+#: versioned index layout: {path}/index_versions/v<N>/{bloom,zones/<col>}
+#: with a _COMMITTED marker written LAST — readers resolve the highest
+#: committed version, so an index rewrite never mutates what a concurrent
+#: reader already resolved (publish is write-aside + marker, not
+#: overwrite-in-place). Pre-versioning tables fall back to {path}/index +
+#: {path}/zones.
+VERSIONS_DIR = "index_versions"
+COMMIT_MARKER = "_COMMITTED"
 
 
 @dataclass(frozen=True)
@@ -109,13 +117,13 @@ def _read_index_meta(index_pdf: pd.DataFrame) -> _IndexMeta:
                         digest=str(meta["digest"])))
 
 
-def _read_meta_pdf(spark: SparkSession, path: str) -> pd.DataFrame:
+def _read_meta_pdf(spark: SparkSession, bloom_dir: str) -> pd.DataFrame:
     """Index rows WITHOUT the sketch payloads — meta consumers (range
     reads, compaction) need row-0 scalars + index_col values only, not
     KBs-to-MBs of filter blobs collected per call."""
-    pdf = spark.read.parquet(f"{path}/index").drop("sketch").toPandas()
+    pdf = spark.read.parquet(bloom_dir).drop("sketch").toPandas()
     if not len(pdf):
-        raise ValueError(f"empty bloom index at {path}/index")
+        raise ValueError(f"empty bloom index at {bloom_dir}")
     return pdf
 
 
@@ -130,6 +138,108 @@ def _delete_dir(spark: SparkSession, p: str) -> None:
     fs, hpath = _hadoop_fs(spark, p)
     if fs.exists(hpath) and not fs.delete(hpath, True):
         raise IOError(f"hadoop fs delete failed for {p}")
+
+
+def _list_versions(spark: SparkSession, path: str) -> list[tuple[int, bool]]:
+    """All (version, committed) pairs under {path}/index_versions."""
+    fs, hroot = _hadoop_fs(spark, f"{path}/{VERSIONS_DIR}")
+    if not fs.exists(hroot):
+        return []
+    jvm = spark.sparkContext._jvm
+    out = []
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v")
+                and name[1:].isdigit()):
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{VERSIONS_DIR}/{name}/{COMMIT_MARKER}")
+        out.append((int(name[1:]), bool(fs.exists(marker))))
+    return sorted(out)
+
+
+def _version_dir(path: str, v: int) -> str:
+    return f"{path}/{VERSIONS_DIR}/v{v:010d}"
+
+
+def _resolve_index_root(spark: SparkSession, path: str) -> tuple[str, str]:
+    """(bloom_dir, zones_dir) of the CURRENT index: the highest COMMITTED
+    version, else the legacy in-place layout. Uncommitted version dirs
+    (crashed publishes) are invisible to readers; a table whose index was
+    deleted mid-overwrite resolves to nothing and fails LOUDLY here
+    instead of pruning fresh data with stale filters."""
+    versions = _list_versions(spark, path)
+    committed = [v for v, ok in versions if ok]
+    if committed:
+        vdir = _version_dir(path, committed[-1])
+        return f"{vdir}/bloom", f"{vdir}/zones"
+    fs, legacy = _hadoop_fs(spark, f"{path}/index")
+    if fs.exists(legacy):
+        return f"{path}/index", f"{path}/zones"
+    raise ValueError(
+        f"no committed bloom index under {path} (no "
+        f"{VERSIONS_DIR}/v*/{COMMIT_MARKER} and no legacy {path}/index) — "
+        "the table was never indexed, or a crashed overwrite removed the "
+        "index: re-run write_indexed_table/compact_indexed_table")
+
+
+def _publish_index_version(spark: SparkSession, path: str,
+                           write_fn) -> str:
+    """Atomic-for-readers publish: write the full sidecar set into a fresh
+    version dir via ``write_fn(vdir)``, create the commit marker LAST, then
+    garbage-collect. Readers resolving during the publish see the previous
+    committed version; a crash leaves an uncommitted dir that readers
+    ignore and the next publish GCs. Concurrent WRITERS are still
+    single-writer (two simultaneous publishes can allocate the same
+    version number) — same contract as bare-parquet appends; use a table
+    format's commit protocol when multiple writers are real."""
+    versions = _list_versions(spark, path)
+    next_v = (versions[-1][0] + 1) if versions else 1
+    vdir = _version_dir(path, next_v)
+    write_fn(vdir)
+    fs, marker = _hadoop_fs(spark, f"{vdir}/{COMMIT_MARKER}")
+    fs.create(marker, False).close()
+    # GC: keep the new version plus the previous committed one (readers
+    # that resolved just before the flip may still be scanning it); drop
+    # older committed versions and every stale uncommitted attempt
+    committed = [v for v, ok in _list_versions(spark, path) if ok]
+    keep = set(committed[-2:])
+    for v, ok in _list_versions(spark, path):
+        if v not in keep and (ok or v < next_v):
+            _delete_dir(spark, _version_dir(path, v))
+    return vdir
+
+
+def _data_fingerprint(spark: SparkSession, path: str) -> tuple[int, str]:
+    """(file_count, sha256-of-sorted-relative-paths) of {path}/data — a
+    LISTING-only staleness witness: pruned reads compare it against the
+    value the index recorded at publish time and refuse to prune when they
+    differ (e.g. a crash between a data append and its index publish, or
+    a concurrent writer), because a filter that never saw those files
+    could silently skip their rows — the zero-FN contract."""
+    import hashlib
+
+    files = spark.read.parquet(f"{path}/data").inputFiles()
+    rel = sorted(f.split("/data/", 1)[1] if "/data/" in f else f
+                 for f in files)
+    return len(rel), hashlib.sha256("\n".join(rel).encode()).hexdigest()
+
+
+def _check_index_fresh(index_pdf: pd.DataFrame, spark: SparkSession,
+                       path: str) -> None:
+    if "data_files_sha" not in index_pdf.columns:
+        return  # pre-fingerprint index (legacy layout)
+    n, sha = _data_fingerprint(spark, path)
+    want_n = int(index_pdf["data_file_count"].iloc[0])
+    want_sha = str(index_pdf["data_files_sha"].iloc[0])
+    if (n, sha) != (want_n, want_sha):
+        raise ValueError(
+            f"bloom index at {path} is STALE: it was built over "
+            f"{want_n} data files but the table now has {n} — a crashed "
+            "append (data written, index publish lost) or a concurrent "
+            "writer. Pruning would silently skip rows the filters never "
+            "saw; re-run append_to_indexed_table's index rebuild or "
+            "compact_indexed_table, or read {path}/data directly.")
 
 
 def _digest_stack(df: DataFrame, cols: Sequence[str],
@@ -185,7 +295,7 @@ def _zone_schema(written: DataFrame, c: str) -> str:
 
 
 def _write_zone_maps(written: DataFrame, zone_cols: Sequence[str],
-                     path: str, mode: str) -> None:
+                     zones_dir: str) -> None:
     """Per-(bucket, column) min/max zone maps — the range-predicate
     counterpart of the Bloom rows (ClickHouse minmax skip index / parquet
     column statistics, lifted to bucket granularity). Each column's zones
@@ -193,14 +303,16 @@ def _write_zone_maps(written: DataFrame, zone_cols: Sequence[str],
     pruning comparisons are exact — no silent narrowing from a cast (a
     long just above 2^53 cast to double can round INTO the range and lose
     rows). One scan for all columns; NULLs are ignored by min/max (a NULL
-    never matches a range predicate)."""
+    never matches a range predicate). Always writes into a FRESH version
+    dir (see _publish_index_version), so mode is plain overwrite-of-empty.
+    """
     spark = written.sparkSession
     rows = _zone_agg_rows(written, zone_cols)
     for c in zone_cols:
         data = [(r[BUCKET_COL], r[f"__min_{c}"], r[f"__max_{c}"],
                  r[f"__cnt_{c}"]) for r in rows]
         spark.createDataFrame(data, _zone_schema(written, c)) \
-            .write.mode(mode).parquet(f"{path}/zones/{c}")
+            .write.mode("overwrite").parquet(f"{zones_dir}/{c}")
 
 
 def write_indexed_table(
@@ -249,13 +361,22 @@ def write_indexed_table(
             "mode='ignore' is ambiguous for the index sidecars (a no-op "
             "data write must not touch zones/index) — use 'overwrite' or "
             "'error'")
-    # overwrite: drop stale zones BEFORE any write, so every crash state
-    # mid-rewrite fails LOUDLY (missing zones) instead of letting the
-    # previous write's min/max silently prune fresh data. For 'error'
-    # modes the path is fresh-or-raise, so deletion after the data write
-    # (below) is equivalent and keeps a raising no-op truly untouched.
+    if cfg.digest.startswith("custom:"):
+        raise ValueError(
+            f"digest {cfg.digest!r} cannot back a skip index: pruned reads "
+            "must recompute probe digests on the DRIVER (probe_digests), "
+            "and custom Column strategies have no local implementation — "
+            "index with 'sha256'/'xxh64', or probe with bloom_contains_col "
+            "over a bloom_agg sketch table instead")
+    # overwrite: drop the ENTIRE old index (versions + legacy layout + any
+    # legacy zones) BEFORE the data rewrite, so every crash state
+    # mid-rewrite fails LOUDLY at read time ("no committed bloom index")
+    # instead of letting the previous write's filters/min-max silently
+    # prune fresh data. For 'error' mode the path is fresh-or-raise, so
+    # nothing pre-exists to delete.
     if mode == "overwrite":
-        _delete_dir(df.sparkSession, f"{path}/zones")
+        for sub in (VERSIONS_DIR, "index", "zones"):
+            _delete_dir(df.sparkSession, f"{path}/{sub}")
     cols = [index_col] if isinstance(index_col, str) else list(index_col)
     bucketed = df.withColumn(BUCKET_COL, bucket_col(bucket_source,
                                                     num_buckets))
@@ -268,19 +389,26 @@ def write_indexed_table(
                                              *sort_within_buckets_by)
     (writer.write.mode(mode).partitionBy(BUCKET_COL)
         .parquet(f"{path}/data"))
-    if mode != "overwrite":
-        _delete_dir(df.sparkSession, f"{path}/zones")
     # index the WRITTEN data, not a second evaluation of df's lineage — a
     # nondeterministic input (sample, concurrent append) would otherwise
     # produce an index missing rows that ARE in the data files, silently
     # breaking the zero-FN pruning contract (and re-reading one bucketed
     # table beats re-running the upstream lineage anyway)
-    written = df.sparkSession.read.parquet(f"{path}/data")
-    _build_index_rows(written, cols, cfg, num_buckets, bucket_source) \
+    spark = df.sparkSession
+    written = spark.read.parquet(f"{path}/data")
+    n_files, files_sha = _data_fingerprint(spark, path)
+    index_rows = _build_index_rows(written, cols, cfg, num_buckets,
+                                   bucket_source) \
         .withColumn("zone_cols", F.lit(",".join(zone_cols))) \
-        .write.mode(mode).parquet(f"{path}/index")
-    if zone_cols:
-        _write_zone_maps(written, zone_cols, path, mode)
+        .withColumn("data_file_count", F.lit(n_files).cast("long")) \
+        .withColumn("data_files_sha", F.lit(files_sha))
+
+    def publish(vdir: str) -> None:
+        index_rows.write.mode("overwrite").parquet(f"{vdir}/bloom")
+        if zone_cols:
+            _write_zone_maps(written, zone_cols, f"{vdir}/zones")
+
+    _publish_index_version(spark, path, publish)
 
 
 def index_parquet_files(
@@ -301,6 +429,12 @@ def index_parquet_files(
     sketch per file with zero row shuffle — the auto cost model's
     ``min(keys, P) * P`` worst case cannot happen for this key.
     """
+    if cfg.digest.startswith("custom:"):
+        raise ValueError(
+            f"digest {cfg.digest!r} cannot back a skip index: pruned reads "
+            "recompute probe digests on the driver (probe_digests) and "
+            "custom Column strategies have no local implementation — "
+            "index with 'sha256' or 'xxh64'")
     df = spark.read.parquet(data_path) \
         .withColumn(FILE_COL, F.input_file_name())
     index = bloom_agg(df, [FILE_COL], index_col, cfg, strategy="partial") \
@@ -343,8 +477,18 @@ def prune_index(
 
 
 def read_index(spark: SparkSession, index_path: str) -> pd.DataFrame:
-    """Load index rows driver-side (Arrow path — binary-heavy collect)."""
+    """Load index rows from an EXPLICIT parquet dir driver-side (Arrow
+    path — binary-heavy collect). For write_indexed_table tables use
+    :class:`IndexHandle` / :func:`read_table_index`, which resolve the
+    current committed version."""
     return spark.read.parquet(index_path).toPandas()
+
+
+def read_table_index(spark: SparkSession, path: str) -> pd.DataFrame:
+    """Index rows of the CURRENT committed version of a
+    write_indexed_table table."""
+    bloom_dir, _ = _resolve_index_root(spark, path)
+    return read_index(spark, bloom_dir)
 
 
 def _select_index_col(index_pdf: pd.DataFrame, on: str | None) -> str:
@@ -357,6 +501,149 @@ def _select_index_col(index_pdf: pd.DataFrame, on: str | None) -> str:
     if on not in cols:
         raise ValueError(f"column {on!r} is not indexed (have {cols})")
     return on
+
+
+class IndexHandle:
+    """Load-once / probe-many driver handle over one indexed table.
+
+    The one-shot entry points (:func:`pruned_read` & co.) re-read and
+    re-hydrate the KB-scale index parquet on EVERY call — at bench scale
+    the index load IS the lookup cost (~0.2 s vs microseconds of numpy for
+    the probe). A handle pays that load exactly once: construction resolves
+    the current committed version, collects the index rows, verifies the
+    data-file fingerprint, and hydrates every per-bucket filter; each
+    subsequent lookup is pure numpy plus the pruned Spark scan.
+
+    Consistency: the handle PINS the version it resolved — lookups keep
+    using one coherent (bloom, zones) pair even while appends publish new
+    versions (the GC keeps the previous committed version alive for
+    exactly this reason). Construct a fresh handle to see new data.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, *,
+                 verify_files: bool = True):
+        self.spark, self.path = spark, path
+        self._bloom_dir, self._zones_dir = _resolve_index_root(spark, path)
+        self._index_pdf = read_index(spark, self._bloom_dir)
+        if not len(self._index_pdf):
+            raise ValueError(f"empty bloom index at {self._bloom_dir}")
+        if verify_files:
+            _check_index_fresh(self._index_pdf, spark, path)
+        self.meta = _read_index_meta(self._index_pdf)
+        # hydrate ONCE: (index_col) -> [(bucket_key, BloomFilter), ...]
+        self._filters: dict[str, list] = {}
+        self._digest: dict[str, str] = {}
+        for icol, grp in self._index_pdf.groupby("index_col", sort=True):
+            self._digest[str(icol)] = str(grp["digest"].iloc[0])
+            self._filters[str(icol)] = [
+                (row[1][BUCKET_COL], sketch_row_to_filter(_RowView(row[1])))
+                for row in grp.iterrows()]
+        self._zones_cache: dict[str, list] = {}
+        self._union_cache: dict[str, object] = {}
+        self._data_df: DataFrame | None = None
+
+    def _data(self) -> DataFrame:
+        """The {path}/data relation, created once: repeated lookups reuse
+        the resolved file listing instead of re-listing per call (at bench
+        scale the listing is a visible slice of a point lookup)."""
+        if self._data_df is None:
+            self._data_df = self.spark.read.parquet(f"{self.path}/data")
+        return self._data_df
+
+    # -- probing ---------------------------------------------------------
+
+    def prune(self, probe_values: Sequence, *, on: str | None = None,
+              digests: Sequence[int] | None = None) -> PruneStats:
+        """Driver-side prune decision: pure numpy over the hydrated
+        filters, zero Spark jobs. ``digests`` overrides the driver-side
+        digest64 for callers probing pre-digested values."""
+        icol = _select_index_col(self._index_pdf, on)
+        digs = (list(digests) if digests is not None
+                else probe_digests(probe_values, self._digest[icol]))
+        survivors = [str(key) for key, filt in self._filters[icol]
+                     if len(digs) and bool(
+                         filt.contains_digests(digs).any())]
+        return PruneStats(granularity="partition",
+                          units_total=len(self._filters[icol]),
+                          units_survived=len(survivors),
+                          survivors=tuple(sorted(survivors)))
+
+    def pruned_read(self, probe_values: Sequence, *,
+                    on: str | None = None, exact: bool = True,
+                    ) -> tuple[DataFrame, PruneStats]:
+        """Point-lookup scan reading only surviving bucket directories
+        (``bucket_id IN (...)`` — Catalyst PartitionFilters prune at file
+        listing). Semantics identical to module-level :func:`pruned_read`;
+        the index load is already paid."""
+        icol = _select_index_col(self._index_pdf, on)
+        stats = self.prune(probe_values, on=icol)
+        df = self._data().filter(F.col(BUCKET_COL).isin(
+            [int(s) for s in stats.survivors] or [-1]))
+        if exact:
+            df = df.filter(F.col(icol).isin(list(probe_values)))
+        return df, stats
+
+    def zones(self, col: str) -> list:
+        """Zone-map rows of one column (py4j-native values — see
+        _zone_agg_rows), loaded once and cached."""
+        if col not in self._zones_cache:
+            if col not in self.meta.zone_cols:
+                raise ValueError(
+                    f"no zone map for column {col!r} (indexed zone_cols: "
+                    f"{list(self.meta.zone_cols)}) — pass zone_cols=[...] "
+                    "to write_indexed_table")
+            self._zones_cache[col] = self.spark.read.parquet(
+                f"{self._zones_dir}/{col}").collect()
+        return self._zones_cache[col]
+
+    def pruned_range_read(self, col: str, lo, hi, *, exact: bool = True,
+                          ) -> tuple[DataFrame, PruneStats]:
+        """Range scan through the cached zone maps (see module-level
+        :func:`pruned_range_read`)."""
+        zones = self.zones(col)
+        surv = [r for r in zones
+                if r["vmin"] is not None and r["vmax"] >= lo
+                and r["vmin"] <= hi]
+        stats = PruneStats(granularity="partition",
+                           units_total=len(zones),
+                           units_survived=len(surv),
+                           survivors=tuple(sorted(
+                               str(int(r[BUCKET_COL])) for r in surv)))
+        df = self._data().filter(
+            F.col(BUCKET_COL).isin(
+                [int(s) for s in stats.survivors] or [-1]))
+        if exact:
+            df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return df, stats
+
+    def union_filter(self, on: str | None = None):
+        """Whole-table membership filter: OR-union of every bucket's
+        sketch for one indexed column, computed once and cached (see
+        module-level :func:`index_filter` for semantics + sizing caveat).
+        """
+        icol = _select_index_col(self._index_pdf, on)
+        if icol not in self._union_cache:
+            filt = None
+            for _, f in self._filters[icol]:
+                filt = f.copy() if filt is None else filt.union(f)
+            self._union_cache[icol] = filt
+        return self._union_cache[icol]
+
+
+class _RowView:
+    """Attribute view over a pandas Series row (sketch_row_to_filter reads
+    row.m / row.k / ... like a pyspark Row)."""
+
+    __slots__ = ("_s",)
+
+    def __init__(self, s):
+        self._s = s
+
+    def __getattr__(self, name):
+        try:
+            return self._s[name]
+        except KeyError:
+            raise AttributeError(name)
 
 
 def pruned_read(
@@ -378,21 +665,13 @@ def pruned_read(
     into exact membership (the Bloom zero-FN contract guarantees no row is
     lost). ``exact=False`` returns all candidate rows of surviving buckets
     (the caller owns verification — e.g. probing on digests of a column
-    that was transformed after indexing)."""
-    index_pdf = read_index(spark, f"{path}/index")
-    if not len(index_pdf):
-        raise ValueError(f"empty bloom index at {path}/index")
-    index_col = _select_index_col(index_pdf, on)
-    index_pdf = index_pdf[index_pdf["index_col"] == index_col]
-    digest = str(index_pdf["digest"].iloc[0])
-    stats = prune_index(index_pdf, probe_digests(probe_values, digest),
-                        key_field=BUCKET_COL, granularity="partition")
-    df = spark.read.parquet(f"{path}/data")
-    df = df.filter(F.col(BUCKET_COL).isin(
-        [int(s) for s in stats.survivors] or [-1]))
-    if exact:
-        df = df.filter(F.col(index_col).isin(list(probe_values)))
-    return df, stats
+    that was transformed after indexing).
+
+    One-shot convenience: loads + hydrates the index per call. Repeated
+    lookups should construct an :class:`IndexHandle` once and call
+    ``handle.pruned_read`` — the index load dominates a point lookup."""
+    return IndexHandle(spark, path).pruned_read(probe_values, on=on,
+                                                exact=exact)
 
 
 def pruned_read_files(
@@ -437,12 +716,26 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
     history. Cost per append: one scan of the NEW rows only, plus a
     driver-side OR over the KB-scale index. The new sketch rows are built
     from the files the append actually WROTE (snapshot diff + basePath
-    read), never from a re-evaluation of ``df_new``'s lineage."""
+    read), never from a re-evaluation of ``df_new``'s lineage.
+
+    Crash/concurrency window: the data append and the index publish are
+    two steps with no cross-store transaction (bare parquet has none). A
+    crash between them leaves data files the index never saw — readers
+    are PROTECTED because pruned reads compare the index's recorded
+    data-file fingerprint against the live listing and refuse to prune a
+    stale index (loud error, never silent false negatives); recover via
+    compact_indexed_table or a fresh write_indexed_table. The index
+    publish itself is atomic for readers (versioned dir + commit marker;
+    the previous version stays resolvable until the new marker lands).
+    Concurrent APPENDERS remain single-writer — the inputFiles() snapshot
+    diff would mis-attribute a second writer's files; use a table format's
+    commit protocol when multiple writers are real."""
     spark = df_new.sparkSession
-    idx_df = spark.read.parquet(f"{path}/index")
+    bloom_dir, zones_dir = _resolve_index_root(spark, path)
+    idx_df = spark.read.parquet(bloom_dir)
     index_pdf = idx_df.toPandas()
     if not len(index_pdf):
-        raise ValueError(f"empty bloom index at {path}/index")
+        raise ValueError(f"empty bloom index at {bloom_dir}")
     index_schema = idx_df.schema
     meta = _read_index_meta(index_pdf)
     num_buckets, bucket_source = meta.num_buckets, meta.bucket_source
@@ -480,18 +773,22 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
                     "sketch": encode_words(words)})
         out.append(row)
     merged = pd.DataFrame(out, columns=list(index_pdf.columns))
-    spark.createDataFrame(merged, schema=index_schema) \
-        .write.mode("overwrite").parquet(f"{path}/index")
+    # refresh the staleness witness to cover the appended files
+    if "data_files_sha" in merged.columns:
+        n_files, files_sha = _data_fingerprint(spark, path)
+        merged["data_file_count"] = n_files
+        merged["data_files_sha"] = files_sha
 
     # zone maps merge the same way: min/max are associative, so
     # append-then-merge equals a full rebuild exactly. Values stay in
     # py4j-native Python objects end-to-end (see _zone_agg_rows: pandas
     # would float64-corrupt nullable int64 zones above 2^53).
+    merged_zones: dict[str, list] = {}
     if meta.zone_cols:
         new_rows = _zone_agg_rows(written_new, meta.zone_cols)
         for c in meta.zone_cols:
             old = [(r[BUCKET_COL], r["vmin"], r["vmax"], r["rows_seen"])
-                   for r in spark.read.parquet(f"{path}/zones/{c}")
+                   for r in spark.read.parquet(f"{zones_dir}/{c}")
                    .collect()]
             new = [(r[BUCKET_COL], r[f"__min_{c}"], r[f"__max_{c}"],
                     r[f"__cnt_{c}"]) for r in new_rows]
@@ -506,9 +803,22 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
                 if vmax is not None:
                     cur[1] = vmax if cur[1] is None else max(cur[1], vmax)
                 cur[2] += n
-            data = [(b, v[0], v[1], v[2]) for b, v in sorted(by.items())]
+            merged_zones[c] = [(b, v[0], v[1], v[2])
+                               for b, v in sorted(by.items())]
+
+    def publish(vdir: str) -> None:
+        spark.createDataFrame(merged, schema=index_schema) \
+            .write.mode("overwrite").parquet(f"{vdir}/bloom")
+        for c, data in merged_zones.items():
             spark.createDataFrame(data, _zone_schema(written_new, c)) \
-                .write.mode("overwrite").parquet(f"{path}/zones/{c}")
+                .write.mode("overwrite").parquet(f"{vdir}/zones/{c}")
+
+    _publish_index_version(spark, path, publish)
+    if bloom_dir == f"{path}/index":
+        # first versioned publish over a legacy table: the in-place layout
+        # is now stale — drop it so resolution can never fall back to it
+        _delete_dir(spark, f"{path}/index")
+        _delete_dir(spark, f"{path}/zones")
 
 
 def pruned_semi_join(
@@ -535,12 +845,9 @@ def pruned_semi_join(
     row can live in a skipped bucket)."""
     from ..functions.digest import digest64
 
-    index_pdf = read_index(spark, f"{path}/index")
-    if not len(index_pdf):
-        raise ValueError(f"empty bloom index at {path}/index")
-    index_col = _select_index_col(index_pdf, on)
-    index_pdf = index_pdf[index_pdf["index_col"] == index_col]
-    digest = str(index_pdf["digest"].iloc[0])
+    handle = IndexHandle(spark, path)
+    index_col = _select_index_col(handle._index_pdf, on)
+    digest = handle._digest[index_col]
 
     # NULL keys never match a semi-join (NULL = NULL is not true) AND a
     # single NULL digest would float64-corrupt the whole collected column
@@ -554,8 +861,7 @@ def pruned_semi_join(
         raise ValueError(
             f"build side exceeds max_keys={max_keys}; use bloom_semi_join "
             "for data-scale build sides")
-    stats = prune_index(index_pdf, digs_pdf["d"].tolist(),
-                        key_field=BUCKET_COL, granularity="partition")
+    stats = handle.prune([], on=index_col, digests=digs_pdf["d"].tolist())
     df = spark.read.parquet(f"{path}/data").filter(F.col(BUCKET_COL).isin(
         [int(s) for s in stats.survivors] or [-1]))
     joined = df.join(keys.withColumnRenamed("__key", index_col),
@@ -577,31 +883,13 @@ def pruned_range_read(
     aggregates in the column's own type, so range pruning has zero false
     negatives by construction — a matching row cannot live in a
     non-overlapping bucket. ``exact=True`` finishes with the BETWEEN
-    filter (pushed into the parquet scan of the surviving buckets)."""
-    # validate against the index's OWN meta — a stale zones dir from a
-    # previous write must not prune fresh data with obsolete min/max
-    meta = _read_index_meta(_read_meta_pdf(spark, path))
-    if col not in meta.zone_cols:
-        raise ValueError(
-            f"no zone map for column {col!r} (indexed zone_cols: "
-            f"{list(meta.zone_cols)}) — pass zone_cols=[...] to "
-            "write_indexed_table")
-    # collect, not toPandas: zone values must stay py4j-native (an
-    # all-NULL bucket would float64-corrupt an int64 zone column)
-    zones = spark.read.parquet(f"{path}/zones/{col}").collect()
-    surv = [r for r in zones
-            if r["vmin"] is not None and r["vmax"] >= lo
-            and r["vmin"] <= hi]
-    stats = PruneStats(granularity="partition",
-                       units_total=len(zones),
-                       units_survived=len(surv),
-                       survivors=tuple(sorted(
-                           str(int(r[BUCKET_COL])) for r in surv)))
-    df = spark.read.parquet(f"{path}/data").filter(F.col(BUCKET_COL).isin(
-        [int(s) for s in stats.survivors] or [-1]))
-    if exact:
-        df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
-    return df, stats
+    filter (pushed into the parquet scan of the surviving buckets).
+
+    Bloom meta and zones resolve from ONE committed index version (the
+    handle pins it), so a concurrent append can never pair fresh zones
+    with stale filters or vice versa."""
+    return IndexHandle(spark, path).pruned_range_read(col, lo, hi,
+                                                      exact=exact)
 
 
 def describe_index(spark: SparkSession, path: str) -> pd.DataFrame:
@@ -615,7 +903,7 @@ def describe_index(spark: SparkSession, path: str) -> pd.DataFrame:
 
     from ..kernel import decode_words
 
-    index_pdf = read_index(spark, f"{path}/index")
+    index_pdf = read_table_index(spark, path)
     out = []
     for _, r in index_pdf.iterrows():
         words = decode_words(bytes(r["sketch"]))
@@ -652,7 +940,8 @@ def compact_indexed_table(
 
     Returns ``{"buckets", "files_before", "files_after"}``.
     """
-    meta = _read_index_meta(_read_meta_pdf(spark, path))
+    bloom_dir, _ = _resolve_index_root(spark, path)
+    meta = _read_index_meta(_read_meta_pdf(spark, bloom_dir))
 
     files_before = len(spark.read.parquet(f"{path}/data").inputFiles())
     writer = spark.read.parquet(f"{path}/data") \
@@ -676,12 +965,24 @@ def compact_indexed_table(
             f"{path}/data returned false; recover from data_compacting")
 
     written = spark.read.parquet(f"{path}/data")
-    _build_index_rows(written, list(meta.cols), meta.cfg,
-                      meta.num_buckets, meta.bucket_source) \
+    n_files, files_sha = _data_fingerprint(spark, path)
+    index_rows = _build_index_rows(written, list(meta.cols), meta.cfg,
+                                   meta.num_buckets, meta.bucket_source) \
         .withColumn("zone_cols", F.lit(",".join(meta.zone_cols))) \
-        .write.mode("overwrite").parquet(f"{path}/index")
-    if meta.zone_cols:
-        _write_zone_maps(written, meta.zone_cols, path, "overwrite")
+        .withColumn("data_file_count", F.lit(n_files).cast("long")) \
+        .withColumn("data_files_sha", F.lit(files_sha))
+
+    def publish(vdir: str) -> None:
+        index_rows.write.mode("overwrite").parquet(f"{vdir}/bloom")
+        if meta.zone_cols:
+            _write_zone_maps(written, meta.zone_cols, f"{vdir}/zones")
+
+    _publish_index_version(spark, path, publish)
+    # compaction rebuilt everything into a fresh committed version, so the
+    # legacy in-place layout (if any) is now stale — remove it so future
+    # resolution can never fall back to it
+    _delete_dir(spark, f"{path}/index")
+    _delete_dir(spark, f"{path}/zones")
     return {"buckets": meta.num_buckets, "files_before": files_before,
             "files_after": len(written.inputFiles())}
 
@@ -698,17 +999,11 @@ def index_filter(spark: SparkSession, path: str, *, on: str | None = None):
     array, so its FPR follows total rows against m — when the union
     matters, size ``cfg.expected_items`` for the table (per-bucket
     filters then carry ~B× headroom); per-bucket-sized indexes yield a
-    saturated (zero-FN but high-FPR) union."""
-    index_pdf = read_index(spark, f"{path}/index")
-    if not len(index_pdf):
-        raise ValueError(f"empty bloom index at {path}/index")
-    index_col = _select_index_col(index_pdf, on)
-    sub = index_pdf[index_pdf["index_col"] == index_col]
-    # hydrate + union through the library surface: BloomFilter.union
-    # verifies geometry/seed compatibility row by row, so a corrupted or
-    # mixed-config index fails loudly instead of ORing incompatible words
-    filt = None
-    for _, r in sub.iterrows():
-        f = sketch_row_to_filter(r)
-        filt = f if filt is None else filt.union(f)
-    return filt
+    saturated (zero-FN but high-FPR) union.
+
+    Hydration + union go through the library surface (BloomFilter.union
+    verifies geometry/seed compatibility row by row, so a corrupted or
+    mixed-config index fails loudly instead of ORing incompatible
+    words). One-shot; repeated use should hold an :class:`IndexHandle`
+    (``handle.union_filter()`` caches the union)."""
+    return IndexHandle(spark, path).union_filter(on)

@@ -5,8 +5,10 @@ Usage:
         <input_parquet> <out_path> <index_col[,col2,...]> <bucket_source> \
         <num_buckets> <fp> [zones=<col,col>] [probe_value ...]
 
-Writes ``<out_path>/data`` (bucket-partitioned copy) + ``<out_path>/index``
-(one sketch row per bucket over digest64(index_col)); if probe values are
+Writes ``<out_path>/data`` (bucket-partitioned copy) plus a versioned,
+atomically-published index under ``<out_path>/index_versions/`` (one sketch
+row per bucket over digest64(index_col); readers resolve the highest
+committed version); if probe values are
 given, runs a pruned read for them and reports the prune stats — the
 cluster entry point for building skip indexes over landed tables.
 Per-bucket expected_items is sized from one count() of the input.

@@ -166,5 +166,12 @@ def test_spark_submit_index_job(tmp_path):
     assert out["rows"] == 500 and out["num_buckets"] == 8
     assert out["probe_rows_matched"] >= 1      # zero-FN: the row is found
     assert 1 <= out["buckets_survived"] <= 2   # FPR-bounded over-read
-    assert os.path.isdir(f"{out_path}/index")
-    assert os.path.isdir(f"{out_path}/zones/n_chars")
+    # versioned atomic publish: exactly one committed version dir with the
+    # bloom rows + zones inside it
+    vroot = f"{out_path}/index_versions"
+    versions = sorted(os.listdir(vroot))
+    assert len(versions) == 1, versions
+    vdir = f"{vroot}/{versions[0]}"
+    assert os.path.isfile(f"{vdir}/_COMMITTED")
+    assert os.path.isdir(f"{vdir}/bloom")
+    assert os.path.isdir(f"{vdir}/zones/n_chars")

@@ -19,6 +19,7 @@ from fastbloom_spark.sources.index import (
     FILE_COL,
     probe_digests,
     read_index,
+    read_table_index,
 )
 from tests.test_plan_shapes import formatted
 
@@ -91,7 +92,7 @@ def test_absent_probe_returns_nothing(spark, indexed_path):
 
 
 def test_prune_index_empty_probe_list(spark, indexed_path):
-    index_pdf = read_index(spark, f"{indexed_path}/index")
+    index_pdf = read_table_index(spark, indexed_path)
     stats = prune_index(index_pdf, [], key_field=BUCKET_COL)
     assert stats.units_survived == 0 and stats.survivors == ()
 
@@ -104,9 +105,9 @@ def test_index_is_deterministic(spark, docs, tmp_path):
         write_indexed_table(docs, p, index_col="text", cfg=CFG,
                             bucket_source="doc_id", num_buckets=8)
     rows_a = {r[BUCKET_COL]: bytes(r["sketch"])
-              for _, r in read_index(spark, f"{a}/index").iterrows()}
+              for _, r in read_table_index(spark, a).iterrows()}
     rows_b = {r[BUCKET_COL]: bytes(r["sketch"])
-              for _, r in read_index(spark, f"{b}/index").iterrows()}
+              for _, r in read_table_index(spark, b).iterrows()}
     assert rows_a == rows_b and len(rows_a) == 8
 
 
@@ -159,7 +160,7 @@ def test_multi_column_index_one_pass(spark, docs, tmp_path):
     path = str(tmp_path / "multi")
     write_indexed_table(docs, path, index_col=["text", "source"], cfg=CFG,
                         bucket_source="doc_id", num_buckets=8)
-    index_pdf = read_index(spark, f"{path}/index")
+    index_pdf = read_table_index(spark, path)
     assert sorted(index_pdf["index_col"].unique()) == ["source", "text"]
     assert len(index_pdf) == 16  # 8 buckets x 2 columns
 
@@ -199,7 +200,7 @@ def test_append_equals_full_rebuild_bitwise(spark, docs, tmp_path):
                         bucket_source="doc_id", num_buckets=8)
 
     def words_by_bucket(p):
-        pdf = read_index(spark, f"{p}/index")
+        pdf = read_table_index(spark, p)
         return {int(r[BUCKET_COL]):
                 (decode_words(bytes(r["sketch"])).tolist(),
                  int(r["rows_seen"]))
@@ -218,9 +219,9 @@ def test_append_empty_frame_is_noop(spark, docs, tmp_path):
     path = str(tmp_path / "noop")
     write_indexed_table(docs, path, index_col="text", cfg=CFG,
                         bucket_source="doc_id", num_buckets=8)
-    before = read_index(spark, f"{path}/index")
+    before = read_table_index(spark, path)
     append_to_indexed_table(docs.filter(F.lit(False)), path)
-    after = read_index(spark, f"{path}/index")
+    after = read_table_index(spark, path)
     assert sorted(bytes(b) for b in before["sketch"]) \
         == sorted(bytes(b) for b in after["sketch"])
 
@@ -255,7 +256,7 @@ def test_streaming_ingest_maintains_index(spark, docs, tmp_path):
                         bucket_source="doc_id", num_buckets=8)
 
     def words_of(p):
-        pdf = read_index(spark, f"{p}/index")
+        pdf = read_table_index(spark, p)
         return {int(r[BUCKET_COL]): decode_words(bytes(r["sketch"])).tolist()
                 for _, r in pdf.iterrows()}
     assert words_of(path) == words_of(full)
@@ -295,7 +296,7 @@ def test_block64_layout_index(spark, docs, tmp_path):
                                              seed=42)
     write_indexed_table(docs, path, index_col="text", cfg=cfg,
                         bucket_source="doc_id", num_buckets=8)
-    index_pdf = read_index(spark, f"{path}/index")
+    index_pdf = read_table_index(spark, path)
     assert set(index_pdf["layout"]) == {"block64"}
     probes = member_texts(docs)
     got, stats = pruned_read(spark, path, probes)
@@ -377,10 +378,13 @@ def test_zone_map_range_pruning(spark, docs, tmp_path):
     write_indexed_table(docs, full, index_col="text", cfg=CFG,
                         bucket_source="doc_id", num_buckets=8,
                         zone_cols=["n_chars", "doc_id"])
+    from fastbloom_spark.sources.index import _resolve_index_root
+    zp = _resolve_index_root(spark, path)[1]
+    zf = _resolve_index_root(spark, full)[1]
     for c in ("n_chars", "doc_id"):
-        a = spark.read.parquet(f"{path}/zones/{c}").toPandas() \
+        a = spark.read.parquet(f"{zp}/{c}").toPandas() \
             .sort_values(BUCKET_COL).reset_index(drop=True)
-        b = spark.read.parquet(f"{full}/zones/{c}").toPandas() \
+        b = spark.read.parquet(f"{zf}/{c}").toPandas() \
             .sort_values(BUCKET_COL).reset_index(drop=True)
         assert a.equals(b), c
 
@@ -442,7 +446,7 @@ def test_compaction_physical_only(spark, docs, tmp_path):
         append_to_indexed_table(p, path)
 
     def index_words(p):
-        pdf = read_index(spark, f"{p}/index")
+        pdf = read_table_index(spark, p)
         return {(int(r[BUCKET_COL]), r["index_col"]):
                 decode_words(bytes(r["sketch"])).tolist()
                 for _, r in pdf.iterrows()}
@@ -580,10 +584,181 @@ def test_append_after_compaction_stays_bitwise(spark, docs, tmp_path):
                         zone_cols=["n_chars"])
 
     def words_of(p):
-        pdf = read_index(spark, f"{p}/index")
+        pdf = read_table_index(spark, p)
         return {int(r[BUCKET_COL]): decode_words(bytes(r["sketch"])).tolist()
                 for _, r in pdf.iterrows()}
     assert words_of(path) == words_of(full)
     got, _ = pruned_range_read(spark, path, "n_chars", 100, 200)
     assert got.count() == docs.filter(
         F.col("n_chars").between(100, 200)).count()
+
+
+# -------------------------------------------------- versioned publish (r4) --
+
+
+def test_publish_is_atomic_for_readers(spark, docs, tmp_path):
+    """A reader that resolves the index while a publish is in flight sees
+    a COMPLETE committed version: an uncommitted (crashed / in-progress)
+    higher version dir is invisible until its _COMMITTED marker lands."""
+    from fastbloom_spark.sources import append_to_indexed_table
+    from fastbloom_spark.sources.index import (COMMIT_MARKER, VERSIONS_DIR,
+                                               _resolve_index_root)
+
+    path = str(tmp_path / "atomic")
+    write_indexed_table(docs.filter("doc_id < 300"), path, index_col="text",
+                        cfg=CFG, bucket_source="doc_id", num_buckets=8)
+    bloom_v1, _ = _resolve_index_root(spark, path)
+    before = read_table_index(spark, path)
+
+    # simulate the in-flight window: a higher version dir WITHOUT a marker
+    import os
+    import shutil
+    v1_dir = os.path.dirname(bloom_v1)
+    v_bad = f"{os.path.dirname(v1_dir)}/v0000099999"
+    shutil.copytree(v1_dir, v_bad)
+    os.remove(f"{v_bad}/{COMMIT_MARKER}")
+    assert _resolve_index_root(spark, path)[0] == bloom_v1
+    assert read_table_index(spark, path).equals(before)
+    shutil.rmtree(v_bad)
+
+    # a real append publishes a NEW committed version; the pre-append one
+    # remains on disk (GC keeps one back-version for in-flight readers)
+    append_to_indexed_table(docs.filter("doc_id >= 300"), path)
+    bloom_v2, _ = _resolve_index_root(spark, path)
+    assert bloom_v2 != bloom_v1
+    assert os.path.isdir(v1_dir)  # previous committed version retained
+    vroot = f"{path}/{VERSIONS_DIR}"
+    assert sorted(os.listdir(vroot))[-1] in bloom_v2
+
+
+def test_gc_bounds_retained_versions(spark, docs, tmp_path):
+    """Repeated appends keep at most 2 committed versions (current +
+    previous for in-flight readers) — unbounded version dirs would leak
+    an index copy per append."""
+    from fastbloom_spark.sources import append_to_indexed_table
+    from fastbloom_spark.sources.index import VERSIONS_DIR
+
+    import os
+    path = str(tmp_path / "gc")
+    write_indexed_table(docs.filter("doc_id < 200"), path, index_col="text",
+                        cfg=CFG, bucket_source="doc_id", num_buckets=8)
+    for lo, hi in ((200, 300), (300, 400), (400, 500)):
+        append_to_indexed_table(
+            docs.filter(f"doc_id >= {lo} and doc_id < {hi}"), path)
+    versions = sorted(os.listdir(f"{path}/{VERSIONS_DIR}"))
+    assert len(versions) == 2, versions
+
+
+def test_crashed_overwrite_fails_loudly(spark, docs, tmp_path):
+    """A crash between overwrite's index delete and the new publish leaves
+    NO resolvable index — readers get a loud 'no committed bloom index'
+    error, never silent pruning with stale filters (the ADVICE hazard)."""
+    import shutil
+
+    from fastbloom_spark.sources.index import VERSIONS_DIR
+
+    path = str(tmp_path / "crash")
+    write_indexed_table(docs, path, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=8)
+    # simulate the crash window: versions deleted (as overwrite does
+    # FIRST), data already rewritten, no new index published yet
+    shutil.rmtree(f"{path}/{VERSIONS_DIR}")
+    with pytest.raises(ValueError, match="no committed bloom index"):
+        pruned_read(spark, path, ["anything"])
+
+
+def test_stale_index_refused_after_untracked_append(spark, docs, tmp_path):
+    """Data files the index never saw (crashed append: data written, index
+    publish lost — or a concurrent writer) flip the data-file fingerprint;
+    pruned reads REFUSE to prune instead of silently skipping those rows."""
+    path = str(tmp_path / "stale")
+    write_indexed_table(docs.filter("doc_id < 400"), path, index_col="text",
+                        cfg=CFG, bucket_source="doc_id", num_buckets=8)
+    probes = member_texts(docs)
+    pruned_read(spark, path, probes)  # fresh: fine
+
+    # bypass append_to_indexed_table: raw data append, no index update
+    from fastbloom_spark.sources.index import bucket_col
+    extra = docs.filter("doc_id >= 400") \
+        .withColumn(BUCKET_COL, bucket_col("doc_id", 8))
+    extra.write.mode("append").partitionBy(BUCKET_COL) \
+        .parquet(f"{path}/data")
+    with pytest.raises(ValueError, match="STALE"):
+        pruned_read(spark, path, probes)
+    # escape hatch for forensics: verify_files=False still reads
+    from fastbloom_spark.sources import IndexHandle
+    IndexHandle(spark, path, verify_files=False).pruned_read(probes)
+
+
+def test_custom_digest_rejected_at_write_time(spark, docs, tmp_path):
+    """An index built with a custom Column digest could never be probed
+    (probe_digests has no local implementation) — fail at WRITE time, not
+    at first query."""
+    from fastbloom_spark.functions.digest import register_digest
+
+    try:
+        register_digest("idxrej", lambda c: F.xxhash64(c))
+    except Exception:
+        pass  # already registered in this session
+    cfg = BloomConfig(num_bits=1 << 12, num_hashes=4, seed=1,
+                      digest="custom:idxrej")
+    with pytest.raises(ValueError, match="cannot back a skip index"):
+        write_indexed_table(docs, str(tmp_path / "rej"), index_col="text",
+                            cfg=cfg, bucket_source="doc_id")
+
+
+# ------------------------------------------------------- IndexHandle (r4) --
+
+
+def test_index_handle_matches_one_shot_reads(spark, docs, indexed_path):
+    """handle.pruned_read == module pruned_read (same survivors, same
+    rows) with the index loaded ONCE across many lookups."""
+    from fastbloom_spark.sources import IndexHandle
+
+    handle = IndexHandle(spark, indexed_path)
+    for probes in ([member_texts(docs, 1)[0]], member_texts(docs, 3),
+                   ["absent-xyzzy"]):
+        got_h, st_h = handle.pruned_read(probes)
+        got_m, st_m = pruned_read(spark, indexed_path, probes)
+        assert st_h == st_m
+        assert sorted(r.doc_id for r in got_h.collect()) \
+            == sorted(r.doc_id for r in got_m.collect())
+
+
+def test_index_handle_union_filter_and_zones(spark, docs, tmp_path):
+    """union_filter == module index_filter bitwise (and cached); zone
+    range reads through the handle match the one-shot path."""
+    from fastbloom_spark.sources import (IndexHandle, index_filter,
+                                         pruned_range_read)
+
+    path = str(tmp_path / "handle2")
+    write_indexed_table(
+        docs.withColumn("n_chars", F.length("text")), path,
+        index_col="text", cfg=CFG, bucket_source="doc_id", num_buckets=8,
+        zone_cols=["doc_id"])
+    handle = IndexHandle(spark, path)
+    assert handle.union_filter() == index_filter(spark, path)
+    assert handle.union_filter() is handle.union_filter()  # cached
+    got_h, st_h = handle.pruned_range_read("doc_id", 100, 160)
+    got_m, st_m = pruned_range_read(spark, path, "doc_id", 100, 160)
+    assert st_h == st_m
+    assert sorted(r.doc_id for r in got_h.collect()) \
+        == sorted(r.doc_id for r in got_m.collect())
+
+
+def test_index_handle_pins_version_across_append(spark, docs, tmp_path):
+    """A handle keeps serving the version it resolved even after an append
+    publishes a newer one (GC retains the previous version for exactly
+    this); a FRESH handle sees the appended rows."""
+    from fastbloom_spark.sources import IndexHandle, append_to_indexed_table
+
+    path = str(tmp_path / "pin")
+    write_indexed_table(docs.filter("doc_id < 300"), path, index_col="text",
+                        cfg=CFG, bucket_source="doc_id", num_buckets=8)
+    old_handle = IndexHandle(spark, path)
+    n_old = int(old_handle._index_pdf["rows_seen"].sum())
+    append_to_indexed_table(docs.filter("doc_id >= 300"), path)
+    # pinned: same totals as at load time
+    assert int(old_handle._index_pdf["rows_seen"].sum()) == n_old
+    fresh = IndexHandle(spark, path)
+    assert int(fresh._index_pdf["rows_seen"].sum()) == docs.count()
