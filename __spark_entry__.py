@@ -846,6 +846,52 @@ def q_bloom_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("probe_id")
 
 
+def q_rowgroup_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group-granularity skip index (hash-checked): documents sorted
+    by doc_id are written as ONE parquet file with 100-row row groups (the
+    clustered layout), a per-row-group Bloom index is built, and member /
+    absent probes are answered by OPENING only surviving row groups
+    (pyarrow granule reads — non-survivors are never decoded). Emitted per
+    probe: exact matched-row count from the PRUNED read (zero-FN law at
+    granule level — equals the unpruned truth DuckDB computes), the
+    table's row-group count (layout we pin), and a strict-subset verdict
+    the oracle pins true."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.sources import (index_parquet_row_groups,
+                                         pruned_read_row_groups)
+
+    docs_pdf = _read(spark, sf_dir, "documents") \
+        .select("doc_id", "text").orderBy("doc_id").toPandas()
+    base = tempfile.mkdtemp(prefix="fb_rgidx_")
+    data = f"{base}/data"
+    os.makedirs(data)
+    pq.write_table(pa.Table.from_pandas(docs_pdf, preserve_index=False),
+                   f"{data}/part-0.parquet", row_group_size=100)
+    idx = f"{base}/rgindex"
+    cfg = BloomConfig.from_false_pos(0.02, expected_items=128, seed=42)
+    index_parquet_row_groups(spark, data, idx, index_col="text", cfg=cfg)
+
+    member_ids = [3, 103, 203]
+    by_id = dict(zip(docs_pdf["doc_id"], docs_pdf["text"]))
+    probes = [(f"doc:{i}", by_id[i]) for i in member_ids] \
+        + [("absent:0", "absent-rgprobe-0")]
+    rgs_total = -(-len(docs_pdf) // 100)
+    out = []
+    for pid, val in probes:
+        got, stats = pruned_read_row_groups(spark, data, idx, [val])
+        out.append((pid, int(got.count()), rgs_total,
+                    bool(stats.units_survived < stats.units_total)))
+    return spark.createDataFrame(
+        out, "probe_id string, rows_matched long, rgs_total long, "
+             "strict_subset boolean")
+
+
 def q_zone_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map range pruning end-to-end (hash-checked: min/max are exact
     aggregates, so the oracle replays bucket assignment + per-bucket
@@ -1206,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_top_event": q_user_top_event,
         "checkpoint_resume": q_checkpoint_resume,
         "bloom_index_prune": q_bloom_index_prune,
+        "rowgroup_index_prune": q_rowgroup_index_prune,
         "index_append_parity": q_index_append_parity,
         "zone_index_prune": q_zone_index_prune,
         "streaming_dedup": q_streaming_dedup,
@@ -1573,6 +1620,24 @@ def oracle_sql() -> dict[str, str]:
             _oracle_sql_mod().oracle_bloom_fpr_envelope(),
         "bloom_index_prune":
             _oracle_sql_mod().oracle_bloom_index_prune(),
+        # row-group pruning: matched-row counts are exact data functions
+        # (the pruned granule read must equal the unpruned truth — the
+        # zero-FN law); rgs_total is the pinned 100-row layout; the
+        # strict-subset verdict is verified in-query and pinned true
+        "rowgroup_index_prune": """
+            WITH m AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id IN (3, 103, 203)),
+            probes AS (
+              SELECT 'doc:' || doc_id AS probe_id, text AS val FROM m
+              UNION ALL SELECT 'absent:0', 'absent-rgprobe-0')
+            SELECT probe_id,
+                   (SELECT count(*) FROM documents d
+                    WHERE d.text = probes.val)::BIGINT AS rows_matched,
+                   CAST(ceil((SELECT count(*) FROM documents) / 100.0)
+                        AS BIGINT) AS rgs_total,
+                   true AS strict_subset
+            FROM probes
+        """,
         "rademacher_ann": _oracle_sql_mod().oracle_rademacher_ann(),
         "zone_index_prune": _oracle_sql_mod().oracle_zone_index_prune(),
         # append parity: counts are exact data functions; the bitwise flag

@@ -2,11 +2,14 @@
 
 Partition pruning on the *partition* key is free (directory listing), but a
 point lookup on any OTHER column scans the whole table. A skip index stores
-one fixed-size Bloom sketch per storage unit (bucket directory or parquet
-file) over that non-partition column — the pattern Iceberg bloom stats,
-ClickHouse skip indexes, and parquet row-group bloom filters implement at
-the format layer, built here from the engine's own mergeable sketch rows so
-it works over any column expression and any digest strategy.
+one fixed-size Bloom sketch per storage unit — bucket directory, parquet
+file, or parquet ROW GROUP — over that non-partition column: the pattern
+Iceberg bloom stats, ClickHouse skip indexes, and parquet row-group bloom
+filters implement at the format layer, built here from the engine's own
+mergeable sketch rows so it works over any column expression and any
+digest strategy. The three granularities nest: buckets prune at directory
+listing, files at the read-path list, row groups at the granule decode
+(index_parquet_row_groups / pruned_read_row_groups).
 
 Why this is the 100 TB shape:
 
@@ -60,7 +63,7 @@ COMMIT_MARKER = "_COMMITTED"
 class PruneStats:
     """What the index did to the scan: units = bucket dirs or files."""
 
-    granularity: str  # "partition" | "file"
+    granularity: str  # "partition" | "file" | "row_group"
     units_total: int
     units_survived: int
     survivors: tuple[str, ...]
@@ -441,6 +444,161 @@ def index_parquet_files(
         .withColumn("index_col", F.lit(index_col))
     _meta_cols(index, num_buckets=0, bucket_source=FILE_COL) \
         .write.mode(mode).parquet(index_path)
+
+
+#: row-group index columns
+RG_COL = "row_group"
+
+
+def _norm_file(f: str) -> str:
+    """Canonical local form of a parquet file URI: Spark's
+    ``_metadata.file_path`` says ``file:/x``, ``inputFiles()`` says
+    ``file:///x`` — strip the scheme so listings, footers, and metadata
+    columns key identically."""
+    import re
+
+    return re.sub(r"^file:/+", "/", f)
+
+
+def _rg_boundaries(spark: SparkSession, files: list[str]) -> DataFrame:
+    """(file_path, n_rgs, bounds) per file, where ``bounds[i]`` is the
+    row index at which row group ``i`` starts — a DISTRIBUTED footer-only
+    scan (pyarrow reads metadata, never data pages), so a 10^5-file table
+    costs 10^5 footer reads spread across the cluster."""
+    fdf = spark.createDataFrame(
+        pd.DataFrame({"file_path": [_norm_file(f) for f in files]}))
+    fdf = fdf.repartition(
+        min(max(len(files), 1), spark.sparkContext.defaultParallelism))
+
+    def scan(batches):
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for f in b["file_path"]:
+                md = pq.ParquetFile(f).metadata
+                starts, acc = [], 0
+                for i in range(md.num_row_groups):
+                    starts.append(acc)
+                    acc += md.row_group(i).num_rows
+                rows.append((f, md.num_row_groups, starts))
+            yield pd.DataFrame(
+                rows, columns=["file_path", "n_rgs", "bounds"])
+
+    return fdf.mapInPandas(
+        scan, "file_path string, n_rgs int, bounds array<long>")
+
+
+def index_parquet_row_groups(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    *,
+    index_col: str,
+    cfg: BloomConfig,
+    mode: str = "overwrite",
+) -> None:
+    """Row-group-granularity skip index over an EXISTING parquet table —
+    one Bloom sketch per (file, row group), the ClickHouse-granule /
+    native-parquet-bloom analogue one level below :func:`index_parquet_files`.
+
+    Build is one data scan, all JVM/Arrow-side: row groups are recovered
+    by joining the scan's ``_metadata.row_index`` against a broadcast of
+    per-file row-group boundaries (a distributed FOOTER-only pyarrow pass
+    — data pages are read exactly once, by the digest scan itself), then
+    one ``bloom_agg`` keyed by (file, row group). Index size is
+    ``row_groups * m/8`` bytes, governed by granule count and FPR, not
+    table size.
+
+    Works on unpartitioned parquet directories (hive-partition columns
+    live in directory names, not in the files the row-group reader
+    opens). Probe with :func:`pruned_read_row_groups`.
+    """
+    if cfg.digest.startswith("custom:"):
+        raise ValueError(
+            f"digest {cfg.digest!r} cannot back a skip index: pruned reads "
+            "recompute probe digests on the driver (probe_digests) — "
+            "index with 'sha256' or 'xxh64'")
+    files = spark.read.parquet(data_path).inputFiles()
+    bounds = _rg_boundaries(spark, files) \
+        .withColumnRenamed("file_path", "__bfile")
+    data = spark.read.parquet(data_path).select(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        .alias(FILE_COL),
+        F.col("_metadata.row_index").alias("__ri"),
+        F.col(index_col))
+    rg = (F.size(F.filter(
+        "bounds", lambda b: b <= F.col("__ri"))) - 1).cast("int")
+    keyed = data.join(F.broadcast(bounds),
+                      data[FILE_COL] == bounds["__bfile"]) \
+        .select(FILE_COL, rg.alias(RG_COL), index_col)
+    index = bloom_agg(keyed, [FILE_COL, RG_COL], index_col, cfg,
+                      strategy="partial") \
+        .withColumn("index_col", F.lit(index_col))
+    _meta_cols(index, num_buckets=0, bucket_source=FILE_COL) \
+        .write.mode(mode).parquet(index_path)
+
+
+def pruned_read_row_groups(
+    spark: SparkSession,
+    data_path: str,
+    index_path: str,
+    probe_values: Sequence,
+    *,
+    exact: bool = True,
+) -> tuple[DataFrame, PruneStats]:
+    """Point-lookup scan OPENING only surviving row groups.
+
+    Two-level prune, both driver-side numpy over the KB-scale index: a
+    file survives iff ANY of its row-group filters says maybe-contains
+    (no separate file index needed — the OR of a file's row groups IS its
+    file filter), then surviving (file, row group) pairs are read via a
+    distributed Arrow task per slice (``pyarrow read_row_group`` —
+    non-surviving row groups are never decoded, which Spark's own parquet
+    reader cannot be told to do from a row-index predicate). Zero FN: the
+    reference contains() contract per granule.
+
+    ``stats.survivors`` are ``"<file>#<row_group>"``; ``units_total`` is
+    the table's row-group count."""
+    index_pdf = read_index(spark, index_path)
+    if not len(index_pdf):
+        raise ValueError(f"empty row-group index at {index_path}")
+    index_col = str(index_pdf["index_col"].iloc[0])
+    digest = str(index_pdf["digest"].iloc[0])
+    digs = probe_digests(probe_values, digest)
+    survivors: list[tuple[str, int]] = []
+    for _, row in index_pdf.iterrows():
+        filt = sketch_row_to_filter(row)
+        if len(digs) and bool(filt.contains_digests(digs).any()):
+            survivors.append((str(row[FILE_COL]), int(row[RG_COL])))
+    stats = PruneStats(
+        granularity="row_group",
+        units_total=len(index_pdf),
+        units_survived=len(survivors),
+        survivors=tuple(sorted(f"{f}#{rg}" for f, rg in survivors)))
+
+    schema = spark.read.parquet(data_path).schema
+    if not survivors:
+        df = spark.createDataFrame([], schema)
+    else:
+        slices = spark.createDataFrame(
+            pd.DataFrame(survivors, columns=["f", "rg"]))
+        slices = slices.repartition(
+            min(len(survivors), spark.sparkContext.defaultParallelism))
+
+        def read_slices(batches):
+            import pyarrow.parquet as pq
+
+            for b in batches:
+                for f, rg in zip(b.column("f").to_pylist(),
+                                 b.column("rg").to_pylist()):
+                    yield from pq.ParquetFile(f).read_row_group(
+                        int(rg)).to_batches()
+
+        df = slices.mapInArrow(read_slices, schema)
+    if exact and len(df.columns):
+        df = df.filter(F.col(index_col).isin(list(probe_values)))
+    return df, stats
 
 
 def probe_digests(values: Iterable, digest: str = "sha256") -> list[int]:

@@ -762,3 +762,103 @@ def test_index_handle_pins_version_across_append(spark, docs, tmp_path):
     assert int(old_handle._index_pdf["rows_seen"].sum()) == n_old
     fresh = IndexHandle(spark, path)
     assert int(fresh._index_pdf["rows_seen"].sum()) == docs.count()
+
+
+# ------------------------------------------- row-group granularity (r4) --
+
+
+@pytest.fixture(scope="module")
+def clustered_table(tmp_path_factory):
+    """One parquet file, 1000 rows SORTED by key, 10 row groups of 100 —
+    each row group holds a disjoint key range (the clustered-write layout
+    sort_within_buckets_by produces inside buckets)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("rgidx") / "data")
+    import os
+    os.makedirs(d)
+    tbl = pa.table({
+        "key": pa.array([f"k{i:05d}" for i in range(1000)]),
+        "payload": pa.array(list(range(1000)), type=pa.int64()),
+    })
+    pq.write_table(tbl, f"{d}/part-0.parquet", row_group_size=100)
+    return d
+
+
+def test_rowgroup_index_opens_strict_subset(spark, clustered_table,
+                                            tmp_path):
+    """On a clustered table a point probe opens a STRICT subset of row
+    groups (1 + FPR-bounded extras out of 10) and still returns exactly
+    the matching rows — zero-FN extended to granule level."""
+    from fastbloom_spark.sources import (index_parquet_row_groups,
+                                         pruned_read_row_groups)
+
+    idx = str(tmp_path / "rgidx")
+    cfg = BloomConfig.from_false_pos(0.01, expected_items=128, seed=42)
+    index_parquet_row_groups(spark, clustered_table, idx,
+                             index_col="key", cfg=cfg)
+    index_pdf = read_index(spark, idx)
+    assert len(index_pdf) == 10  # one sketch per row group
+
+    got, stats = pruned_read_row_groups(spark, clustered_table, idx,
+                                        ["k00342"])
+    assert stats.granularity == "row_group"
+    assert stats.units_total == 10
+    assert stats.units_survived <= 2            # 1 true + FPR slack
+    assert stats.units_survived < stats.units_total  # strict subset
+    rows = got.collect()
+    assert [r.payload for r in rows] == [342]
+    # the surviving granule is the one that actually holds row 342
+    assert any(s.endswith("#3") for s in stats.survivors), stats.survivors
+
+
+def test_rowgroup_index_zero_fn_and_parity(spark, clustered_table,
+                                           tmp_path):
+    """Every probe's rows equal the full-scan filter (zero FN), including
+    multi-granule probes; absent probes return an empty frame with the
+    table schema."""
+    from fastbloom_spark.sources import (index_parquet_row_groups,
+                                         pruned_read_row_groups)
+
+    idx = str(tmp_path / "rgidx2")
+    cfg = BloomConfig.from_false_pos(0.01, expected_items=128, seed=42)
+    index_parquet_row_groups(spark, clustered_table, idx,
+                             index_col="key", cfg=cfg)
+    full = spark.read.parquet(clustered_table)
+    probes = ["k00000", "k00099", "k00100", "k00555", "k00999"]
+    got, stats = pruned_read_row_groups(spark, clustered_table, idx, probes)
+    want = full.filter(F.col("key").isin(probes))
+    assert sorted(r.payload for r in got.collect()) \
+        == sorted(r.payload for r in want.collect())
+    assert stats.units_survived < stats.units_total
+
+    empty, st0 = pruned_read_row_groups(spark, clustered_table, idx,
+                                        ["absent-zzz"])
+    if st0.units_survived == 0:
+        assert empty.count() == 0
+        assert empty.schema == full.schema
+    else:  # FPR survivor: exact filter still yields nothing
+        assert empty.count() == 0
+
+
+def test_rowgroup_index_multifile(spark, docs, tmp_path):
+    """Spark-written multi-file table: the row-group index covers every
+    (file, row group) and pruned reads match the full filter."""
+    from fastbloom_spark.sources import (index_parquet_row_groups,
+                                         pruned_read_row_groups)
+
+    data = str(tmp_path / "mfdata")
+    docs.repartition(4).write.parquet(data)
+    idx = str(tmp_path / "mfidx")
+    index_parquet_row_groups(spark, data, idx, index_col="text", cfg=CFG)
+    index_pdf = read_index(spark, idx)
+    assert index_pdf[FILE_COL].nunique() == 4
+    assert int(index_pdf["rows_seen"].sum()) == docs.count()
+
+    probes = member_texts(docs, 3)
+    got, stats = pruned_read_row_groups(spark, data, idx, probes)
+    want = docs.filter(F.col("text").isin(probes))
+    assert sorted(r.doc_id for r in got.collect()) \
+        == sorted(r.doc_id for r in want.collect())
+    assert stats.units_survived <= stats.units_total
