@@ -249,9 +249,10 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
     from fastbloom_spark.sources import IndexHandle
     probe10 = [r.text for r in
                docs.filter(F.col("doc_id") < 10).collect()]
+    handle = timed("index_handle_load",
+                   lambda: IndexHandle(spark, idx_path), runs=2)
 
     def handle_lookups():
-        handle = IndexHandle(spark, idx_path)  # load paid ONCE here
         for t in probe10:
             handle.pruned_read([t])[0].count()
 
@@ -268,6 +269,125 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
     code.unpersist()
     facts["build_stages_sec"] = stages
     return times, facts, runs_log
+
+
+def soak_10x(spark, times: dict, facts: dict) -> dict:
+    """One decade more data, same plans: the r03 fixes (single-partition
+    widening, candidate-pruned verify, salting, auto partial->shuffle agg)
+    all claim scale-independence — this window proves it at 10x rows in
+    the same session. Each family reports M rows/s at 10x and the ratio
+    vs the sf-scale rate from the main section (ratio ~1 = flat per-row
+    cost, no new straggler stage; >1 = superlinear trouble)."""
+    import pyspark.sql.functions as F
+
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.operators import bloom_agg, bloom_build
+    from fastbloom_spark.operators.dedup import (minhash_candidate_pairs,
+                                                 ngram_jaccard_pairs)
+    from fastbloom_spark.sources import synth_code_table
+    from fastbloom_spark.sources.index import bucket_col
+
+    rows10 = CODE_ROWS * 10
+    out: dict = {"rows": rows10}
+
+    def once(fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    code10 = synth_code_table(spark, rows10, num_repos=200, seed=SEED,
+                              num_partitions=CPUS * 4).persist()
+    n10 = code10.count()
+    cfg10 = BloomConfig.from_false_pos(0.001, expected_items=n10, seed=SEED)
+
+    # flagship build+merge (range-sharded merge path at this m)
+    bloom_build(code10, "content", cfg10)  # warm full-size pass
+    t_build = min(once(lambda: bloom_build(code10, "content", cfg10))
+                  for _ in range(2))
+    out["bloom_build_mrows_per_s"] = round(n10 / t_build / 1e6, 3)
+    out["bloom_build_rate_ratio_vs_base"] = round(
+        facts["bloom_build_mrows_per_s"]
+        / out["bloom_build_mrows_per_s"], 3)
+
+    # grouped per-lang agg: at 10x the auto cost model flips partial ->
+    # shuffle (partial inflation crosses 1 GiB); salt spreads hot keys
+    lang_cfg10 = BloomConfig.from_false_pos(
+        0.001, expected_items=max(n10 // 7, 1), seed=SEED)
+    t_agg = min(once(lambda: bloom_agg(
+        code10, ["lang"], "content", lang_cfg10, distinct_keys_hint=8,
+        strategy="shuffle", salt=4).count()) for _ in range(2))
+    out["bloom_agg_salted_mrows_per_s"] = round(n10 / t_agg / 1e6, 3)
+    out["bloom_agg_rate_ratio_vs_base"] = round(
+        (facts["bloom_build_rows"] / times["bloom_agg_per_lang"])
+        / (n10 / t_agg), 3)
+
+    # skip-index sketch build (the one-scan bloom_agg that write_indexed_
+    # table runs): measured at base AND 10x rows in-session so the ratio
+    # compares the identical code path
+    icfg = BloomConfig.from_false_pos(0.001,
+                                      expected_items=max(n10 // 16, 1),
+                                      seed=SEED)
+
+    def index_sketches(df):
+        return bloom_agg(
+            df.withColumn("__b", bucket_col("repo", 16)),
+            ["__b"], "content", icfg, distinct_keys_hint=16).count()
+
+    code1 = synth_code_table(spark, CODE_ROWS, num_repos=200, seed=SEED,
+                             num_partitions=CPUS * 2).persist()
+    n1 = code1.count()
+    index_sketches(code1)  # warm
+    t_idx1 = min(once(lambda: index_sketches(code1)) for _ in range(2))
+    t_idx10 = min(once(lambda: index_sketches(code10)) for _ in range(2))
+    code1.unpersist()
+    out["index_build_mrows_per_s_base"] = round(n1 / t_idx1 / 1e6, 3)
+    out["index_build_mrows_per_s_10x"] = round(n10 / t_idx10 / 1e6, 3)
+    out["index_build_rate_ratio_vs_base"] = round(
+        (n1 / t_idx1) / (n10 / t_idx10), 3)
+    code10.unpersist()
+
+    # minhash dedup at 10x docs: replica i prefixes every TOKEN with a
+    # replica tag, so each replica's shingle space is an isomorphic copy
+    # of the base corpus (within-replica dup structure and jaccard values
+    # exactly preserved) while cross-replica shingle spaces are disjoint
+    # (band-hash collision probability ~2^-64) — candidate volume scales
+    # ~10x like the corpus, keeping the per-doc rate comparable. (A
+    # same-salt token SORT was tried first and rejected: sorting all docs
+    # by one hash order correlates unrelated same-vocab docs' shingles,
+    # inflating false candidates quadratically.)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def replica(i: int):
+        toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        tagged = F.transform(toks, lambda t: F.concat(F.lit(f"r{i}_"), t))
+        return docs.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.concat_ws(" ", tagged).alias("text"))
+
+    docs10 = replica(0)
+    for i in range(1, 10):
+        docs10 = docs10.unionByName(replica(i))
+    docs10 = docs10.persist()
+    nd10 = docs10.count()
+
+    def dedup_pairs(df):
+        return ngram_jaccard_pairs(
+            minhash_candidate_pairs(df, "doc_id", "text", num_perm=128,
+                                    bands=32, seed=SEED),
+            df, "doc_id", "text", threshold=0.5).count()
+
+    t_mh = min(once(lambda: dedup_pairs(docs10)) for _ in range(2))
+    docs10.unpersist()
+    out["minhash_docs_10x"] = nd10
+    out["minhash_kdocs_per_s_10x"] = round(nd10 / t_mh / 1e3, 3)
+    base_rate = facts["minhash_docs"] / times["minhash_dedup"]
+    out["minhash_rate_ratio_vs_base"] = round(base_rate / (nd10 / t_mh), 3)
+    out["seconds"] = {"bloom_build": round(t_build, 3),
+                      "bloom_agg_salted": round(t_agg, 3),
+                      "index_build_base": round(t_idx1, 3),
+                      "index_build_10x": round(t_idx10, 3),
+                      "minhash_dedup": round(t_mh, 3)}
+    return out
 
 
 def scaling_run(cpus: int, rows: int) -> dict[str, float]:
@@ -443,6 +563,8 @@ def main() -> None:
     spark = make_spark(CPUS)
     try:
         times, facts, runs_log = bench_queries(spark)
+        if os.environ.get("BENCH_SOAK", "1") != "0":
+            facts["soak10x"] = soak_10x(spark, times, facts)
     finally:
         spark.stop()
     result.update({

@@ -510,9 +510,12 @@ def index_parquet_row_groups(
     ``row_groups * m/8`` bytes, governed by granule count and FPR, not
     table size.
 
-    Works on unpartitioned parquet directories (hive-partition columns
-    live in directory names, not in the files the row-group reader
-    opens). Probe with :func:`pruned_read_row_groups`.
+    Hive-partitioned layouts (including write_indexed_table's
+    ``bucket_id=N`` dirs) work: the build scan reads partition values
+    from directory names as usual, and the probe-side granule reader
+    reconstructs them from file paths. The indexed column itself must be
+    a physical (non-partition) column. Probe with
+    :func:`pruned_read_row_groups`.
     """
     if cfg.digest.startswith("custom:"):
         raise ValueError(
@@ -559,7 +562,10 @@ def pruned_read_row_groups(
     reference contains() contract per granule.
 
     ``stats.survivors`` are ``"<file>#<row_group>"``; ``units_total`` is
-    the table's row-group count."""
+    the table's row-group count. Hive-partitioned tables (including
+    write_indexed_table's ``bucket_id=N`` layout) are supported: partition
+    columns live in directory names, not data pages, so the granule
+    reader reconstructs them from each surviving file's path."""
     index_pdf = read_index(spark, index_path)
     if not len(index_pdf):
         raise ValueError(f"empty row-group index at {index_path}")
@@ -577,23 +583,51 @@ def pruned_read_row_groups(
         units_survived=len(survivors),
         survivors=tuple(sorted(f"{f}#{rg}" for f, rg in survivors)))
 
-    schema = spark.read.parquet(data_path).schema
+    full = spark.read.parquet(data_path)
+    schema = full.schema
     if not survivors:
         df = spark.createDataFrame([], schema)
     else:
+        # hive partition columns are in the SPARK schema but not in the
+        # files — recover each from the "<col>=<val>" path segments and
+        # attach as constants per granule, in the Spark column order
+        import pyarrow.parquet as _pq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        physical = set(
+            _pq.ParquetFile(survivors[0][0]).schema_arrow.names)
+        part_fields = [(f.name, to_arrow_type(f.dataType))
+                       for f in schema.fields if f.name not in physical]
+        col_order = [f.name for f in schema.fields]
+
         slices = spark.createDataFrame(
             pd.DataFrame(survivors, columns=["f", "rg"]))
         slices = slices.repartition(
             min(len(survivors), spark.sparkContext.defaultParallelism))
 
         def read_slices(batches):
+            import urllib.parse
+
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             for b in batches:
                 for f, rg in zip(b.column("f").to_pylist(),
                                  b.column("rg").to_pylist()):
-                    yield from pq.ParquetFile(f).read_row_group(
-                        int(rg)).to_batches()
+                    tbl = pq.ParquetFile(f).read_row_group(int(rg))
+                    if part_fields:
+                        seg_vals = dict(
+                            seg.split("=", 1)
+                            for seg in f.split("/") if "=" in seg)
+                        for name, atype in part_fields:
+                            raw = urllib.parse.unquote(seg_vals[name])
+                            val = (int(raw) if pa.types.is_integer(atype)
+                                   else raw)
+                            tbl = tbl.append_column(
+                                pa.field(name, atype),
+                                pa.array([val] * tbl.num_rows,
+                                         type=atype))
+                    yield from tbl.select(col_order).to_batches()
 
         df = slices.mapInArrow(read_slices, schema)
     if exact and len(df.columns):

@@ -862,3 +862,28 @@ def test_rowgroup_index_multifile(spark, docs, tmp_path):
     assert sorted(r.doc_id for r in got.collect()) \
         == sorted(r.doc_id for r in want.collect())
     assert stats.units_survived <= stats.units_total
+
+
+def test_rowgroup_index_on_bucketed_table(spark, docs, tmp_path):
+    """Row-group skipping composes with write_indexed_table's hive layout:
+    partition columns (bucket_id) are reconstructed from file paths by the
+    granule reader, and results match the full scan column-for-column."""
+    from fastbloom_spark.sources import (index_parquet_row_groups,
+                                         pruned_read_row_groups,
+                                         write_indexed_table)
+
+    path = str(tmp_path / "rgbucketed")
+    write_indexed_table(docs, path, index_col="text", cfg=CFG,
+                        bucket_source="doc_id", num_buckets=4)
+    idx = str(tmp_path / "rgbidx")
+    index_parquet_row_groups(spark, f"{path}/data", idx,
+                             index_col="text", cfg=CFG)
+    full = spark.read.parquet(f"{path}/data")
+    probes = member_texts(docs, 3)
+    got, stats = pruned_read_row_groups(spark, f"{path}/data", idx, probes)
+    assert got.schema == full.schema  # incl. the bucket_id partition col
+    want = full.filter(F.col("text").isin(probes))
+    key = lambda r: (r["doc_id"], r["bucket_id"])
+    assert sorted(map(key, got.collect())) \
+        == sorted(map(key, want.collect()))
+    assert stats.units_survived < stats.units_total
