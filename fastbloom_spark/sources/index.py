@@ -328,6 +328,8 @@ def write_indexed_table(
     num_buckets: int = 16,
     zone_cols: Sequence[str] = (),
     sort_within_buckets_by: Sequence[str] = (),
+    row_group_index: bool = False,
+    row_group_cfg: BloomConfig | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Write ``{path}/data`` partitioned by a hash bucket of
@@ -353,6 +355,14 @@ def write_indexed_table(
     skips row groups INSIDE surviving files — zone maps prune buckets,
     sorted row groups prune within them. No extra shuffle (the sort is
     task-local).
+
+    ``row_group_index=True`` additionally publishes an ``rgbloom`` sidecar
+    — one sketch per (file, row group, indexed column) — giving
+    :meth:`IndexHandle.pruned_read_row_groups` granule-level pruning
+    inside surviving buckets (non-surviving row groups are never
+    decoded); costs one extra data scan at write time. ``row_group_cfg``
+    sizes the per-granule filters (defaults to ``cfg`` — over-sized per
+    granule, i.e. lower FPR for a few extra KB).
     """
     if mode == "append":
         raise ValueError(
@@ -406,10 +416,17 @@ def write_indexed_table(
         .withColumn("data_file_count", F.lit(n_files).cast("long")) \
         .withColumn("data_files_sha", F.lit(files_sha))
 
+    rg_rows = None
+    if row_group_index:
+        rg_rows = _build_rg_index_rows(spark, f"{path}/data", cols,
+                                       row_group_cfg or cfg)
+
     def publish(vdir: str) -> None:
         index_rows.write.mode("overwrite").parquet(f"{vdir}/bloom")
         if zone_cols:
             _write_zone_maps(written, zone_cols, f"{vdir}/zones")
+        if rg_rows is not None:
+            rg_rows.write.mode("overwrite").parquet(f"{vdir}/rgbloom")
 
     _publish_index_version(spark, path, publish)
 
@@ -487,6 +504,52 @@ def _rg_boundaries(spark: SparkSession, files: list[str]) -> DataFrame:
 
     return fdf.mapInPandas(
         scan, "file_path string, n_rgs int, bounds array<long>")
+
+
+def _build_rg_index_rows(spark: SparkSession, data_path: str,
+                         cols: Sequence[str], cfg: BloomConfig,
+                         files: list[str] | None = None,
+                         base_path: str | None = None) -> DataFrame:
+    """(file, row_group, index_col) sketch rows for every indexed column
+    in ONE data scan (digest stack, like _digest_stack, keyed by granule
+    via the _metadata.row_index x footer-boundaries join). ``files``
+    restricts to a subset (appends index only the NEW files — new files
+    are new keys, so no merge is ever needed at this granularity)."""
+    from ..functions.digest import digest64
+
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    src = reader.parquet(*(files or [data_path]))
+    flist = files or src.inputFiles()
+    bounds = _rg_boundaries(spark, flist) \
+        .withColumnRenamed("file_path", "__bfile")
+    stack = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("index_col"),
+                 digest64(F.col(c), cfg.digest).alias("__digest64"))
+        for c in cols])).alias("x")
+    data = src.select(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        .alias(FILE_COL),
+        F.col("_metadata.row_index").alias("__ri"),
+        *[F.col(c) for c in cols])
+    rg = (F.size(F.filter(
+        "bounds", lambda b: b <= F.col("__ri"))) - 1).cast("int")
+    keyed = data.join(F.broadcast(bounds),
+                      data[FILE_COL] == bounds["__bfile"]) \
+        .select(FILE_COL, rg.alias(RG_COL), stack) \
+        .select(FILE_COL, RG_COL, "x.index_col", "x.__digest64") \
+        .filter(F.col("__digest64").isNotNull())
+    return bloom_agg(keyed, [FILE_COL, RG_COL, "index_col"], "__digest64",
+                     cfg, digest_precomputed=True, strategy="partial")
+
+
+def _rg_dir(bloom_dir: str) -> str | None:
+    """rgbloom sidecar dir of a resolved version; None for the legacy
+    in-place layout (row-group sidecars are versioned-layout-only)."""
+    if bloom_dir.endswith("/bloom"):
+        return bloom_dir[:-len("/bloom")] + "/rgbloom"
+    return None
 
 
 def index_parquet_row_groups(
@@ -583,56 +646,58 @@ def pruned_read_row_groups(
         units_survived=len(survivors),
         survivors=tuple(sorted(f"{f}#{rg}" for f, rg in survivors)))
 
-    full = spark.read.parquet(data_path)
-    schema = full.schema
-    if not survivors:
-        df = spark.createDataFrame([], schema)
-    else:
-        # hive partition columns are in the SPARK schema but not in the
-        # files — recover each from the "<col>=<val>" path segments and
-        # attach as constants per granule, in the Spark column order
-        import pyarrow.parquet as _pq
-        from pyspark.sql.pandas.types import to_arrow_type
-
-        physical = set(
-            _pq.ParquetFile(survivors[0][0]).schema_arrow.names)
-        part_fields = [(f.name, to_arrow_type(f.dataType))
-                       for f in schema.fields if f.name not in physical]
-        col_order = [f.name for f in schema.fields]
-
-        slices = spark.createDataFrame(
-            pd.DataFrame(survivors, columns=["f", "rg"]))
-        slices = slices.repartition(
-            min(len(survivors), spark.sparkContext.defaultParallelism))
-
-        def read_slices(batches):
-            import urllib.parse
-
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            for b in batches:
-                for f, rg in zip(b.column("f").to_pylist(),
-                                 b.column("rg").to_pylist()):
-                    tbl = pq.ParquetFile(f).read_row_group(int(rg))
-                    if part_fields:
-                        seg_vals = dict(
-                            seg.split("=", 1)
-                            for seg in f.split("/") if "=" in seg)
-                        for name, atype in part_fields:
-                            raw = urllib.parse.unquote(seg_vals[name])
-                            val = (int(raw) if pa.types.is_integer(atype)
-                                   else raw)
-                            tbl = tbl.append_column(
-                                pa.field(name, atype),
-                                pa.array([val] * tbl.num_rows,
-                                         type=atype))
-                    yield from tbl.select(col_order).to_batches()
-
-        df = slices.mapInArrow(read_slices, schema)
+    df = _read_row_group_slices(spark, spark.read.parquet(data_path).schema,
+                                survivors)
     if exact and len(df.columns):
         df = df.filter(F.col(index_col).isin(list(probe_values)))
     return df, stats
+
+
+def _read_row_group_slices(spark: SparkSession, schema,
+                           survivors: list[tuple[str, int]]) -> DataFrame:
+    """Distributed pyarrow granule reads of (file, row_group) slices,
+    yielding the table schema exactly — hive partition columns (in the
+    Spark schema but not the files) are recovered from each file's
+    ``<col>=<val>`` path segments and attached as constants."""
+    if not survivors:
+        return spark.createDataFrame([], schema)
+    import pyarrow.parquet as _pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    physical = set(_pq.ParquetFile(survivors[0][0]).schema_arrow.names)
+    part_fields = [(f.name, to_arrow_type(f.dataType))
+                   for f in schema.fields if f.name not in physical]
+    col_order = [f.name for f in schema.fields]
+
+    slices = spark.createDataFrame(
+        pd.DataFrame(survivors, columns=["f", "rg"]))
+    slices = slices.repartition(
+        min(len(survivors), spark.sparkContext.defaultParallelism))
+
+    def read_slices(batches):
+        import urllib.parse
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for f, rg in zip(b.column("f").to_pylist(),
+                             b.column("rg").to_pylist()):
+                tbl = pq.ParquetFile(f).read_row_group(int(rg))
+                if part_fields:
+                    seg_vals = dict(
+                        seg.split("=", 1)
+                        for seg in f.split("/") if "=" in seg)
+                    for name, atype in part_fields:
+                        raw = urllib.parse.unquote(seg_vals[name])
+                        val = (int(raw) if pa.types.is_integer(atype)
+                               else raw)
+                        tbl = tbl.append_column(
+                            pa.field(name, atype),
+                            pa.array([val] * tbl.num_rows, type=atype))
+                yield from tbl.select(col_order).to_batches()
+
+    return slices.mapInArrow(read_slices, schema)
 
 
 def probe_digests(values: Iterable, digest: str = "sha256") -> list[int]:
@@ -733,6 +798,8 @@ class IndexHandle:
         self._zones_cache: dict[str, list] = {}
         self._union_cache: dict[str, object] = {}
         self._data_df: DataFrame | None = None
+        self._rg_pdf: pd.DataFrame | None = None
+        self._rg_filters: dict[str, tuple] = {}
 
     def _data(self) -> DataFrame:
         """The {path}/data relation, created once: repeated lookups reuse
@@ -806,6 +873,55 @@ class IndexHandle:
                 [int(s) for s in stats.survivors] or [-1]))
         if exact:
             df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return df, stats
+
+    def _rg_index(self) -> pd.DataFrame:
+        rgdir = _rg_dir(self._bloom_dir)
+        if rgdir is None:
+            raise ValueError(
+                "row-group sidecars require the versioned index layout — "
+                "rewrite with write_indexed_table(row_group_index=True)")
+        if self._rg_pdf is None:
+            fs, rgp = _hadoop_fs(self.spark, rgdir)
+            if not fs.exists(rgp):
+                raise ValueError(
+                    f"no rgbloom sidecar in {rgdir} — write the table "
+                    "with row_group_index=True for granule-level pruning")
+            self._rg_pdf = read_index(self.spark, rgdir)
+        return self._rg_pdf
+
+    def pruned_read_row_groups(self, probe_values: Sequence, *,
+                               on: str | None = None, exact: bool = True,
+                               ) -> tuple[DataFrame, PruneStats]:
+        """Granule-level point lookup through the ``rgbloom`` sidecar:
+        prunes (file, row group) pairs driver-side and DECODES only
+        survivors (distributed pyarrow granule reads — finer than the
+        bucket-level :meth:`pruned_read`, which stops at directory
+        pruning). Zero FN per granule; sidecar loaded + hydrated once per
+        handle."""
+        pdf = self._rg_index()
+        icol = _select_index_col(pdf, on)
+        if icol not in self._rg_filters:
+            sub = pdf[pdf["index_col"] == icol]
+            self._rg_filters[icol] = (
+                str(sub["digest"].iloc[0]),
+                [(str(r[1][FILE_COL]), int(r[1][RG_COL]),
+                  sketch_row_to_filter(_RowView(r[1])))
+                 for r in sub.iterrows()])
+        digest, filters = self._rg_filters[icol]
+        digs = probe_digests(probe_values, digest)
+        survivors = [(f, rg) for f, rg, filt in filters
+                     if len(digs) and bool(
+                         filt.contains_digests(digs).any())]
+        stats = PruneStats(
+            granularity="row_group",
+            units_total=len(filters),
+            units_survived=len(survivors),
+            survivors=tuple(sorted(f"{f}#{rg}" for f, rg in survivors)))
+        df = _read_row_group_slices(self.spark, self._data().schema,
+                                    survivors)
+        if exact and len(df.columns):
+            df = df.filter(F.col(icol).isin(list(probe_values)))
         return df, stats
 
     def union_filter(self, on: str | None = None):
@@ -998,12 +1114,34 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
             merged_zones[c] = [(b, v[0], v[1], v[2])
                                for b, v in sorted(by.items())]
 
+    # rg sidecar (if present): new files are NEW (file, row_group) keys,
+    # so the append is a pure union of old rows + the new files' rows —
+    # no sketch merge at this granularity, ever
+    rg_union = None
+    rgdir = _rg_dir(bloom_dir)
+    if rgdir is not None:
+        fs, rgp = _hadoop_fs(spark, rgdir)
+        if fs.exists(rgp):
+            old_rg = spark.read.parquet(rgdir)
+            first = old_rg.select("m", "k", "seed", "layout",
+                                  "digest").first()
+            rg_cfg = BloomConfig(
+                num_bits=int(first["m"]), num_hashes=int(first["k"]),
+                seed=int(first["seed"]) & ((1 << 64) - 1),
+                layout=str(first["layout"]), digest=str(first["digest"]))
+            new_rg = _build_rg_index_rows(
+                spark, f"{path}/data", list(meta.cols), rg_cfg,
+                files=new_files, base_path=f"{path}/data")
+            rg_union = old_rg.unionByName(new_rg)
+
     def publish(vdir: str) -> None:
         spark.createDataFrame(merged, schema=index_schema) \
             .write.mode("overwrite").parquet(f"{vdir}/bloom")
         for c, data in merged_zones.items():
             spark.createDataFrame(data, _zone_schema(written_new, c)) \
                 .write.mode("overwrite").parquet(f"{vdir}/zones/{c}")
+        if rg_union is not None:
+            rg_union.write.mode("overwrite").parquet(f"{vdir}/rgbloom")
 
     _publish_index_version(spark, path, publish)
     if bloom_dir == f"{path}/index":
@@ -1164,10 +1302,28 @@ def compact_indexed_table(
         .withColumn("data_file_count", F.lit(n_files).cast("long")) \
         .withColumn("data_files_sha", F.lit(files_sha))
 
+    # rg sidecar (if the pre-compaction index carried one): rebuild over
+    # the rewritten files with the sidecar's own geometry
+    rg_rows = None
+    rgdir = _rg_dir(bloom_dir)
+    if rgdir is not None:
+        fs, rgp = _hadoop_fs(spark, rgdir)
+        if fs.exists(rgp):
+            first = spark.read.parquet(rgdir).select(
+                "m", "k", "seed", "layout", "digest").first()
+            rg_cfg = BloomConfig(
+                num_bits=int(first["m"]), num_hashes=int(first["k"]),
+                seed=int(first["seed"]) & ((1 << 64) - 1),
+                layout=str(first["layout"]), digest=str(first["digest"]))
+            rg_rows = _build_rg_index_rows(spark, f"{path}/data",
+                                           list(meta.cols), rg_cfg)
+
     def publish(vdir: str) -> None:
         index_rows.write.mode("overwrite").parquet(f"{vdir}/bloom")
         if meta.zone_cols:
             _write_zone_maps(written, meta.zone_cols, f"{vdir}/zones")
+        if rg_rows is not None:
+            rg_rows.write.mode("overwrite").parquet(f"{vdir}/rgbloom")
 
     _publish_index_version(spark, path, publish)
     # compaction rebuilt everything into a fresh committed version, so the

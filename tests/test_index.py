@@ -887,3 +887,47 @@ def test_rowgroup_index_on_bucketed_table(spark, docs, tmp_path):
     assert sorted(map(key, got.collect())) \
         == sorted(map(key, want.collect()))
     assert stats.units_survived < stats.units_total
+
+
+def test_rowgroup_sidecar_integrated(spark, docs, tmp_path):
+    """write_indexed_table(row_group_index=True) publishes an rgbloom
+    sidecar inside the committed version; IndexHandle.pruned_read_row_
+    groups decodes only surviving granules and matches the full scan;
+    appends extend the sidecar with the new files' granule rows (pure
+    union — new files are new keys); results stay exact across the
+    append."""
+    from fastbloom_spark.sources import IndexHandle, append_to_indexed_table
+
+    path = str(tmp_path / "rgsidecar")
+    write_indexed_table(docs.filter("doc_id < 400"), path,
+                        index_col="text", cfg=CFG, bucket_source="doc_id",
+                        num_buckets=4, sort_within_buckets_by=["doc_id"],
+                        row_group_index=True)
+    handle = IndexHandle(spark, path)
+    probes = member_texts(docs, 3)
+    got, stats = handle.pruned_read_row_groups(probes)
+    full = spark.read.parquet(f"{path}/data")
+    want = full.filter(F.col("text").isin(probes))
+    assert sorted(r.doc_id for r in got.collect()) \
+        == sorted(r.doc_id for r in want.collect())
+    assert stats.granularity == "row_group"
+    assert stats.units_survived <= stats.units_total
+
+    append_to_indexed_table(docs.filter("doc_id >= 400"), path)
+    fresh = IndexHandle(spark, path)
+    got2, stats2 = fresh.pruned_read_row_groups(probes)
+    full2 = spark.read.parquet(f"{path}/data")
+    want2 = full2.filter(F.col("text").isin(probes))
+    assert sorted(r.doc_id for r in got2.collect()) \
+        == sorted(r.doc_id for r in want2.collect())
+    assert stats2.units_total > stats.units_total  # new files' granules
+    # rows_seen across the sidecar covers the whole table exactly
+    assert int(fresh._rg_index()["rows_seen"].sum()) == docs.count()
+
+
+def test_rowgroup_sidecar_absent_raises(spark, docs, indexed_path):
+    from fastbloom_spark.sources import IndexHandle
+
+    handle = IndexHandle(spark, indexed_path)
+    with pytest.raises(ValueError, match="row_group_index=True"):
+        handle.pruned_read_row_groups(["x"])
