@@ -700,6 +700,83 @@ def _read_row_group_slices(spark: SparkSession, schema,
     return slices.mapInArrow(read_slices, schema)
 
 
+def rowgroup_zone_stats(spark: SparkSession, data_path: str,
+                        col: str) -> DataFrame:
+    """Per-(file, row group) min/max of ``col`` read from the parquet
+    FOOTERS — parquet already stores granule statistics, so range pruning
+    at granule level needs no sidecar at all. Distributed metadata-only
+    scan (pyarrow never touches data pages); values ride back in the
+    column's OWN Spark type through typed Arrow batches (the zone-map
+    discipline — pandas float64 would corrupt int64 > 2^53). Granules
+    whose footer lacks statistics come back ``has_stats=false`` and MUST
+    be kept by any pruner (zero-FN)."""
+    src = spark.read.parquet(data_path)
+    dt = src.schema[col].dataType.simpleString()
+    files = [_norm_file(f) for f in src.inputFiles()]
+    fdf = spark.createDataFrame(pd.DataFrame({"file_path": files}))
+    fdf = fdf.repartition(
+        min(max(len(files), 1), spark.sparkContext.defaultParallelism))
+
+    def scan(batches):
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for f in b["file_path"]:
+                pf = pq.ParquetFile(f)
+                j = pf.schema_arrow.names.index(col)
+                md = pf.metadata
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    st = rg.column(j).statistics
+                    ok = bool(st is not None and st.has_min_max)
+                    rows.append((f, i,
+                                 st.min if ok else None,
+                                 st.max if ok else None,
+                                 rg.num_rows, ok))
+            yield pd.DataFrame(rows, columns=[
+                "file_path", "row_group", "vmin", "vmax", "n_rows",
+                "has_stats"])
+
+    return fdf.mapInPandas(
+        scan, f"file_path string, row_group int, vmin {dt}, vmax {dt}, "
+              "n_rows long, has_stats boolean")
+
+
+def pruned_range_read_row_groups(
+    spark: SparkSession,
+    data_path: str,
+    col: str,
+    lo,
+    hi,
+    *,
+    exact: bool = True,
+) -> tuple[DataFrame, PruneStats]:
+    """Range scan DECODING only row groups whose footer [min, max]
+    overlaps [lo, hi] (inclusive) — the granule counterpart of
+    :func:`pruned_range_read`, driven by parquet's own statistics instead
+    of engine zone maps (write with ``sort_within_buckets_by`` /
+    clustered layout to make them tight). Granules without statistics
+    always survive, so pruning keeps zero false negatives; string stats
+    may be writer-truncated, which only ever WIDENS bounds (extra
+    survivors, never lost rows). ``exact=True`` finishes with BETWEEN."""
+    stats_rows = rowgroup_zone_stats(spark, data_path, col).collect()
+    surv = [(r["file_path"], int(r["row_group"])) for r in stats_rows
+            if (not r["has_stats"]) or (r["vmin"] is not None
+                                        and r["vmax"] >= lo
+                                        and r["vmin"] <= hi)]
+    stats = PruneStats(
+        granularity="row_group",
+        units_total=len(stats_rows),
+        units_survived=len(surv),
+        survivors=tuple(sorted(f"{f}#{rg}" for f, rg in surv)))
+    df = _read_row_group_slices(spark, spark.read.parquet(data_path).schema,
+                                surv)
+    if exact and len(df.columns):
+        df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    return df, stats
+
+
 def probe_digests(values: Iterable, digest: str = "sha256") -> list[int]:
     """Driver-side digest64 of probe values — bit-equal to the Spark-side
     ``digest64(col, digest)`` column for string/int values (both hash the

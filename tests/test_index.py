@@ -931,3 +931,32 @@ def test_rowgroup_sidecar_absent_raises(spark, docs, indexed_path):
     handle = IndexHandle(spark, indexed_path)
     with pytest.raises(ValueError, match="row_group_index=True"):
         handle.pruned_read_row_groups(["x"])
+
+
+def test_rowgroup_range_read_from_footer_stats(spark, clustered_table):
+    """Granule-level RANGE pruning straight from parquet footer min/max —
+    no sidecar: on the clustered table a narrow range decodes only its
+    granules, and results equal the full BETWEEN filter (zero FN); both
+    string and numeric range columns work, values kept in their own type."""
+    from fastbloom_spark.sources import pruned_range_read_row_groups
+
+    full = spark.read.parquet(clustered_table)
+    # string range: rows k00200..k00299 live in exactly one 100-row granule
+    got, stats = pruned_range_read_row_groups(
+        spark, clustered_table, "key", "k00200", "k00299")
+    assert stats.units_total == 10 and stats.units_survived == 1
+    want = full.filter(F.col("key").between("k00200", "k00299"))
+    assert sorted(r.payload for r in got.collect()) \
+        == sorted(r.payload for r in want.collect())
+
+    # numeric range spanning a granule boundary -> exactly two survive
+    got2, st2 = pruned_range_read_row_groups(
+        spark, clustered_table, "payload", 390, 410)
+    assert st2.units_survived == 2
+    assert sorted(r.payload for r in got2.collect()) == list(range(390, 411))
+
+    # empty range (no overlap) -> nothing decoded, empty typed frame
+    got3, st3 = pruned_range_read_row_groups(
+        spark, clustered_table, "payload", 5000, 6000)
+    assert st3.units_survived == 0 and got3.count() == 0
+    assert got3.schema == full.schema
