@@ -892,6 +892,43 @@ def q_rowgroup_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
              "strict_subset boolean")
 
 
+def q_rowgroup_range_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granule-level RANGE pruning from parquet footer statistics
+    (hash-checked): documents sorted by doc_id in 100-row row groups, then
+    doc_id ranges are answered by decoding only granules whose footer
+    [min, max] overlaps — no sidecar, parquet's own stats. Emitted per
+    range: exact row count and exact doc_id sum from the PRUNED read
+    (zero-FN law: equals the unpruned truth DuckDB computes) plus a
+    strict-subset verdict the oracle pins true."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastbloom_spark.sources import pruned_range_read_row_groups
+
+    docs_pdf = _read(spark, sf_dir, "documents") \
+        .select("doc_id", "text").orderBy("doc_id").toPandas()
+    base = tempfile.mkdtemp(prefix="fb_rgrange_")
+    data = f"{base}/data"
+    os.makedirs(data)
+    pq.write_table(pa.Table.from_pandas(docs_pdf, preserve_index=False),
+                   f"{data}/part-0.parquet", row_group_size=100)
+    ranges = [(0, 99), (150, 249), (380, 420)]
+    out = []
+    for lo, hi in ranges:
+        got, stats = pruned_range_read_row_groups(spark, data, "doc_id",
+                                                  lo, hi)
+        agg = got.agg(F.count("*").alias("n"),
+                      F.sum("doc_id").alias("s")).first()
+        out.append((f"{lo}-{hi}", int(agg["n"]), int(agg["s"] or 0),
+                    bool(stats.units_survived < stats.units_total)))
+    return spark.createDataFrame(
+        out, "range_id string, n_rows long, sum_doc_id long, "
+             "strict_subset boolean")
+
+
 def q_zone_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map range pruning end-to-end (hash-checked: min/max are exact
     aggregates, so the oracle replays bucket assignment + per-bucket
@@ -1253,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": q_checkpoint_resume,
         "bloom_index_prune": q_bloom_index_prune,
         "rowgroup_index_prune": q_rowgroup_index_prune,
+        "rowgroup_range_prune": q_rowgroup_range_prune,
         "index_append_parity": q_index_append_parity,
         "zone_index_prune": q_zone_index_prune,
         "streaming_dedup": q_streaming_dedup,
@@ -1624,6 +1662,15 @@ def oracle_sql() -> dict[str, str]:
         # (the pruned granule read must equal the unpruned truth — the
         # zero-FN law); rgs_total is the pinned 100-row layout; the
         # strict-subset verdict is verified in-query and pinned true
+        "rowgroup_range_prune": """
+            SELECT lo || '-' || hi AS range_id,
+                   (SELECT count(*) FROM documents
+                    WHERE doc_id BETWEEN lo AND hi)::BIGINT AS n_rows,
+                   (SELECT coalesce(sum(doc_id), 0) FROM documents
+                    WHERE doc_id BETWEEN lo AND hi)::BIGINT AS sum_doc_id,
+                   true AS strict_subset
+            FROM (VALUES (0, 99), (150, 249), (380, 420)) t(lo, hi)
+        """,
         "rowgroup_index_prune": """
             WITH m AS (SELECT doc_id, text FROM documents
                        WHERE doc_id IN (3, 103, 203)),

@@ -1432,3 +1432,22 @@ def index_filter(spark: SparkSession, path: str, *, on: str | None = None):
     words). One-shot; repeated use should hold an :class:`IndexHandle`
     (``handle.union_filter()`` caches the union)."""
     return IndexHandle(spark, path).union_filter(on)
+
+
+def publish_index_filter_sql(spark: SparkSession, path: str, name: str,
+                             *, on: str | None = None) -> str:
+    """One call from index to SQL: union the table's per-bucket sketches
+    into the whole-table membership filter (:func:`index_filter`) and
+    publish it under ``name`` for pure-SQL probing::
+
+        publish_index_filter_sql(spark, "/tbl/docs", "docs_text")
+        spark.sql("SELECT * FROM queries "
+                  "WHERE bloom_probe_bc('docs_text', digest)")
+
+    WHERE clauses consult the index without touching the data OR any
+    driver Python — the broadcast ships once per executor (see
+    :func:`~fastbloom_spark.sql.publish_bloom_sql`; sizing caveat of
+    :func:`index_filter` applies). Returns ``"bloom_probe_bc"``."""
+    from ..sql import publish_bloom_sql
+
+    return publish_bloom_sql(spark, name, index_filter(spark, path, on=on))

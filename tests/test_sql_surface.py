@@ -561,3 +561,40 @@ def test_sql_bloom_probe_bc_semantics(spark):
     finally:
         unpublish_bloom_sql(spark, "swap")
         spark.catalog.dropTempView("probe_swap")
+
+
+def test_sql_index_filter_published(spark, sf_dir, tmp_path):
+    """publish_index_filter_sql: the table's skip index becomes a pure-SQL
+    membership predicate (bloom_probe_bc) — zero FN for every indexed row,
+    FPR-bounded extras, no data touched by the probe plan."""
+    from fastbloom_spark.functions import digest64
+    from fastbloom_spark.sources import (publish_index_filter_sql,
+                                         write_indexed_table)
+    from fastbloom_spark.sql import unpublish_bloom_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "sqlidx")
+    # size the per-bucket filters for the TABLE so the union stays sharp
+    cfg = BloomConfig.from_false_pos(0.001, expected_items=600, seed=42)
+    write_indexed_table(docs, path, index_col="text", cfg=cfg,
+                        bucket_source="doc_id", num_buckets=8)
+    fn = publish_index_filter_sql(spark, path, "docs_text")
+    try:
+        assert fn == "bloom_probe_bc"
+        docs.select("doc_id", digest64("text").alias("d")) \
+            .createOrReplaceTempView("docs_digests")
+        n_member = spark.sql(
+            "SELECT count(*) AS c FROM docs_digests "
+            "WHERE bloom_probe_bc('docs_text', d)").collect()[0].c
+        assert n_member == docs.count()  # zero FN through index -> SQL
+        absent = spark.range(2000).select(
+            digest64(F.concat(F.lit("absent:"), F.col("id"))).alias("d"))
+        absent.createOrReplaceTempView("absent_digests")
+        n_fp = spark.sql(
+            "SELECT count(*) AS c FROM absent_digests "
+            "WHERE bloom_probe_bc('docs_text', d)").collect()[0].c
+        assert n_fp <= 30  # fp=1e-3 target, generous slack
+    finally:
+        unpublish_bloom_sql(spark, "docs_text")
+        spark.catalog.dropTempView("docs_digests")
+        spark.catalog.dropTempView("absent_digests")
