@@ -245,9 +245,9 @@ def _check_index_fresh(index_pdf: pd.DataFrame, spark: SparkSession,
             "compact_indexed_table, or read {path}/data directly.")
 
 
-def _digest_stack(df: DataFrame, cols: Sequence[str],
-                  cfg: BloomConfig) -> DataFrame:
-    """(bucket, index_col, __digest64) rows for every indexed column in
+def _digest_stack(df: DataFrame, cols: Sequence[str], cfg: BloomConfig,
+                  key_col: str = BUCKET_COL) -> DataFrame:
+    """(key, index_col, __digest64) rows for every indexed column in
     ONE scan: digests are computed JVM-side before a struct-array explode,
     so k indexed columns cost one pass + a k-way row expansion of 16-byte
     rows, never k scans of the source."""
@@ -262,8 +262,8 @@ def _digest_stack(df: DataFrame, cols: Sequence[str],
     # corrupting every digest above 2^53 (CLAUDE.md: mask nulls BEFORE).
     # NULL-in -> NULL-out: a NULL is never a probe value, so zero-FN for
     # real values is unaffected.
-    return df.select(BUCKET_COL, stack) \
-        .select(BUCKET_COL, "x.index_col", "x.__digest64") \
+    return df.select(key_col, stack) \
+        .select(key_col, "x.index_col", "x.__digest64") \
         .filter(F.col("__digest64").isNotNull())
 
 
@@ -436,17 +436,20 @@ def index_parquet_files(
     data_path: str,
     index_path: str,
     *,
-    index_col: str,
+    index_col: str | Sequence[str],
     cfg: BloomConfig,
     mode: str = "overwrite",
 ) -> None:
     """Per-FILE skip index over an EXISTING parquet table — no rewrite.
 
     Finer granularity than bucket dirs (the row-group-bloom analogue): one
-    sketch per physical file, keyed by ``input_file_name()``. Strategy is
-    pinned to ``"partial"`` because a task only ever reads a handful of
-    files, so the per-(file, partition) partial count collapses to ~one
-    sketch per file with zero row shuffle — the auto cost model's
+    sketch per physical file per indexed column, keyed by
+    ``input_file_name()`` — pass a list to index several columns in the
+    same single scan (the one-pass digest stack write_indexed_table
+    uses); probe with ``pruned_read_files(..., on=<column>)``. Strategy
+    is pinned to ``"partial"`` because a task only ever reads a handful
+    of files, so the per-(file, partition) partial count collapses to
+    ~one sketch per file with zero row shuffle — the auto cost model's
     ``min(keys, P) * P`` worst case cannot happen for this key.
     """
     if cfg.digest.startswith("custom:"):
@@ -455,10 +458,12 @@ def index_parquet_files(
             "recompute probe digests on the driver (probe_digests) and "
             "custom Column strategies have no local implementation — "
             "index with 'sha256' or 'xxh64'")
+    cols = [index_col] if isinstance(index_col, str) else list(index_col)
     df = spark.read.parquet(data_path) \
         .withColumn(FILE_COL, F.input_file_name())
-    index = bloom_agg(df, [FILE_COL], index_col, cfg, strategy="partial") \
-        .withColumn("index_col", F.lit(index_col))
+    stacked = _digest_stack(df, cols, cfg, key_col=FILE_COL)
+    index = bloom_agg(stacked, [FILE_COL, "index_col"], "__digest64", cfg,
+                      digest_precomputed=True, strategy="partial")
     _meta_cols(index, num_buckets=0, bucket_source=FILE_COL) \
         .write.mode(mode).parquet(index_path)
 
@@ -611,6 +616,7 @@ def pruned_read_row_groups(
     index_path: str,
     probe_values: Sequence,
     *,
+    on: str | None = None,
     exact: bool = True,
 ) -> tuple[DataFrame, PruneStats]:
     """Point-lookup scan OPENING only surviving row groups.
@@ -632,7 +638,8 @@ def pruned_read_row_groups(
     index_pdf = read_index(spark, index_path)
     if not len(index_pdf):
         raise ValueError(f"empty row-group index at {index_path}")
-    index_col = str(index_pdf["index_col"].iloc[0])
+    index_col = _select_index_col(index_pdf, on)
+    index_pdf = index_pdf[index_pdf["index_col"] == index_col]
     digest = str(index_pdf["digest"].iloc[0])
     digs = probe_digests(probe_values, digest)
     survivors: list[tuple[str, int]] = []
@@ -849,9 +856,12 @@ class IndexHandle:
     subsequent lookup is pure numpy plus the pruned Spark scan.
 
     Consistency: the handle PINS the version it resolved — lookups keep
-    using one coherent (bloom, zones) pair even while appends publish new
-    versions (the GC keeps the previous committed version alive for
-    exactly this reason). Construct a fresh handle to see new data.
+    using one coherent (bloom, zones, rgbloom) set even while appends
+    publish new versions (the GC keeps the previous committed version
+    alive for exactly this reason — a pin therefore survives exactly ONE
+    subsequent publish; after two, lazily-loaded sidecars of the pinned
+    version may be gone). Call :meth:`refresh` (or construct a fresh
+    handle) to see new data.
     """
 
     def __init__(self, spark: SparkSession, path: str, *,
@@ -1001,6 +1011,11 @@ class IndexHandle:
             df = df.filter(F.col(icol).isin(list(probe_values)))
         return df, stats
 
+    def refresh(self) -> "IndexHandle":
+        """A fresh handle over the CURRENT committed version (this handle
+        stays pinned and usable)."""
+        return IndexHandle(self.spark, self.path)
+
     def union_filter(self, on: str | None = None):
         """Whole-table membership filter: OR-union of every bucket's
         sketch for one indexed column, computed once and cached (see
@@ -1065,14 +1080,17 @@ def pruned_read_files(
     index_path: str,
     probe_values: Sequence,
     *,
+    on: str | None = None,
     exact: bool = True,
 ) -> tuple[DataFrame, PruneStats]:
     """File-granularity variant: survivors become the explicit read-path
-    list, so the scan's input is exactly the surviving files."""
+    list, so the scan's input is exactly the surviving files. ``on``
+    names the probed column when the index covers several."""
     index_pdf = read_index(spark, index_path)
     if not len(index_pdf):
         raise ValueError(f"empty bloom index at {index_path}")
-    index_col = str(index_pdf["index_col"].iloc[0])
+    index_col = _select_index_col(index_pdf, on)
+    index_pdf = index_pdf[index_pdf["index_col"] == index_col]
     digest = str(index_pdf["digest"].iloc[0])
     stats = prune_index(index_pdf, probe_digests(probe_values, digest),
                         key_field=FILE_COL, granularity="file")

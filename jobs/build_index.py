@@ -3,7 +3,7 @@
 Usage:
     spark-submit --py-files fastbloom_spark.zip jobs/build_index.py \
         <input_parquet> <out_path> <index_col[,col2,...]> <bucket_source> \
-        <num_buckets> <fp> [zones=<col,col>] [probe_value ...]
+        <num_buckets> <fp> [zones=<col,col>] [rg=1] [probe_value ...]
 
 Writes ``<out_path>/data`` (bucket-partitioned copy) plus a versioned,
 atomically-published index under ``<out_path>/index_versions/`` (one sketch
@@ -28,6 +28,10 @@ def main() -> None:
     if rest and rest[0].startswith("zones="):
         zone_cols = [c for c in rest[0][len("zones="):].split(",") if c]
         rest = rest[1:]
+    row_group_index = False
+    if rest and rest[0] == "rg=1":
+        row_group_index = True
+        rest = rest[1:]
     probes = rest
     num_buckets = int(num_buckets)
     spark = SparkSession.builder.appName("fastbloom-index").getOrCreate()
@@ -42,7 +46,8 @@ def main() -> None:
     write_indexed_table(df, out_path,
                         index_col=[c for c in index_col.split(",") if c],
                         cfg=cfg, bucket_source=bucket_source,
-                        num_buckets=num_buckets, zone_cols=zone_cols)
+                        num_buckets=num_buckets, zone_cols=zone_cols,
+                        row_group_index=row_group_index)
     report = {
         "rows": n, "num_buckets": num_buckets,
         "bits_per_bucket": cfg.num_bits, "num_hashes": cfg.num_hashes,

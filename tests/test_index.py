@@ -960,3 +960,53 @@ def test_rowgroup_range_read_from_footer_stats(spark, clustered_table):
         spark, clustered_table, "payload", 5000, 6000)
     assert st3.units_survived == 0 and got3.count() == 0
     assert got3.schema == full.schema
+
+
+def test_block64_layout_index_end_to_end(spark, docs, tmp_path):
+    """A block64-layout config rides through the whole index lifecycle:
+    write, pruned read (zero FN), handle probe, append OR-merge."""
+    from fastbloom_spark.sources import IndexHandle, append_to_indexed_table
+
+    cfg = BloomConfig.block64_from_false_pos(0.01, expected_items=80,
+                                             seed=42)
+    path = str(tmp_path / "blk64idx")
+    write_indexed_table(docs.filter("doc_id < 400"), path,
+                        index_col="text", cfg=cfg, bucket_source="doc_id",
+                        num_buckets=8)
+    probes = member_texts(docs)
+    got, stats = pruned_read(spark, path, probes)
+    want = docs.filter("doc_id < 400").filter(F.col("text").isin(probes))
+    assert sorted(r.doc_id for r in got.collect()) \
+        == sorted(r.doc_id for r in want.collect())
+    append_to_indexed_table(docs.filter("doc_id >= 400"), path)
+    handle = IndexHandle(spark, path)
+    got2, _ = handle.pruned_read(probes)
+    want2 = docs.filter(F.col("text").isin(probes))
+    assert sorted(r.doc_id for r in got2.collect()) \
+        == sorted(r.doc_id for r in want2.collect())
+    assert handle.meta.cfg.layout == "block64"
+
+
+def test_file_index_multi_column(spark, docs, tmp_path):
+    """index_parquet_files with a column LIST: one scan builds per-(file,
+    column) sketches; probes select their column with on= and prune
+    independently."""
+    data = str(tmp_path / "mfc_data")
+    idx = str(tmp_path / "mfc_idx")
+    docs.repartition(4).write.parquet(data)
+    index_parquet_files(spark, data, idx, index_col=["text", "source"],
+                        cfg=CFG)
+    index_pdf = read_index(spark, idx)
+    assert sorted(index_pdf["index_col"].unique()) == ["source", "text"]
+    assert len(index_pdf) == 8  # 4 files x 2 columns
+
+    probes = member_texts(docs, 3)
+    got, _ = pruned_read_files(spark, data, idx, probes, on="text")
+    want = docs.filter(F.col("text").isin(probes))
+    assert sorted(r.doc_id for r in got.collect()) \
+        == sorted(r.doc_id for r in want.collect())
+    src = docs.select("source").first().source
+    got_s, _ = pruned_read_files(spark, data, idx, [src], on="source")
+    assert got_s.count() == docs.filter(F.col("source") == src).count()
+    with pytest.raises(ValueError, match="pass on="):
+        pruned_read_files(spark, data, idx, probes)
