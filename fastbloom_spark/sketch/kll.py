@@ -144,11 +144,20 @@ class KllSketch:
 
     def rank(self, state: KllState, value: float) -> float:
         """Estimated normalized rank of `value` in [0, 1]."""
+        return float(self.rank_many(state, np.array([value]))[0])
+
+    def rank_many(self, state: KllState, values: np.ndarray) -> np.ndarray:
+        """Vectorized normalized ranks (fraction of weight <= value): one
+        sorted-merge + one searchsorted for the whole value vector — the
+        SQL-UDF batch path (mirror of quantile_many)."""
         v, w = self._weighted_items(state)
+        values = np.asarray(values, dtype=np.float64)
         if v.size == 0:
-            return float("nan")
-        total = w.sum()
-        return float(w[v <= value].sum() / total)
+            return np.full(values.shape, np.nan)
+        cum = np.cumsum(w)
+        idx = np.searchsorted(v, values, side="right")
+        out = np.where(idx > 0, cum[np.maximum(idx - 1, 0)], 0.0)
+        return out / cum[-1]
 
     def total_weight(self, state: KllState) -> float:
         _, w = self._weighted_items(state)

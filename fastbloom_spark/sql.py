@@ -269,6 +269,25 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
     tdigest_quantile = _quantile_udf(_load_tdigest)
     kll_quantile = _quantile_udf(_load_kll)
 
+    @F.pandas_udf(DoubleType())
+    def kll_rank(sketch: pd.Series, value: pd.Series) -> pd.Series:
+        """Normalized rank of a value (inverse of kll_quantile): the
+        fraction of the sketched stream <= value — `WHERE kll_rank(sketch,
+        x) < 0.99` style tail predicates from pure SQL. Same
+        factorize-by-buffer batch shape as the quantile probes."""
+        out = np.full(len(sketch), np.nan)
+        valid = _valid_mask(sketch, value)
+        if valid.any():
+            sub = np.full(int(valid.sum()), np.nan)
+            codes, uniques = pd.factorize(sketch[valid])
+            vals = value[valid].to_numpy(np.float64)
+            for gi, buf in enumerate(uniques):
+                impl, state = _load_kll(bytes(buf))
+                mask = codes == gi
+                sub[mask] = impl.rank_many(state, vals[mask])
+            out[valid] = sub
+        return pd.Series(out)
+
     # hoisted like _load_tdigest/_load_kll: defining the cache inside the
     # UDF body would rebuild it every Arrow batch
     @_cached
@@ -472,6 +491,7 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         "cms_estimate": cms_estimate,
         "tdigest_quantile": tdigest_quantile,
         "kll_quantile": kll_quantile,
+        "kll_rank": kll_rank,
         "bloom_probe": bloom_probe,
         "bloom_union_agg": bloom_union_agg,
         "hll_union_agg": hll_union_agg,

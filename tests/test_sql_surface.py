@@ -22,6 +22,7 @@ def _register(spark):
                      "bloom_union_agg", "cms_estimate", "cms_union_agg",
                      "hll_estimate", "hll_intersect_estimate",
                      "hll_union_agg", "kll_merge_agg", "kll_quantile",
+                     "kll_rank",
                      "tdigest_merge_agg", "tdigest_quantile"]
 
 
@@ -598,3 +599,27 @@ def test_sql_index_filter_published(spark, sf_dir, tmp_path):
         unpublish_bloom_sql(spark, "docs_text")
         spark.catalog.dropTempView("docs_digests")
         spark.catalog.dropTempView("absent_digests")
+
+
+def test_sql_kll_rank(spark, sf_dir):
+    """kll_rank is the inverse of kll_quantile from pure SQL: ranks of
+    exact quantile values land near their quantile, NULL in -> NULL out,
+    and rank(quantile(q)) round-trips within the sketch's error bound."""
+    import numpy as np
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    vals = np.sort(np.array(
+        [r.c_acctbal for r in cust.select("c_acctbal").collect()]))
+    impl = KllSketch(k=200, seed=42)
+    sketch_agg(cust, [], "c_acctbal", impl) \
+        .createOrReplaceTempView("kll_rank_sketch")
+    for q in (0.25, 0.5, 0.9):
+        exact_q = float(np.quantile(vals, q))
+        got = spark.sql(
+            f"SELECT kll_rank(sketch, {exact_q}) AS r "
+            "FROM kll_rank_sketch").collect()[0].r
+        assert abs(got - q) < 3 * impl.relative_error() + 2 / len(vals), \
+            (q, got)
+    row = spark.sql("SELECT kll_rank(sketch, CAST(NULL AS DOUBLE)) AS r "
+                    "FROM kll_rank_sketch").collect()[0]
+    assert row.r is None
