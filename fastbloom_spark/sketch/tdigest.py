@@ -116,6 +116,28 @@ class TDigestSketch:
         cum = np.cumsum(w) - w / 2.0  # centroid midpoints in rank space
         return np.interp(qs * total, cum, m)
 
+    def rank(self, state: TDigestState, value: float) -> float:
+        """Estimated normalized rank (CDF) of ``value`` in [0, 1]."""
+        return float(self.rank_many(state, np.array([value]))[0])
+
+    def rank_many(self, state: TDigestState,
+                  values: np.ndarray) -> np.ndarray:
+        """Vectorized CDF — the exact inverse of :meth:`quantile_many`:
+        interpolate rank-space centroid midpoints at the probe values
+        (np.interp clamps to the endpoint midpoints, mirroring the
+        quantile path's endpoint-centroid clamp)."""
+        self._flush(state)
+        m, w = state.means, state.weights
+        values = np.asarray(values, dtype=np.float64)
+        if m.size == 0:
+            return np.full(values.shape, np.nan)
+        total = w.sum()
+        if m.size == 1:
+            return np.where(values < m[0], 0.0,
+                            np.where(values > m[0], 1.0, 0.5))
+        cum = np.cumsum(w) - w / 2.0
+        return np.interp(values, m, cum) / total
+
     def total_weight(self, state: TDigestState) -> float:
         self._flush(state)
         return float(state.weights.sum())

@@ -269,24 +269,30 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
     tdigest_quantile = _quantile_udf(_load_tdigest)
     kll_quantile = _quantile_udf(_load_kll)
 
-    @F.pandas_udf(DoubleType())
-    def kll_rank(sketch: pd.Series, value: pd.Series) -> pd.Series:
-        """Normalized rank of a value (inverse of kll_quantile): the
-        fraction of the sketched stream <= value — `WHERE kll_rank(sketch,
-        x) < 0.99` style tail predicates from pure SQL. Same
-        factorize-by-buffer batch shape as the quantile probes."""
-        out = np.full(len(sketch), np.nan)
-        valid = _valid_mask(sketch, value)
-        if valid.any():
-            sub = np.full(int(valid.sum()), np.nan)
-            codes, uniques = pd.factorize(sketch[valid])
-            vals = value[valid].to_numpy(np.float64)
-            for gi, buf in enumerate(uniques):
-                impl, state = _load_kll(bytes(buf))
-                mask = codes == gi
-                sub[mask] = impl.rank_many(state, vals[mask])
-            out[valid] = sub
-        return pd.Series(out)
+    def _rank_udf(load_impl_state):
+        """Normalized rank (CDF) of a value — the inverse of the quantile
+        probes, enabling `WHERE kll_rank(sketch, x) < 0.99` style tail
+        predicates from pure SQL. Same factorize-by-buffer batch shape."""
+
+        @F.pandas_udf(DoubleType())
+        def rank_fn(sketch: pd.Series, value: pd.Series) -> pd.Series:
+            out = np.full(len(sketch), np.nan)
+            valid = _valid_mask(sketch, value)
+            if valid.any():
+                sub = np.full(int(valid.sum()), np.nan)
+                codes, uniques = pd.factorize(sketch[valid])
+                vals = value[valid].to_numpy(np.float64)
+                for gi, buf in enumerate(uniques):
+                    impl, state = load_impl_state(bytes(buf))
+                    mask = codes == gi
+                    sub[mask] = impl.rank_many(state, vals[mask])
+                out[valid] = sub
+            return pd.Series(out)
+
+        return rank_fn
+
+    tdigest_rank = _rank_udf(_load_tdigest)
+    kll_rank = _rank_udf(_load_kll)
 
     # hoisted like _load_tdigest/_load_kll: defining the cache inside the
     # UDF body would rebuild it every Arrow batch
@@ -498,6 +504,7 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         "hll_intersect_estimate": hll_intersect_estimate,
         "cms_union_agg": cms_union_agg,
         "tdigest_merge_agg": tdigest_merge_agg,
+        "tdigest_rank": tdigest_rank,
         "kll_merge_agg": kll_merge_agg,
     }
     for name, fn in fns.items():

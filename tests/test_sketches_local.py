@@ -208,3 +208,25 @@ def test_kll_rank_query():
     x = np.arange(10_000, dtype=np.float64)
     st = sk.update(sk.empty(), x)
     assert abs(sk.rank(st, 5000.0) - 0.5) < 0.03
+
+
+def test_tdigest_rank_inverse_of_quantile():
+    """rank_many is the CDF inverse of quantile_many: rank(quantile(q))
+    ~= q across the range, and ranks of true data quantiles land within
+    the published O(1/delta) error."""
+    import numpy as np
+
+    from fastbloom_spark.sketch import TDigestSketch
+
+    rng = np.random.default_rng(7)
+    xs = np.sort(rng.lognormal(0.0, 1.0, 50_000))
+    sk = TDigestSketch(delta=200)
+    st = sk.update(sk.empty(), xs)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est_v = sk.quantile(st, q)
+        assert abs(sk.rank(st, est_v) - q) < 0.02, q
+        true_v = float(np.quantile(xs, q))
+        assert abs(sk.rank(st, true_v) - q) < 0.02, q
+    # endpoints clamp
+    assert sk.rank(st, xs[0] - 1.0) <= 0.001
+    assert sk.rank(st, xs[-1] + 1.0) >= 0.999

@@ -23,7 +23,8 @@ def _register(spark):
                      "hll_estimate", "hll_intersect_estimate",
                      "hll_union_agg", "kll_merge_agg", "kll_quantile",
                      "kll_rank",
-                     "tdigest_merge_agg", "tdigest_quantile"]
+                     "tdigest_merge_agg", "tdigest_quantile",
+                     "tdigest_rank"]
 
 
 def test_sql_hll_estimate(spark, sf_dir):
@@ -601,25 +602,28 @@ def test_sql_index_filter_published(spark, sf_dir, tmp_path):
         spark.catalog.dropTempView("absent_digests")
 
 
-def test_sql_kll_rank(spark, sf_dir):
-    """kll_rank is the inverse of kll_quantile from pure SQL: ranks of
-    exact quantile values land near their quantile, NULL in -> NULL out,
-    and rank(quantile(q)) round-trips within the sketch's error bound."""
+def test_sql_rank_functions(spark, sf_dir):
+    """kll_rank / tdigest_rank are the inverses of the quantile probes
+    from pure SQL: ranks of exact quantile values land near their
+    quantile, and NULL in -> NULL out."""
     import numpy as np
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     vals = np.sort(np.array(
         [r.c_acctbal for r in cust.select("c_acctbal").collect()]))
-    impl = KllSketch(k=200, seed=42)
-    sketch_agg(cust, [], "c_acctbal", impl) \
-        .createOrReplaceTempView("kll_rank_sketch")
-    for q in (0.25, 0.5, 0.9):
-        exact_q = float(np.quantile(vals, q))
-        got = spark.sql(
-            f"SELECT kll_rank(sketch, {exact_q}) AS r "
-            "FROM kll_rank_sketch").collect()[0].r
-        assert abs(got - q) < 3 * impl.relative_error() + 2 / len(vals), \
-            (q, got)
-    row = spark.sql("SELECT kll_rank(sketch, CAST(NULL AS DOUBLE)) AS r "
-                    "FROM kll_rank_sketch").collect()[0]
-    assert row.r is None
+    for impl, fn in [(KllSketch(k=200, seed=42), "kll_rank"),
+                     (TDigestSketch(delta=200), "tdigest_rank")]:
+        sketch_agg(cust, [], "c_acctbal", impl) \
+            .createOrReplaceTempView("rank_sketch")
+        eps = (3 * impl.relative_error() if hasattr(impl, "relative_error")
+               else 0.02)
+        for q in (0.25, 0.5, 0.9):
+            exact_q = float(np.quantile(vals, q))
+            got = spark.sql(
+                f"SELECT {fn}(sketch, {exact_q}) AS r "
+                "FROM rank_sketch").collect()[0].r
+            assert abs(got - q) < eps + 2 / len(vals), (fn, q, got)
+        row = spark.sql(
+            f"SELECT {fn}(sketch, CAST(NULL AS DOUBLE)) AS r "
+            "FROM rank_sketch").collect()[0]
+        assert row.r is None
