@@ -336,16 +336,19 @@ def minhash_dedup(
                                          shingle_n=shingle_n,
                                          num_perm=num_perm, bands=bands,
                                          seed=seed)
-    pairs = ngram_jaccard_pairs(
-        candidates, df, id_col, text_col, shingle_n=shingle_n,
-        threshold=threshold)
-    comp = connected_min_ids(pairs.select("id_a", "id_b"),
-                             max_rounds=max_rounds)
-    # connected_min_ids materialized the verified pairs into checkpointed
-    # label frames, so the LSH candidate cache (persisted inside
-    # ngram_jaccard_pairs) is no longer referenced — release it instead of
-    # leaking cached partitions across repeated dedups in one session
-    candidates.unpersist()
+    try:
+        pairs = ngram_jaccard_pairs(
+            candidates, df, id_col, text_col, shingle_n=shingle_n,
+            threshold=threshold)
+        comp = connected_min_ids(pairs.select("id_a", "id_b"),
+                                 max_rounds=max_rounds)
+    finally:
+        # connected_min_ids materialized the verified pairs into
+        # checkpointed label frames, so the LSH candidate cache (persisted
+        # inside ngram_jaccard_pairs) is no longer referenced — release it
+        # even when the fixpoint raises (a retrying session must not
+        # accumulate cached partitions)
+        candidates.unpersist()
     losers = comp.filter(F.col("label") != F.col("id")) \
         .select(F.col("id").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")

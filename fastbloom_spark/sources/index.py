@@ -242,7 +242,7 @@ def _check_index_fresh(index_pdf: pd.DataFrame, spark: SparkSession,
             "append (data written, index publish lost) or a concurrent "
             "writer. Pruning would silently skip rows the filters never "
             "saw; re-run append_to_indexed_table's index rebuild or "
-            "compact_indexed_table, or read {path}/data directly.")
+            f"compact_indexed_table, or read {path}/data directly.")
 
 
 def _digest_stack(df: DataFrame, cols: Sequence[str], cfg: BloomConfig,
@@ -468,6 +468,12 @@ def index_parquet_files(
         .write.mode(mode).parquet(index_path)
 
 
+def _check_standalone_fresh(spark: SparkSession, data_path: str,
+                            index_pdf: pd.DataFrame, what: str) -> None:
+    _check_file_set(index_pdf[FILE_COL].unique(),
+                    spark.read.parquet(data_path).inputFiles(), what)
+
+
 #: row-group index columns
 RG_COL = "row_group"
 
@@ -549,6 +555,32 @@ def _build_rg_index_rows(spark: SparkSession, data_path: str,
                      cfg, digest_precomputed=True, strategy="partial")
 
 
+def _check_file_set(index_files, current_files, what: str) -> None:
+    """Staleness witness for standalone file/row-group indexes: the
+    sidecar lists exactly the files it covers, so a listing-only compare
+    catches appends the index never saw (silent false negatives
+    otherwise) and indexed files that vanished."""
+    idx = {_norm_file(str(f)) for f in index_files}
+    cur = {_norm_file(str(f)) for f in current_files}
+    if idx != cur:
+        extra = sorted(cur - idx)
+        gone = sorted(idx - cur)
+        raise ValueError(
+            f"{what} index is STALE: {len(extra)} data file(s) the index "
+            f"never saw (e.g. {extra[:2]}) and {len(gone)} indexed "
+            f"file(s) no longer present (e.g. {gone[:2]}) — pruning would "
+            "silently lose rows; rebuild the index over the current "
+            "files, or pass verify_files=False for forensics")
+
+
+def _rg_cfg_from_row(row) -> BloomConfig:
+    """Self-describing sketch geometry of one rg-sidecar row."""
+    return BloomConfig(num_bits=int(row["m"]), num_hashes=int(row["k"]),
+                       seed=int(row["seed"]) & ((1 << 64) - 1),
+                       layout=str(row["layout"]),
+                       digest=str(row["digest"]))
+
+
 def _rg_dir(bloom_dir: str) -> str | None:
     """rgbloom sidecar dir of a resolved version; None for the legacy
     in-place layout (row-group sidecars are versioned-layout-only)."""
@@ -562,13 +594,15 @@ def index_parquet_row_groups(
     data_path: str,
     index_path: str,
     *,
-    index_col: str,
+    index_col: str | Sequence[str],
     cfg: BloomConfig,
     mode: str = "overwrite",
 ) -> None:
     """Row-group-granularity skip index over an EXISTING parquet table —
-    one Bloom sketch per (file, row group), the ClickHouse-granule /
-    native-parquet-bloom analogue one level below :func:`index_parquet_files`.
+    one Bloom sketch per (file, row group, indexed column), the
+    ClickHouse-granule / native-parquet-bloom analogue one level below
+    :func:`index_parquet_files`; pass a column list to index several in
+    the same scan.
 
     Build is one data scan, all JVM/Arrow-side: row groups are recovered
     by joining the scan's ``_metadata.row_index`` against a broadcast of
@@ -590,22 +624,8 @@ def index_parquet_row_groups(
             f"digest {cfg.digest!r} cannot back a skip index: pruned reads "
             "recompute probe digests on the driver (probe_digests) — "
             "index with 'sha256' or 'xxh64'")
-    files = spark.read.parquet(data_path).inputFiles()
-    bounds = _rg_boundaries(spark, files) \
-        .withColumnRenamed("file_path", "__bfile")
-    data = spark.read.parquet(data_path).select(
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-        .alias(FILE_COL),
-        F.col("_metadata.row_index").alias("__ri"),
-        F.col(index_col))
-    rg = (F.size(F.filter(
-        "bounds", lambda b: b <= F.col("__ri"))) - 1).cast("int")
-    keyed = data.join(F.broadcast(bounds),
-                      data[FILE_COL] == bounds["__bfile"]) \
-        .select(FILE_COL, rg.alias(RG_COL), index_col)
-    index = bloom_agg(keyed, [FILE_COL, RG_COL], index_col, cfg,
-                      strategy="partial") \
-        .withColumn("index_col", F.lit(index_col))
+    cols = [index_col] if isinstance(index_col, str) else list(index_col)
+    index = _build_rg_index_rows(spark, data_path, cols, cfg)
     _meta_cols(index, num_buckets=0, bucket_source=FILE_COL) \
         .write.mode(mode).parquet(index_path)
 
@@ -618,6 +638,7 @@ def pruned_read_row_groups(
     *,
     on: str | None = None,
     exact: bool = True,
+    verify_files: bool = True,
 ) -> tuple[DataFrame, PruneStats]:
     """Point-lookup scan OPENING only surviving row groups.
 
@@ -638,6 +659,11 @@ def pruned_read_row_groups(
     index_pdf = read_index(spark, index_path)
     if not len(index_pdf):
         raise ValueError(f"empty row-group index at {index_path}")
+    if verify_files:
+        # parquet files are immutable, so a file-set compare is a
+        # complete staleness witness at this granularity too (appends
+        # create files, never new row groups inside existing ones)
+        _check_standalone_fresh(spark, data_path, index_pdf, "row-group")
     index_col = _select_index_col(index_pdf, on)
     index_pdf = index_pdf[index_pdf["index_col"] == index_col]
     digest = str(index_pdf["digest"].iloc[0])
@@ -681,6 +707,28 @@ def _read_row_group_slices(spark: SparkSession, schema,
     slices = slices.repartition(
         min(len(survivors), spark.sparkContext.defaultParallelism))
 
+    def _part_val(raw: str, atype):
+        import datetime
+
+        import pyarrow as pa
+
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        if pa.types.is_integer(atype):
+            return int(raw)
+        if pa.types.is_floating(atype):
+            return float(raw)
+        if pa.types.is_boolean(atype):
+            return raw.lower() == "true"
+        if pa.types.is_date(atype):
+            return datetime.date.fromisoformat(raw)
+        if pa.types.is_string(atype) or pa.types.is_large_string(atype):
+            return raw
+        raise ValueError(
+            f"unsupported hive partition column type {atype} for "
+            "row-group slice reads — supported: integer, floating, "
+            "boolean, date, string")
+
     def read_slices(batches):
         import urllib.parse
 
@@ -697,8 +745,7 @@ def _read_row_group_slices(spark: SparkSession, schema,
                         for seg in f.split("/") if "=" in seg)
                     for name, atype in part_fields:
                         raw = urllib.parse.unquote(seg_vals[name])
-                        val = (int(raw) if pa.types.is_integer(atype)
-                               else raw)
+                        val = _part_val(raw, atype)
                         tbl = tbl.append_column(
                             pa.field(name, atype),
                             pa.array([val] * tbl.num_rows, type=atype))
@@ -741,9 +788,17 @@ def rowgroup_zone_stats(spark: SparkSession, data_path: str,
                                  st.min if ok else None,
                                  st.max if ok else None,
                                  rg.num_rows, ok))
-            yield pd.DataFrame(rows, columns=[
+            pdf = pd.DataFrame(rows, columns=[
                 "file_path", "row_group", "vmin", "vmax", "n_rows",
                 "has_stats"])
+            # vmin/vmax MUST stay object dtype: one stats-less granule in
+            # a batch would otherwise coerce an int64 column to float64,
+            # silently rounding values above 2^53 (Arrow converts object
+            # python ints exactly; float64 would not)
+            for c in ("vmin", "vmax"):
+                pdf[c] = pd.Series([r[2 if c == "vmin" else 3]
+                                    for r in rows], dtype=object)
+            yield pdf
 
     return fdf.mapInPandas(
         scan, f"file_path string, row_group int, vmin {dt}, vmax {dt}, "
@@ -851,9 +906,10 @@ class IndexHandle:
     re-hydrate the KB-scale index parquet on EVERY call — at bench scale
     the index load IS the lookup cost (~0.2 s vs microseconds of numpy for
     the probe). A handle pays that load exactly once: construction resolves
-    the current committed version, collects the index rows, verifies the
-    data-file fingerprint, and hydrates every per-bucket filter; each
-    subsequent lookup is pure numpy plus the pruned Spark scan.
+    the current committed version, collects the index rows, and verifies
+    the data-file fingerprint; per-column filters hydrate on first probe
+    and are cached, so each subsequent lookup is pure numpy plus the
+    pruned Spark scan.
 
     Consistency: the handle PINS the version it resolved — lookups keep
     using one coherent (bloom, zones, rgbloom) set even while appends
@@ -874,14 +930,14 @@ class IndexHandle:
         if verify_files:
             _check_index_fresh(self._index_pdf, spark, path)
         self.meta = _read_index_meta(self._index_pdf)
-        # hydrate ONCE: (index_col) -> [(bucket_key, BloomFilter), ...]
+        self._digest: dict[str, str] = {
+            str(icol): str(grp["digest"].iloc[0])
+            for icol, grp in self._index_pdf.groupby("index_col",
+                                                     sort=True)}
+        # filters hydrate lazily PER COLUMN on first probe and are cached
+        # — a range-only or single-column workload over a wide
+        # multi-column index never pays hydration for the others
         self._filters: dict[str, list] = {}
-        self._digest: dict[str, str] = {}
-        for icol, grp in self._index_pdf.groupby("index_col", sort=True):
-            self._digest[str(icol)] = str(grp["digest"].iloc[0])
-            self._filters[str(icol)] = [
-                (row[1][BUCKET_COL], sketch_row_to_filter(_RowView(row[1])))
-                for row in grp.iterrows()]
         self._zones_cache: dict[str, list] = {}
         self._union_cache: dict[str, object] = {}
         self._data_df: DataFrame | None = None
@@ -898,19 +954,29 @@ class IndexHandle:
 
     # -- probing ---------------------------------------------------------
 
+    def _filters_for(self, icol: str) -> list:
+        if icol not in self._filters:
+            grp = self._index_pdf[self._index_pdf["index_col"] == icol]
+            self._filters[icol] = [
+                (row[1][BUCKET_COL],
+                 sketch_row_to_filter(_RowView(row[1])))
+                for row in grp.iterrows()]
+        return self._filters[icol]
+
     def prune(self, probe_values: Sequence, *, on: str | None = None,
               digests: Sequence[int] | None = None) -> PruneStats:
         """Driver-side prune decision: pure numpy over the hydrated
         filters, zero Spark jobs. ``digests`` overrides the driver-side
         digest64 for callers probing pre-digested values."""
         icol = _select_index_col(self._index_pdf, on)
+        filters = self._filters_for(icol)
         digs = (list(digests) if digests is not None
                 else probe_digests(probe_values, self._digest[icol]))
-        survivors = [str(key) for key, filt in self._filters[icol]
+        survivors = [str(key) for key, filt in filters
                      if len(digs) and bool(
                          filt.contains_digests(digs).any())]
         return PruneStats(granularity="partition",
-                          units_total=len(self._filters[icol]),
+                          units_total=len(filters),
                           units_survived=len(survivors),
                           survivors=tuple(sorted(survivors)))
 
@@ -1024,10 +1090,13 @@ class IndexHandle:
         icol = _select_index_col(self._index_pdf, on)
         if icol not in self._union_cache:
             filt = None
-            for _, f in self._filters[icol]:
+            for _, f in self._filters_for(icol):
                 filt = f.copy() if filt is None else filt.union(f)
             self._union_cache[icol] = filt
-        return self._union_cache[icol]
+        # COPY out: BloomFilter.union/intersect/insert mutate in place —
+        # handing back the cached object would let a caller silently
+        # corrupt every later union_filter() result (false negatives)
+        return self._union_cache[icol].copy()
 
 
 class _RowView:
@@ -1082,13 +1151,19 @@ def pruned_read_files(
     *,
     on: str | None = None,
     exact: bool = True,
+    verify_files: bool = True,
 ) -> tuple[DataFrame, PruneStats]:
     """File-granularity variant: survivors become the explicit read-path
     list, so the scan's input is exactly the surviving files. ``on``
-    names the probed column when the index covers several."""
+    names the probed column when the index covers several.
+    ``verify_files`` (default on) compares the sidecar's covered file set
+    against the live listing and refuses a stale index (files appended
+    after the index build would otherwise be silently skipped)."""
     index_pdf = read_index(spark, index_path)
     if not len(index_pdf):
         raise ValueError(f"empty bloom index at {index_path}")
+    if verify_files:
+        _check_standalone_fresh(spark, data_path, index_pdf, "per-file")
     index_col = _select_index_col(index_pdf, on)
     index_pdf = index_pdf[index_pdf["index_col"] == index_col]
     digest = str(index_pdf["digest"].iloc[0])
@@ -1218,12 +1293,8 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
         fs, rgp = _hadoop_fs(spark, rgdir)
         if fs.exists(rgp):
             old_rg = spark.read.parquet(rgdir)
-            first = old_rg.select("m", "k", "seed", "layout",
-                                  "digest").first()
-            rg_cfg = BloomConfig(
-                num_bits=int(first["m"]), num_hashes=int(first["k"]),
-                seed=int(first["seed"]) & ((1 << 64) - 1),
-                layout=str(first["layout"]), digest=str(first["digest"]))
+            rg_cfg = _rg_cfg_from_row(old_rg.select(
+                "m", "k", "seed", "layout", "digest").first())
             new_rg = _build_rg_index_rows(
                 spark, f"{path}/data", list(meta.cols), rg_cfg,
                 files=new_files, base_path=f"{path}/data")
@@ -1310,11 +1381,39 @@ def pruned_range_read(
     non-overlapping bucket. ``exact=True`` finishes with the BETWEEN
     filter (pushed into the parquet scan of the surviving buckets).
 
-    Bloom meta and zones resolve from ONE committed index version (the
-    handle pins it), so a concurrent append can never pair fresh zones
-    with stale filters or vice versa."""
-    return IndexHandle(spark, path).pruned_range_read(col, lo, hi,
-                                                      exact=exact)
+    Bloom meta and zones resolve from ONE committed index version, so a
+    concurrent append can never pair fresh zones with stale filters or
+    vice versa. Deliberately LIGHTWEIGHT: a range read needs zone rows
+    and row-0 meta only, so this path reads the index WITHOUT the sketch
+    payloads (_read_meta_pdf exists for exactly this) and hydrates no
+    Bloom filters — use an :class:`IndexHandle` when mixing ranges with
+    point probes."""
+    bloom_dir, zones_dir = _resolve_index_root(spark, path)
+    meta_pdf = _read_meta_pdf(spark, bloom_dir)
+    _check_index_fresh(meta_pdf, spark, path)
+    meta = _read_index_meta(meta_pdf)
+    if col not in meta.zone_cols:
+        raise ValueError(
+            f"no zone map for column {col!r} (indexed zone_cols: "
+            f"{list(meta.zone_cols)}) — pass zone_cols=[...] to "
+            "write_indexed_table")
+    # collect, not toPandas: zone values must stay py4j-native (an
+    # all-NULL bucket would float64-corrupt an int64 zone column)
+    zones = spark.read.parquet(f"{zones_dir}/{col}").collect()
+    surv = [r for r in zones
+            if r["vmin"] is not None and r["vmax"] >= lo
+            and r["vmin"] <= hi]
+    stats = PruneStats(granularity="partition",
+                       units_total=len(zones),
+                       units_survived=len(surv),
+                       survivors=tuple(sorted(
+                           str(int(r[BUCKET_COL])) for r in surv)))
+    df = spark.read.parquet(f"{path}/data").filter(
+        F.col(BUCKET_COL).isin(
+            [int(s) for s in stats.survivors] or [-1]))
+    if exact:
+        df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    return df, stats
 
 
 def describe_index(spark: SparkSession, path: str) -> pd.DataFrame:
@@ -1404,12 +1503,8 @@ def compact_indexed_table(
     if rgdir is not None:
         fs, rgp = _hadoop_fs(spark, rgdir)
         if fs.exists(rgp):
-            first = spark.read.parquet(rgdir).select(
-                "m", "k", "seed", "layout", "digest").first()
-            rg_cfg = BloomConfig(
-                num_bits=int(first["m"]), num_hashes=int(first["k"]),
-                seed=int(first["seed"]) & ((1 << 64) - 1),
-                layout=str(first["layout"]), digest=str(first["digest"]))
+            rg_cfg = _rg_cfg_from_row(spark.read.parquet(rgdir).select(
+                "m", "k", "seed", "layout", "digest").first())
             rg_rows = _build_rg_index_rows(spark, f"{path}/data",
                                            list(meta.cols), rg_cfg)
 

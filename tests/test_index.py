@@ -738,7 +738,12 @@ def test_index_handle_union_filter_and_zones(spark, docs, tmp_path):
         zone_cols=["doc_id"])
     handle = IndexHandle(spark, path)
     assert handle.union_filter() == index_filter(spark, path)
-    assert handle.union_filter() is handle.union_filter()  # cached
+    # cached but NOT aliased: mutating a returned filter must not corrupt
+    # later results (BloomFilter.union/intersect mutate in place)
+    u = handle.union_filter()
+    assert u is not handle.union_filter()
+    u.clear()
+    assert handle.union_filter() == index_filter(spark, path)
     got_h, st_h = handle.pruned_range_read("doc_id", 100, 160)
     got_m, st_m = pruned_range_read(spark, path, "doc_id", 100, 160)
     assert st_h == st_m
@@ -1010,3 +1015,65 @@ def test_file_index_multi_column(spark, docs, tmp_path):
     assert got_s.count() == docs.filter(F.col("source") == src).count()
     with pytest.raises(ValueError, match="pass on="):
         pruned_read_files(spark, data, idx, probes)
+
+
+def test_standalone_file_and_rg_index_refuse_stale(spark, docs, tmp_path):
+    """Files appended AFTER a standalone per-file / per-row-group index
+    was built are caught by the file-set witness: pruned reads refuse
+    loudly instead of silently skipping the new files' rows."""
+    from fastbloom_spark.sources import (index_parquet_row_groups,
+                                         pruned_read_row_groups)
+
+    data = str(tmp_path / "stale_rg_data")
+    docs.filter("doc_id < 400").repartition(2).write.parquet(data)
+    fidx = str(tmp_path / "stale_fidx")
+    rgidx = str(tmp_path / "stale_rgidx")
+    index_parquet_files(spark, data, fidx, index_col="text", cfg=CFG)
+    index_parquet_row_groups(spark, data, rgidx, index_col="text", cfg=CFG)
+    probes = member_texts(docs, 2)
+    pruned_read_files(spark, data, fidx, probes)          # fresh: fine
+    pruned_read_row_groups(spark, data, rgidx, probes)    # fresh: fine
+
+    docs.filter("doc_id >= 400").repartition(1) \
+        .write.mode("append").parquet(data)
+    with pytest.raises(ValueError, match="STALE"):
+        pruned_read_files(spark, data, fidx, probes)
+    with pytest.raises(ValueError, match="STALE"):
+        pruned_read_row_groups(spark, data, rgidx, probes)
+    # forensics escape hatch still reads (over the indexed files only)
+    pruned_read_files(spark, data, fidx, probes, verify_files=False)
+    pruned_read_row_groups(spark, data, rgidx, probes, verify_files=False)
+
+
+def test_rowgroup_zone_stats_exact_above_2p53(spark, tmp_path):
+    """Footer min/max of an int64 column survive EXACTLY even when a
+    stats-less (all-NULL) granule shares the batch — the pandas float64
+    coercion would round values above 2^53 and break zero-FN range
+    pruning."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastbloom_spark.sources import (pruned_range_read_row_groups,
+                                         rowgroup_zone_stats)
+
+    d = str(tmp_path / "bigrg")
+    os.makedirs(d)
+    big = (1 << 53) + 1
+    tbl = pa.table({"big": pa.array(
+        [big + i for i in range(100)] + [None] * 100, type=pa.int64())})
+    pq.write_table(tbl, f"{d}/part-0.parquet", row_group_size=100)
+    rows = {int(r["row_group"]): r
+            for r in rowgroup_zone_stats(spark, d, "big").collect()}
+    assert rows[0]["has_stats"] and int(rows[0]["vmin"]) == big
+    assert int(rows[0]["vmax"]) == big + 99
+    assert not rows[1]["has_stats"]  # all-NULL granule
+
+    # zero-FN: a range just above the boundary keeps the exact rows; the
+    # stats-less granule survives unconditionally
+    got, stats = pruned_range_read_row_groups(spark, d, "big",
+                                              big, big + 4)
+    assert sorted(r.big for r in got.collect()) == [big + i
+                                                    for i in range(5)]
+    assert stats.units_survived == 2  # its granule + the stats-less one
