@@ -338,12 +338,45 @@ def words_to_bytes(words: np.ndarray) -> bytes:
     return words.astype("<u8", copy=False).tobytes()
 
 
-def words_from_bytes(buf: bytes) -> np.ndarray:
+def words_from_bytes(buf: bytes, copy: bool = True) -> np.ndarray:
     """Rehydrate a bit vector (the reference's ``from_vec``,
-    ``src/lib.rs:148-150``)."""
+    ``src/lib.rs:148-150``). ``copy=False`` returns a READ-ONLY view over
+    the buffer — the probe hot paths only read, and copying a multi-MB
+    broadcast filter once per Arrow batch is pure waste."""
     if len(buf) == 0 or len(buf) % 8 != 0:
         raise ValueError("sketch byte buffer must be a non-empty multiple of 8")
-    return np.frombuffer(buf, dtype="<u8").astype(U64, copy=True)
+    arr = np.frombuffer(buf, dtype="<u8")
+    return arr.astype(U64, copy=True) if copy else arr.view(U64)
+
+
+def signed64(x: int) -> int:
+    """Two's-complement rendering of a u64 for a Spark LONG column."""
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def exact_int64(series, what: str) -> "np.ndarray":
+    """int64 values of a semantically-long pandas column, refusing silent
+    precision loss: Spark ships a NULLABLE long column to Arrow/pandas as
+    float64, which destroys the low bits of any value >= 2^53 BEFORE user
+    code runs (full-range digests/seeds would probe or insert wrong bits
+    -> silent false negatives). int64 batches pass through; float batches
+    are accepted only when every value survives the float round-trip
+    exactly; NaN (a NULL row) in a float batch is unrecoverable for its
+    NEIGHBORS too, so the caller must filter NULLs upstream."""
+    dt = str(series.dtype)
+    if dt == "int64":
+        return series.to_numpy(np.int64, copy=False)
+    if dt == "Int64":
+        return series.astype(np.int64).to_numpy(np.int64, copy=False)
+    f = series.to_numpy(np.float64, copy=False)
+    if np.any(np.isnan(f)) or np.any(np.abs(f) >= 2.0 ** 53):
+        raise ValueError(
+            f"{what} reached the kernel as float64 (NULLs present or "
+            "values beyond 2^53): Spark converts nullable LONG columns "
+            "to float64 for pandas, corrupting 64-bit digests before any "
+            "code runs. Filter NULL values/digests out upstream so the "
+            "column stays int64.")
+    return f.astype(np.int64)
 
 
 _TAG_RAW = b"R"

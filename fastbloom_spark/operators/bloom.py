@@ -38,7 +38,9 @@ from ..kernel import (
     contains_hashes,
     decode_words,
     encode_words,
+    exact_int64,
     insert_hashes,
+    signed64,
     source_hash,
     words_from_bytes,
 )
@@ -55,7 +57,40 @@ def _key_schema(df: DataFrame, key_cols: Sequence[str]) -> str:
 
 
 def _digests_to_u64(series: pd.Series) -> np.ndarray:
-    return series.to_numpy(dtype=np.int64, copy=False).view(U64)
+    # exact_int64 (not a blind cast): one NULL in the column would have
+    # turned the whole Arrow batch float64, corrupting every digest above
+    # 2^53 BEFORE this code runs — refuse loudly (the build funnels filter
+    # NULL digests out, so this only fires on raw bloom_partials misuse)
+    return exact_int64(series, "bloom digest column").view(U64)
+
+
+def _prepare_digests(df: DataFrame, keys: list, value_col, cfg,
+                     digest_precomputed: bool) -> DataFrame:
+    """(keys..., __digest64) rows with NULL VALUES dropped BEFORE the
+    digest is computed and BEFORE the Arrow transfer: one NULL would turn
+    the long batch float64 in pandas, silently corrupting every digest
+    >= 2^53 (kernel.exact_int64). The filter runs on the RAW column —
+    filtering on the computed digest would make Catalyst evaluate the
+    digest expression twice (once in Filter, once in Project: a measured
+    ~2x on sha256-dominated builds) and xxh64 hashes NULL to a non-null
+    constant anyway. NULL-in -> NULL-out: a NULL is never a member, so
+    zero-FN for real values is unaffected; rows_seen counts VALUES
+    folded."""
+    if digest_precomputed and isinstance(value_col, str):
+        return df.filter(F.col(value_col).isNotNull())             .select(*keys, F.col(value_col).alias("__digest64"))
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    return df.filter(col.isNotNull())         .select(*keys, digest64(col, cfg.digest).alias("__digest64"))
+
+
+def _norm_key_vals(key_vals: tuple) -> tuple:
+    """Canonicalize pandas group keys: a NULL numeric key arrives as a
+    FRESH float NaN object per batch, and NaN != NaN, so an accumulator
+    keyed on the raw tuple would fragment one logical key into one entry
+    per batch (partial sketches emitted twice for the same key). Map NaN
+    -> None so the dict key is stable and the emitted row is a real
+    SQL NULL."""
+    return tuple(None if (isinstance(v, float) and v != v) else v
+                 for v in key_vals)
 
 
 def bloom_partials(
@@ -90,7 +125,7 @@ def bloom_partials(
     m, k, seed = cfg.num_bits, cfg.num_hashes, cfg.seed
     num_words, layout = cfg.num_words, cfg.layout
     digest_kind = cfg.digest
-    seed_signed = seed - (1 << 64) if seed >= (1 << 63) else seed
+    seed_signed = signed64(seed)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time
@@ -122,7 +157,7 @@ def bloom_partials(
                                                  dropna=False).indices.items():
                     if not isinstance(key_vals, tuple):
                         key_vals = (key_vals,)
-                    fold(key_vals, hashes_all[idx])
+                    fold(_norm_key_vals(key_vals), hashes_all[idx])
         if not acc:
             return
         build_ms = (time.perf_counter() - t_start) * 1000.0
@@ -310,19 +345,20 @@ def bloom_agg(
     ≤ salt sketch rows (m/8 B each) per key through the merge.
     """
     keys = list(key_cols)
-    if digest_precomputed and isinstance(value_col, str):
-        prepared = df.select(*keys, F.col(value_col).alias("__digest64"))
-    else:
-        col = F.col(value_col) if isinstance(value_col, str) else value_col
-        prepared = df.select(*keys,
-                             digest64(col, cfg.digest).alias("__digest64"))
+    prepared = _prepare_digests(df, keys, value_col, cfg,
+                                digest_precomputed)
 
     if strategy == "auto" and keys:
         n_keys = distinct_keys_hint
         if n_keys is None:
             n_keys = prepared.select(*keys).distinct().count()
         p_in = prepared.rdd.getNumPartitions()
-        inflation = min(n_keys, p_in) * p_in * cfg.num_words * 8
+        # UPPER bound on partial volume: every partition can contain up to
+        # n_keys distinct keys (min(n_keys, P) underestimated by n_keys/P
+        # for high-cardinality keys and could never pick shuffle for small
+        # sketches). Overestimating only flips to "shuffle", whose cost is
+        # a safe 16 B/row digest shuffle.
+        inflation = n_keys * p_in * cfg.num_words * 8
         strategy = "shuffle" if inflation > (1 << 30) else "partial"
     elif strategy == "auto":
         strategy = "partial"
@@ -366,7 +402,7 @@ def _bloom_agg_shuffled(
     m, k, seed = cfg.num_bits, cfg.num_hashes, cfg.seed
     num_words, layout = cfg.num_words, cfg.layout
     digest_kind = cfg.digest
-    seed_signed = seed - (1 << 64) if seed >= (1 << 63) else seed
+    seed_signed = signed64(seed)
 
     def build_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, tuple[np.ndarray, int]] = {}
@@ -376,6 +412,7 @@ def _bloom_agg_shuffled(
                                              dropna=False).indices.items():
                 if not isinstance(key_vals, tuple):
                     key_vals = (key_vals,)
+                key_vals = _norm_key_vals(key_vals)
                 words, seen = acc.setdefault(
                     key_vals, (np.zeros(num_words, dtype=U64), 0))
                 insert_hashes(words, hashes_all[idx], k, layout)
@@ -416,7 +453,12 @@ def bloom_rollup(
     finest = bloom_agg(df, keys, value_col, cfg,
                        digest_precomputed=digest_precomputed, fanin=fanin,
                        distinct_keys_hint=distinct_keys_hint)
-    finest = finest.persist()
+    # eager localCheckpoint per level (sketch-row-sized frames): each
+    # coarser level reads the MATERIALIZED level below instead of
+    # re-executing every intermediate merge through lineage (O(n^2)
+    # stages), and nothing stays persisted past the call (a bare persist
+    # here leaked cached partitions for the session lifetime)
+    finest = finest.localCheckpoint(eager=True)
     levels = [finest.withColumn("rollup_level", F.lit(len(keys)))]
     current = finest
     for level in range(len(keys) - 1, -1, -1):
@@ -426,7 +468,8 @@ def bloom_rollup(
         key_schema = _key_schema(finest, coarser_keys)
         merged = grouped.applyInPandas(
             _merge_fn(coarser_keys),
-            (key_schema + ", " if key_schema else "") + SKETCH_FIELDS)
+            (key_schema + ", " if key_schema else "") + SKETCH_FIELDS) \
+            .localCheckpoint(eager=True)
         current = merged
         padded = merged
         for k_name in keys[level:]:
@@ -479,11 +522,8 @@ def bloom_build(
         cfg = BloomConfig.from_false_pos(fp, expected_items=max(n_hint, 1),
                                          seed=seed, digest=digest)
 
-    if digest_precomputed and isinstance(value_col, str):
-        prepared = df.select(F.col(value_col).alias("__digest64"))
-    else:
-        col = F.col(value_col) if isinstance(value_col, str) else value_col
-        prepared = df.select(digest64(col, cfg.digest).alias("__digest64"))
+    prepared = _prepare_digests(df, [], value_col, cfg,
+                                digest_precomputed)
 
     # plan parallelism + merge topology (see plans/planner.py for the model)
     from ..plans import plan_bloom_build
@@ -543,6 +583,26 @@ def sketch_row_to_filter(row) -> BloomFilter:
                        rows_seen=int(row.rows_seen))
 
 
+def _broadcast_probe_udf(spark: SparkSession, bloom: BloomFilter):
+    """The ONE broadcast-probe closure behind bloom_contains_col AND
+    register_bloom_sql: words ship once per executor and are viewed
+    zero-copy per batch (copying a multi-MB filter per batch is pure
+    waste). NULL digests must be filtered UPSTREAM: one NULL converts the
+    whole Arrow batch to float64, corrupting every digest >= 2^53 before
+    any code runs — the guard refuses such batches loudly instead of
+    probing wrong bits (bloom_semi_join pre-filters its probe keys)."""
+    words_bc = spark.sparkContext.broadcast(bloom.to_bytes())
+    k, seed, layout = bloom.num_hashes, bloom.seed, bloom.config.layout
+
+    @F.pandas_udf(BooleanType())
+    def probe(digests: pd.Series) -> pd.Series:
+        words = words_from_bytes(words_bc.value, copy=False)
+        hashes = source_hash(_digests_to_u64(digests), seed)
+        return pd.Series(contains_hashes(words, hashes, k, layout))
+
+    return probe
+
+
 def bloom_contains_col(
     spark: SparkSession,
     bloom: BloomFilter,
@@ -550,33 +610,18 @@ def bloom_contains_col(
 ) -> Column:
     """Boolean probe column: vectorized membership test against a broadcast
     filter. ``digest_col`` must be a digest64 (long) column — compose with
-    :func:`digest64` for raw values."""
-    words_bc = spark.sparkContext.broadcast(bloom.to_bytes())
-    k, seed, layout = bloom.num_hashes, bloom.seed, bloom.config.layout
-
-    @F.pandas_udf(BooleanType())
-    def probe(digests: pd.Series) -> pd.Series:
-        words = words_from_bytes(words_bc.value)
-        hashes = source_hash(_digests_to_u64(digests), seed)
-        return pd.Series(contains_hashes(words, hashes, k, layout))
-
+    :func:`digest64` for raw values. Filter NULL digests upstream (one
+    NULL float64-corrupts the whole Arrow batch; the kernel refuses
+    loudly)."""
+    probe = _broadcast_probe_udf(spark, bloom)
     c = F.col(digest_col) if isinstance(digest_col, str) else digest_col
     return probe(c)
 
 
 def register_bloom_sql(spark: SparkSession, name: str, bloom: BloomFilter) -> str:
     """Register ``bloom_contains_<name>(digest64_col)`` for use from SQL."""
-    words_bc = spark.sparkContext.broadcast(bloom.to_bytes())
-    k, seed, layout = bloom.num_hashes, bloom.seed, bloom.config.layout
-
-    @F.pandas_udf(BooleanType())
-    def probe(digests: pd.Series) -> pd.Series:
-        words = words_from_bytes(words_bc.value)
-        hashes = source_hash(_digests_to_u64(digests), seed)
-        return pd.Series(contains_hashes(words, hashes, k, layout))
-
     fn_name = f"bloom_contains_{name}"
-    spark.udf.register(fn_name, probe)
+    spark.udf.register(fn_name, _broadcast_probe_udf(spark, bloom))
     return fn_name
 
 
@@ -637,7 +682,9 @@ def bloom_semi_join(
         bloom = bloom_build(
             right.select(F.col(right_on).alias("__key")), "__key",
             fp=fp, seed=seed, digest=digest, expected_items=expected_items)
-    pre = left.filter(
+    # NULL keys never match a semi-join (NULL = NULL is not true) and a
+    # NULL digest would float64-corrupt whole probe batches — drop first
+    pre = left.filter(F.col(left_on).isNotNull()).filter(
         bloom_contains_col(spark, bloom,
                            digest64(F.col(left_on), bloom.config.digest)))
     if not exact:

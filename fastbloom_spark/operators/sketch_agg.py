@@ -30,11 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.digest import digest64
-
-
-def _key_schema(df: DataFrame, key_cols: Sequence[str]) -> str:
-    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    return ", ".join(f"`{k}` {by_name[k]}" for k in key_cols)
+from ..kernel import exact_int64
+from .bloom import _key_schema, _norm_key_vals
 
 
 def _prepare(df: DataFrame, value_col: str | Column, impl,
@@ -45,12 +42,23 @@ def _prepare(df: DataFrame, value_col: str | Column, impl,
         val = val.cast("long")
     else:
         val = col.cast("double")
-    return df.select(*key_cols, val.alias("__value"))
+    # NULL values leave BEFORE the Arrow transfer: for digest sketches one
+    # NULL would turn the whole long batch float64 and corrupt digests
+    # above 2^53 (kernel.exact_int64); for double sketches the impls strip
+    # NaN anyway — filtering keeps rows_seen = values folded on both
+    # paths. Filter the RAW column, never the computed digest (Catalyst
+    # would evaluate the digest twice — Filter + Project — a measured ~2x
+    # on sha256 scans; and xxh64 hashes NULL to a non-null constant)
+    return df.filter(col.isNotNull()) \
+        .select(*key_cols, val.alias("__value"))
 
 
 def _values_np(series: pd.Series, impl) -> np.ndarray:
     if impl.input_kind == "digest":
-        return series.to_numpy(dtype=np.int64, copy=False)
+        # defensive: the _prepare funnel filters NULLs, so a float batch
+        # here means raw sketch_partials misuse — refuse loudly instead of
+        # silently truncating >2^53 digests
+        return exact_int64(series, "sketch digest column")
     return series.to_numpy(dtype=np.float64, copy=False)
 
 
@@ -84,6 +92,7 @@ def sketch_partials(
                         keys, sort=False, dropna=False).indices.items():
                     if not isinstance(key_vals, tuple):
                         key_vals = (key_vals,)
+                    key_vals = _norm_key_vals(key_vals)
                     state, seen = acc.setdefault(key_vals, (impl.empty(), 0))
                     acc[key_vals] = (impl.update(state, vals_all[idx]),
                                      seen + len(idx))
@@ -170,8 +179,15 @@ def sketch_agg(
         if n_keys is None:
             n_keys = df.select(*keys).distinct().count()
         p_in = df.rdd.getNumPartitions()
-        state_bytes = len(impl.serialize(impl.empty()))
-        inflation = min(n_keys, p_in) * p_in * max(state_bytes, 1)
+        # empty() serializes tiny for the compactor sketches while
+        # populated partials reach O(k) floats — floor the estimate at
+        # 4 KiB so the model reflects the states actually shuffled
+        state_bytes = max(len(impl.serialize(impl.empty())), 4096)
+        # UPPER bound: every partition can hold up to n_keys distinct
+        # keys (min(n_keys, P) undercounted by n_keys/P and could never
+        # pick shuffle for high-cardinality keys); overestimating only
+        # flips to "shuffle", a safe thin-row shuffle
+        inflation = n_keys * p_in * state_bytes
         strategy = "shuffle" if inflation > (1 << 30) else "partial"
     elif strategy == "auto":
         strategy = "partial"
@@ -219,6 +235,7 @@ def _sketch_agg_shuffled(prepared: DataFrame, keys: list[str], impl,
                                              dropna=False).indices.items():
                 if not isinstance(key_vals, tuple):
                     key_vals = (key_vals,)
+                key_vals = _norm_key_vals(key_vals)
                 state, seen = acc.setdefault(key_vals, (impl.empty(), 0))
                 acc[key_vals] = (impl.update(state, vals_all[idx]),
                                  seen + len(idx))
@@ -248,9 +265,12 @@ def sketch_rollup(
     — valid for every impl because merge is the aggregator's own associative
     combine (register max, counter add, centroid/compactor merge)."""
     keys = list(key_cols)
+    # eager localCheckpoint per level (KB-sized sketch frames): coarser
+    # levels read MATERIALIZED state instead of re-executing every merge
+    # through lineage, and nothing stays persisted past the call
     finest = sketch_agg(df, keys, value_col, impl,
                         digest_precomputed=digest_precomputed,
-                        fanin=fanin).persist()
+                        fanin=fanin).localCheckpoint(eager=True)
     dtype_of = dict(finest.dtypes)
     levels = [finest.withColumn("rollup_level", F.lit(len(keys)))]
     current = finest
@@ -261,7 +281,7 @@ def sketch_rollup(
         merged = grouped.applyInPandas(
             _merge_fn(impl, coarser),
             (key_schema + ", " if key_schema else "")
-            + "rows_seen long, sketch binary")
+            + "rows_seen long, sketch binary").localCheckpoint(eager=True)
         current = merged
         padded = merged
         for k_name in keys[level:]:

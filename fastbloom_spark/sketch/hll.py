@@ -6,12 +6,17 @@ is element-wise register max — associative, commutative, idempotent, so (like
 the Bloom union, fastbloom src/bit_vector.rs:98-104) the merged state is
 bitwise-identical for every partition order/merge tree.
 
-State layout (self-describing buffer): b"H", uint8 p, 2^p register bytes.
+State layout (self-describing buffer): b"H", uint8 p, uint64 seed LE,
+2^p register bytes — the seed travels in the header so merge surfaces can
+REFUSE mixing sketches built over different hash spaces (register max of
+differently-seeded states "succeeds" numerically but counts every item
+once per seed — silent inflation).
 """
 
 from __future__ import annotations
 
 import math
+import struct
 
 import numpy as np
 
@@ -102,11 +107,34 @@ class HllSketch:
 
     # -- serde ----------------------------------------------------------------
 
+    _HEADER = "<BBQ"
+
     def serialize(self, regs: np.ndarray) -> bytes:
-        return bytes([_MAGIC, self.p]) + regs.tobytes()
+        return struct.pack(self._HEADER, _MAGIC, self.p,
+                           self.seed & ((1 << 64) - 1)) + regs.tobytes()
 
     def deserialize(self, buf: bytes) -> np.ndarray:
         b = bytes(buf)
-        if b[0] != _MAGIC or b[1] != self.p or len(b) != 2 + self.m:
+        off = struct.calcsize(self._HEADER)
+        if len(b) < off:
             raise ValueError("not a compatible HLL buffer")
-        return np.frombuffer(b, dtype=np.uint8, offset=2).copy()
+        magic, p, seed = struct.unpack_from(self._HEADER, b, 0)
+        if magic != _MAGIC or p != self.p or len(b) != off + self.m:
+            raise ValueError("not a compatible HLL buffer")
+        if seed != self.seed & ((1 << 64) - 1):
+            raise ValueError(
+                f"HLL seed mismatch: buffer was built with seed {seed}, "
+                f"this sketch uses {self.seed} — merging or updating "
+                "across seeds would silently inflate estimates")
+        return np.frombuffer(b, dtype=np.uint8, offset=off).copy()
+
+    @classmethod
+    def from_buffer(cls, buf: bytes) -> tuple["HllSketch", np.ndarray]:
+        """(impl, registers) reconstructed from a self-describing buffer —
+        the consumer-side entry (SQL UDFs) that needs no prior config."""
+        b = bytes(buf)
+        magic, p, seed = struct.unpack_from(cls._HEADER, b, 0)
+        if magic != _MAGIC:
+            raise ValueError("not a compatible HLL buffer")
+        impl = cls(precision=p, seed=seed)
+        return impl, impl.deserialize(b)

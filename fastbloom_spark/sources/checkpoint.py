@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, BinaryType
 
 from ..config import BloomConfig
-from ..kernel import U64, decode_words
+from ..kernel import U64, decode_words, signed64
 from ..local import BloomFilter
 
 
@@ -145,7 +145,7 @@ def resume_bloom_agg(
 
     _require_explicit_seed(cfg, "resume_bloom_agg")
     keys = list(key_cols)
-    seed_signed = (cfg.seed - (1 << 64)) if cfg.seed >= (1 << 63) else cfg.seed
+    seed_signed = signed64(cfg.seed)
     ckpt = read_checkpoint(spark, checkpoint_path) \
         .filter(F.col("sketch_kind") == "bloom") \
         .filter(F.col("group_key") != "__global__") \
@@ -227,7 +227,7 @@ def resume_bloom_build(
     # seed probe false under this cfg, so a seed-mismatched checkpoint must
     # NOT be resumed (the local union() rejects seed mismatch for the same
     # reason). Parquet stores seed as signed int64 — convert cfg.seed.
-    seed_signed = (cfg.seed - (1 << 64)) if cfg.seed >= (1 << 63) else cfg.seed
+    seed_signed = signed64(cfg.seed)
     ckpt = read_checkpoint(spark, checkpoint_path) \
         .filter(F.col("sketch_kind") == "bloom") \
         .filter(F.col("group_key") == "__global__") \

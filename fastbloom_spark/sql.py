@@ -40,8 +40,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, DoubleType, LongType
 
-from .kernel import (contains_hashes, decode_words, source_hash,
-                     words_from_bytes)
+from .kernel import (contains_hashes, decode_words, exact_int64,
+                     source_hash, words_from_bytes)
 
 
 def _cached(fn):
@@ -65,27 +65,10 @@ def _valid_mask(*series: pd.Series) -> np.ndarray:
     return m
 
 
-def _exact_int64(series: pd.Series, what: str) -> np.ndarray:
-    """int64 values of a semantically-long column, refusing silent
-    precision loss: Spark ships a nullable long column to Arrow/pandas as
-    float64, which destroys the low bits of any value >= 2^53 BEFORE the
-    UDF runs (full-range digests/seeds would probe wrong bits -> silent
-    false negatives). Values below 2^53 survive the float round-trip
-    exactly and are accepted; anything larger in a float batch raises."""
-    dt = str(series.dtype)
-    if dt == "int64":
-        return series.to_numpy(np.int64, copy=False)
-    if dt == "Int64":
-        return series.astype(np.int64).to_numpy(np.int64, copy=False)
-    f = series.to_numpy(np.float64, copy=False)
-    if np.any(np.abs(f) >= 2.0 ** 53):
-        raise ValueError(
-            f"{what} reached this UDF as float64 with values beyond 2^53: "
-            "Spark converts nullable LONG columns to float64 for pandas "
-            "UDFs, corrupting 64-bit digests/seeds before the UDF runs. "
-            "Filter the NULL rows out before probing (inner join instead "
-            "of outer) so the column stays int64.")
-    return f.astype(np.int64)
+#: shared with the operator/streaming paths — see kernel.exact_int64
+#: (callers here mask NULL rows via _valid_mask BEFORE converting, so the
+#: NaN clause never fires on the valid subset)
+_exact_int64 = exact_int64
 
 
 def _exact_scalar_int(v, what: str) -> int:
@@ -131,7 +114,7 @@ def _make_bloom_probe_bc(registry: dict):
                         "publish_bloom_sql(spark, name, filter) on the "
                         "driver first")
                 bc, k, seed, layout = entry
-                words = words_from_bytes(bc.value)
+                words = words_from_bytes(bc.value, copy=False)
                 mask = codes == gi
                 h = source_hash(digs[mask], seed)
                 sub[mask] = contains_hashes(words, h, k, layout)
@@ -185,27 +168,32 @@ def unpublish_bloom_sql(spark: SparkSession, name: str) -> None:
 def register_sketch_sql(spark: SparkSession) -> list[str]:
     """Register all sketch SQL functions; returns their names."""
 
-    @F.pandas_udf(DoubleType())
-    def hll_estimate(sketch: pd.Series) -> pd.Series:
+    # hoisted: a cache defined inside a UDF body would be rebuilt every
+    # Arrow batch, re-deserializing the same buffer per batch
+    @_cached
+    def _load_hll(buf: bytes):
         from .sketch.hll import HllSketch
 
-        @_cached
-        def est(buf: bytes) -> float:
-            p = buf[1]
-            impl = HllSketch(precision=p)
-            return float(impl.estimate(impl.deserialize(buf)))
+        return HllSketch.from_buffer(buf)
 
+    @_cached
+    def _hll_est(buf: bytes) -> float:
+        impl, regs = _load_hll(buf)
+        return float(impl.estimate(regs))
+
+    @F.pandas_udf(DoubleType())
+    def hll_estimate(sketch: pd.Series) -> pd.Series:
         return sketch.map(
-            lambda b: np.nan if b is None else est(bytes(b)))
+            lambda b: np.nan if b is None else _hll_est(bytes(b)))
+
+    @_cached
+    def _load_cms(buf: bytes):
+        from .sketch.cms import CountMinSketch
+
+        return CountMinSketch.from_buffer(buf)
 
     @F.pandas_udf(LongType())
     def cms_estimate(sketch: pd.Series, digest: pd.Series) -> pd.Series:
-        from .sketch.cms import CountMinSketch
-
-        @_cached
-        def load(buf: bytes):
-            return CountMinSketch.from_buffer(buf)
-
         # Batch-vectorized: a probe table typically joins ONE sketch row
         # against many keys, so each Arrow batch holds few distinct buffers.
         # Group by buffer identity and query each group's digests as one
@@ -219,7 +207,7 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
             codes, uniques = pd.factorize(sketch[valid])
             digs = _exact_int64(digest[valid], "cms_estimate digest")
             for gi, buf in enumerate(uniques):
-                impl, counters = load(bytes(buf))
+                impl, counters = _load_cms(bytes(buf))
                 mask = codes == gi
                 sub[mask] = impl.query(counters, digs[mask])
             out[valid] = sub
@@ -294,22 +282,13 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
     tdigest_rank = _rank_udf(_load_tdigest)
     kll_rank = _rank_udf(_load_kll)
 
-    # hoisted like _load_tdigest/_load_kll: defining the cache inside the
-    # UDF body would rebuild it every Arrow batch
     @_cached
-    def _load_hll(buf: bytes):
-        from .sketch.hll import HllSketch
-
-        impl = HllSketch(precision=buf[1])
-        return impl, impl.deserialize(buf)
+    def _words_of(buf: bytes) -> np.ndarray:
+        return decode_words(buf)
 
     @F.pandas_udf(BooleanType())
     def bloom_probe(sketch: pd.Series, k: pd.Series, seed: pd.Series,
                     layout: pd.Series, digest: pd.Series) -> pd.Series:
-        @_cached
-        def words_of(buf: bytes) -> np.ndarray:
-            return decode_words(buf)
-
         # Batch-vectorized: group rows by distinct (sketch, k, seed, layout)
         # and run the kernel ONCE per group over all that group's digests —
         # a probe table joined against one sketch row costs one vectorized
@@ -331,7 +310,7 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
             codes, uniques = pd.factorize(key)
             digs = _exact_int64(digest[valid], "bloom_probe digest")
             for gi, (buf, kk, ss, lay) in enumerate(uniques):
-                words = words_of(bytes(buf))
+                words = _words_of(bytes(buf))
                 mask = codes == gi
                 seed_i = _exact_scalar_int(ss, "bloom_probe seed")
                 h = source_hash(digs[mask], seed_i & ((1 << 64) - 1))
@@ -348,8 +327,9 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
 
         out = []
         for a, b in zip(sketch_a, sketch_b):
-            out.append(encode_words(intersect_words(
-                decode_words(bytes(a)), decode_words(bytes(b)))))
+            out.append(None if a is None or b is None else
+                       encode_words(intersect_words(
+                           decode_words(bytes(a)), decode_words(bytes(b)))))
         return pd.Series(out)
 
     @F.pandas_udf("binary")
@@ -360,8 +340,9 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
 
         out = []
         for a, b in zip(sketch_a, sketch_b):
-            out.append(encode_words(union_words(
-                decode_words(bytes(a)), decode_words(bytes(b)))))
+            out.append(None if a is None or b is None else
+                       encode_words(union_words(
+                           decode_words(bytes(a)), decode_words(bytes(b)))))
         return pd.Series(out)
 
     @F.pandas_udf("binary")
@@ -375,6 +356,8 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
 
         acc = None
         for b in sketch:
+            if b is None:  # outer-join miss: skip like sum() skips NULLs
+                continue
             w = decode_words(bytes(b), copy=False)
             acc = w.copy() if acc is None else np.bitwise_or(acc, w, out=acc)
         # empty group (empty table aggregate) -> NULL, never an invalid buf
@@ -389,12 +372,15 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         impl = None
         acc = None
         for b in sketch:
-            buf = bytes(b)
+            if b is None:
+                continue
+            impl_b, state = HllSketch.from_buffer(bytes(b))
             if impl is None:
-                impl = HllSketch(precision=buf[1])
+                impl = impl_b
             else:
-                _check_same_params("hll precision", impl.p, buf[1])
-            state = impl.deserialize(buf)
+                _check_same_params("hll (precision, seed)",
+                                   (impl.p, impl.seed),
+                                   (impl_b.p, impl_b.seed))
             acc = state if acc is None else impl.merge(acc, state)
         return impl.serialize(acc) if impl is not None else None
 
@@ -412,8 +398,10 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
 
         def inter(ba: bytes, bb: bytes) -> float:
             impl, a = _load_hll(ba)
-            _check_same_params("hll_intersect", ba[1], bb[1])
-            _, b = _load_hll(bb)
+            impl_b, b = _load_hll(bb)
+            _check_same_params("hll_intersect (precision, seed)",
+                               (impl.p, impl.seed),
+                               (impl_b.p, impl_b.seed))
             est = (impl.estimate(a) + impl.estimate(b)
                    - impl.estimate(impl.merge(a, b)))
             return max(est, 0.0)
@@ -438,6 +426,8 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         impl = None
         acc = None
         for b in sketch:
+            if b is None:
+                continue
             impl_b, counters = CountMinSketch.from_buffer(bytes(b))
             if impl is None:
                 impl = impl_b
@@ -459,6 +449,8 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         impl = None
         acc = None
         for b in sketch:
+            if b is None:
+                continue
             buf = bytes(b)
             delta = struct.unpack_from("<H", buf, 1)[0]
             if impl is None:
@@ -479,6 +471,8 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         impl = None
         acc = None
         for b in sketch:
+            if b is None:
+                continue
             buf = bytes(b)
             kk = struct.unpack_from("<H", buf, 1)[0]
             if impl is None:

@@ -26,7 +26,8 @@ from pyspark.sql.types import (BinaryType, LongType, StructField, StructType)
 
 from ..config import BloomConfig
 from ..functions.digest import digest64
-from ..kernel import U64, contains_hashes, insert_hashes, source_hash
+from ..kernel import (U64, contains_hashes, exact_int64,
+                      insert_hashes, source_hash)
 
 
 def streaming_bloom_dedup(
@@ -73,7 +74,7 @@ def streaming_bloom_dedup(
             rows_seen = 0
             words = np.zeros(num_words, dtype=U64)
         for pdf in pdfs:
-            digests = pdf["digest64"].to_numpy(np.int64, copy=False)
+            digests = exact_int64(pdf["digest64"], "stream digest")
             hashes = source_hash(digests, seed)
             # first occurrence within the batch AND not already in state:
             # probe-then-insert per batch; intra-batch dups resolved by
@@ -90,6 +91,7 @@ def streaming_bloom_dedup(
 
     prepared = stream.withColumn(
         "digest64", digest64(F.col(value_col), cfg.digest)) \
+        .filter(F.col("digest64").isNotNull()) \
         .withColumn("__shard",
                     F.pmod(F.col("digest64"), F.lit(num_shards)).cast("int"))
     return prepared.groupBy("__shard").applyInPandasWithState(

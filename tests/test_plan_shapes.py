@@ -35,7 +35,10 @@ def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
     cfg = BloomConfig.with_num_bits(1 << 12, num_hashes=4, seed=1)
     out = bloom_agg(docs, ["lang"], "text", cfg, distinct_keys_hint=4)
     plan = formatted(out)
-    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+    # IsNotNull(text): the operator's own NULL-value filter also reaches
+    # the scan (free at the format layer, not a post-read filter)
+    assert ("PushedFilters: [IsNotNull(lang), EqualTo(lang,en), "
+            "IsNotNull(text)]") in plan, plan
     # projection pruned to the two referenced columns
     scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "lang" in scan_schema and "text" in scan_schema

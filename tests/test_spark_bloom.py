@@ -466,3 +466,52 @@ def test_bloom_semi_join_block64_layout(spark, sf_dir):
                           fp=0.01, seed=7, layout="block64",
                           exact=False).count()
     assert pre >= want
+
+
+def test_null_values_and_keys_survive_arrow_float64(spark):
+    """NULL values are filtered BEFORE the Arrow transfer (one NULL used to
+    turn the whole long batch float64, silently corrupting digests above
+    2^53 -> false negatives), NULL probes come back NULL, and a NULL KEY
+    spanning many Arrow batches aggregates into exactly ONE sketch row
+    (NaN != NaN used to fragment the accumulator per batch)."""
+    import pandas as pd
+
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.operators import (bloom_agg, bloom_build,
+                                           bloom_contains_col)
+    from fastbloom_spark.functions import digest64
+
+    rows = [(i, f"v{i}") for i in range(500)] + [(9999, None)]
+    df = spark.createDataFrame(rows, "id long, val string")
+    cfg = BloomConfig.with_num_bits(1 << 14, num_hashes=5, seed=42)
+    bloom = bloom_build(df, "val", cfg)
+    assert bloom.rows_seen == 500  # values folded, NULL skipped
+    probes = spark.createDataFrame(
+        [(f"v{i}",) for i in range(500)] + [(None,)], "val string") \
+        .select("val", digest64("val").alias("d"))
+    # a NULL digest in the probe batch float64-corrupts its NEIGHBORS too
+    # (unrecoverable) -> the kernel refuses LOUDLY instead of probing
+    # wrong bits; filtering NULLs upstream restores zero FN
+    with pytest.raises(Exception, match="float64"):
+        probes.select(bloom_contains_col(spark, bloom, "d")).collect()
+    clean = probes.filter(F.col("d").isNotNull())
+    got = {r.val: r.hit for r in clean.select(
+        "val", bloom_contains_col(spark, bloom, "d").alias("hit")).collect()}
+    assert all(got[f"v{i}"] for i in range(500))  # zero FN
+
+    # NULL numeric key across MANY small batches -> one row, full count
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        keyed = spark.createDataFrame(
+            [(None, f"a{i}") for i in range(300)]
+            + [(7, f"b{i}") for i in range(100)],
+            "grp long, val string")
+        out = bloom_agg(keyed, ["grp"], "val", cfg,
+                        strategy="shuffle").collect()
+        by_key = {r.grp: r for r in out}
+        assert set(by_key) == {None, 7}, sorted(by_key)
+        assert by_key[None].rows_seen == 300
+        assert by_key[7].rows_seen == 100
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -627,3 +627,49 @@ def test_sql_rank_functions(spark, sf_dir):
             f"SELECT {fn}(sketch, CAST(NULL AS DOUBLE)) AS r "
             "FROM rank_sketch").collect()[0]
         assert row.r is None
+
+
+def test_sql_null_rows_in_merge_and_union(spark, sf_dir):
+    """NULL sketch rows (outer-join misses) are SKIPPED by the merge
+    aggregates (like sum()) and yield NULL from the row-wise
+    union/intersect — the documented NULL convention, previously a
+    TypeError."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = BloomConfig.with_num_bits(1 << 13, num_hashes=5, seed=42)
+    bloom_agg(docs, ["lang"], "text", cfg).createOrReplaceTempView("bl_n")
+    spark.sql("""
+        SELECT l.lang, b.sketch FROM
+          (SELECT 'en' AS lang UNION ALL SELECT 'xx') l
+          LEFT JOIN bl_n b ON l.lang = b.lang
+    """).createOrReplaceTempView("bl_outer")
+    # aggregate over a group containing a NULL sketch row
+    row = spark.sql(
+        "SELECT bloom_union_agg(sketch) AS u FROM bl_outer").collect()[0]
+    from fastbloom_spark.kernel import decode_words
+    en = spark.sql("SELECT sketch FROM bl_n WHERE lang='en'").collect()[0]
+    import numpy as np
+    assert np.array_equal(decode_words(bytes(row.u)),
+                          decode_words(bytes(en.sketch)))
+    # row-wise union/intersect with a NULL side -> NULL
+    out = spark.sql("""
+        SELECT bloom_union(a.sketch, b.sketch) AS u,
+               bloom_intersect(a.sketch, b.sketch) AS i
+        FROM (SELECT sketch FROM bl_n WHERE lang='en') a
+        CROSS JOIN (SELECT CAST(NULL AS BINARY) AS sketch) b
+    """).collect()[0]
+    assert out.u is None and out.i is None
+
+
+def test_sql_hll_seed_mismatch_refused(spark, sf_dir):
+    """HLL buffers now carry their seed: merging differently-seeded
+    sketches (each item counted once PER SEED -> silent inflation) raises
+    instead of 'succeeding'."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = sketch_agg(events, [], F.col("user_id").cast("string"),
+                   HllSketch(precision=12, seed=1))
+    b = sketch_agg(events, [], F.col("user_id").cast("string"),
+                   HllSketch(precision=12, seed=2))
+    a.unionByName(b).createOrReplaceTempView("hll_mixed_seeds")
+    with pytest.raises(Exception, match="precision, seed"):
+        spark.sql("SELECT hll_union_agg(sketch) FROM hll_mixed_seeds") \
+            .collect()
