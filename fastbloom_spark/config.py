@@ -254,8 +254,9 @@ class BloomConfig:
         n = max(int(expected_items), 1)
         best: tuple[int, int] | None = None
         for k in range(2, 17):
-            lo, hi = max(n // 64, 1), None
-            w = max(n // 8, 1)
+            hi = None
+            w0 = max(n // 8, 1)
+            w = w0
             while expected_false_pos_block64(k, w * WORD_BITS, n) > fp:
                 w *= 2
                 if w > (1 << 40):
@@ -264,7 +265,12 @@ class BloomConfig:
                 hi = w
             if hi is None:
                 continue
-            lo = max(hi // 2, 1)
+            # hi//2 is a valid lower bound ONLY when the doubling loop ran
+            # (then hi//2 failed the target); if the initial guess already
+            # met fp the true minimum may be far below it — search from 1
+            # (a handful of extra probes) instead of returning an
+            # oversized "minimal" filter
+            lo = max(hi // 2, 1) if hi > w0 else 1
             while lo < hi:
                 mid = (lo + hi) // 2
                 if expected_false_pos_block64(k, mid * WORD_BITS, n) <= fp:

@@ -54,17 +54,38 @@ def _widen(df: DataFrame) -> DataFrame:
     return df
 
 
+def _cap_buckets(df: DataFrame, bucket_cols: list[str],
+                 max_bucket_size: int) -> DataFrame:
+    """Drop rows of buckets larger than ``max_bucket_size`` — the shared
+    guardrail against degenerate-key quadratic self-joins (identical
+    boilerplate, constant embeddings). One window count per bucket key;
+    callers already filter empty/NULL keys so a capped bucket only ever
+    holds real collisions."""
+    from pyspark.sql.window import Window
+
+    return df.withColumn(
+        "__bucket_n",
+        F.count("*").over(Window.partitionBy(*bucket_cols))) \
+        .filter(F.col("__bucket_n") <= max_bucket_size) \
+        .drop("__bucket_n")
+
+
 def shingles_col(text_col: Column | str, n: int = 3) -> Column:
     """Sliding word n-gram shingle hashes as ``array<long>`` (JVM-only:
     split → sequence/transform/slice → xxhash64). Documents shorter than
     ``n`` tokens hash their whole token string as one shingle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = tokens_col(text_col)
     joined = F.concat_ws(" ", toks)
     n_sh = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
-    return F.when(F.size(toks) == 0, F.array().cast("array<bigint>")) \
+    # NULL text -> empty set like blank text (concat_ws renders a NULL
+    # token array as "" — without the guard every NULL-text doc would
+    # shingle to [xxhash64("")] and count as a PERFECT dup of the others)
+    return F.when(c.isNull() | (F.size(toks) == 0),
+                  F.array().cast("array<bigint>")) \
         .otherwise(F.when(n_sh >= 1, grams)
                    .otherwise(F.array(F.xxhash64(joined))))
 
@@ -177,13 +198,8 @@ def minhash_candidate_pairs(
         F.posexplode(band_hashes_col("__sig", bands, rows)).alias(
             "band_idx", "band_hash"))
     # cap degenerate buckets (all-identical boilerplate) before the join
-    from pyspark.sql.window import Window
-
-    sized = banded.withColumn(
-        "__bucket_n",
-        F.count("*").over(Window.partitionBy("band_idx", "band_hash")))
-    capped = sized.filter(F.col("__bucket_n") <= max_bucket_size) \
-        .drop("__bucket_n")
+    capped = _cap_buckets(banded, ["band_idx", "band_hash"],
+                          max_bucket_size)
     a = capped.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = capped.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return a.join(b, ["band_idx", "band_hash"]) \
@@ -388,6 +404,9 @@ def winnow_fingerprints_col(
                 powers[i] = powers[i + 1] * base
         out = []
         for t in texts:
+            if t is None:  # NULL text -> no fingerprints (str(None)
+                out.append([])  # would hash the literal "None")
+                continue
             b = np.frombuffer(str(t).encode("utf-8"), dtype=np.uint8)
             if b.size < k:
                 out.append([])
@@ -430,12 +449,7 @@ def winnow_near_dup_pairs(
                                                     seed=seed).alias("__fp")) \
         .filter(F.size("__fp") > 0) \
         .select(id_col, F.explode("__fp").alias("fp"))
-    from pyspark.sql.window import Window
-
-    sized = fps.withColumn(
-        "__bucket_n", F.count("*").over(Window.partitionBy("fp")))
-    capped = sized.filter(F.col("__bucket_n") <= max_bucket_size) \
-        .drop("__bucket_n")
+    capped = _cap_buckets(fps, ["fp"], max_bucket_size)
     a = capped.select(F.col(id_col).alias("id_a"), "fp")
     b = capped.select(F.col(id_col).alias("id_b"), "fp")
     return a.join(b, "fp").filter(F.col("id_a") < F.col("id_b")) \
@@ -512,13 +526,8 @@ def simhash_near_dup_pairs(
         for i in range(bands)])
     banded = sh.select(id_col, "__sim", F.explode(chunks).alias("c")) \
         .select(id_col, "__sim", "c.band_idx", "c.band_val")
-    from pyspark.sql.window import Window
-
-    sized = banded.withColumn(
-        "__bucket_n",
-        F.count("*").over(Window.partitionBy("band_idx", "band_val")))
-    capped = sized.filter(F.col("__bucket_n") <= max_bucket_size) \
-        .drop("__bucket_n")
+    capped = _cap_buckets(banded, ["band_idx", "band_val"],
+                          max_bucket_size)
     a = capped.select(F.col(id_col).alias("id_a"),
                       F.col("__sim").alias("__sim_a"),
                       "band_idx", "band_val")

@@ -58,24 +58,31 @@ def cosine_topk(
     n_q = q_norm.shape[0]
 
     def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel import exact_int64
+
         q = q_bc.value
+        # validity tracked by score > -inf, NOT an id sentinel (negative
+        # ids are legal); scores are rounded to 6 decimals BEFORE the
+        # partial selection and ties break by ASCENDING id, so the
+        # per-partition top-k agrees exactly with the final rounded
+        # (score desc, id asc) window — an unrounded argpartition could
+        # drop the row the oracle keeps at the rank-k boundary
         best_scores = np.full((n_q, k), -np.inf)
-        best_ids = np.full((n_q, k), -1, dtype=np.int64)
+        best_ids = np.zeros((n_q, k), dtype=np.int64)
         for pdf in batches:
             mat = _normalize_rows(_vectors_from_series(pdf[vec_col], dim))
-            ids = pdf[id_col].to_numpy(np.int64)
-            scores = q @ mat.T  # (n_q, batch)
+            ids = exact_int64(pdf[id_col], "cosine_topk id")
+            scores = np.round(q @ mat.T, 6)  # (n_q, batch)
             joined_s = np.concatenate([best_scores, scores], axis=1)
             joined_i = np.concatenate(
                 [best_ids, np.broadcast_to(ids, (n_q, ids.size))], axis=1)
-            sel = np.argpartition(-joined_s, min(k, joined_s.shape[1] - 1),
-                                  axis=1)[:, :k]
-            rows_idx = np.arange(n_q)[:, None]
-            best_scores = joined_s[rows_idx, sel]
-            best_ids = joined_i[rows_idx, sel]
+            for qi in range(n_q):
+                order = np.lexsort((joined_i[qi], -joined_s[qi]))[:k]
+                best_scores[qi] = joined_s[qi][order]
+                best_ids[qi] = joined_i[qi][order]
         out = []
         for qi in range(n_q):
-            mask = best_ids[qi] >= 0
+            mask = best_scores[qi] > -np.inf
             out.append(pd.DataFrame({
                 "query_id": qi,
                 id_col: best_ids[qi][mask],
@@ -277,7 +284,8 @@ def kmeans_centroids(
             yield head
 
     schema = df.select(vec_col).schema
-    sample = df.select(vec_col).mapInPandas(take_head, schema).toPandas()
+    sample = df.select(vec_col).filter(F.col(vec_col).isNotNull()) \
+        .mapInPandas(take_head, schema).toPandas()
     if len(sample) > sample_rows:
         sample = sample.sample(n=sample_rows,
                                random_state=seed & 0x7FFFFFFF)
@@ -294,6 +302,10 @@ def kmeans_centroids(
             if len(sample) > sample_rows:
                 sample = sample.sample(n=sample_rows,
                                        random_state=seed & 0x7FFFFFFF)
+    if not len(sample):
+        raise ValueError(
+            "kmeans_centroids: empty corpus (no non-NULL vectors) — "
+            "nothing to train the quantizer on")
     dim = len(sample[vec_col].iloc[0])
     mat = _normalize_rows(_vectors_from_series(sample[vec_col], dim))
     rng = np.random.default_rng(seed)
@@ -477,8 +489,13 @@ def embedding_near_dup_pairs(
     Guardrail (same as the MinHash/SimHash paths): a degenerate corpus —
     zero vectors, constant embeddings — collapses into one bucket and the
     self-join goes quadratic; buckets larger than ``max_bucket_size`` are
-    skipped so candidate count stays O(corpus * bucket_cap)."""
-    first = df.select(vec_col).first()
+    skipped so candidate count stays O(corpus * bucket_cap). An empty (or
+    all-NULL-vector) corpus returns an empty pairs frame instead of a
+    driver crash."""
+    first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double")
     dim = len(first[0])
     corpus = df.select(
         id_col, vec_col,

@@ -140,6 +140,14 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text",
     caller wants full rows.
     """
     fp = doc_fingerprint_col(text_col) if normalized else sha256_hex(text_col)
-    keepers = df.select(F.col(id_col), fp.alias("__fp")) \
-        .groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return df.join(keepers.select(id_col), on=id_col, how="left_semi")
+    with_fp = df.select(F.col(id_col), fp.alias("__fp"))
+    # NULL text fingerprints NULL, and groupBy treats NULLs as EQUAL —
+    # without the split every NULL-text row would be "deduped" against the
+    # others and silently deleted, though their contents are unknown, not
+    # duplicated (NULL-in -> NULL-out: NULL rows always survive)
+    keepers = with_fp.filter(F.col("__fp").isNotNull()) \
+        .groupBy("__fp").agg(F.min(id_col).alias(id_col)) \
+        .select(id_col)
+    null_rows = with_fp.filter(F.col("__fp").isNull()).select(id_col)
+    return df.join(keepers.unionByName(null_rows), on=id_col,
+                   how="left_semi")

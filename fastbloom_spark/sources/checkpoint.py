@@ -11,7 +11,12 @@ bitwise-identical final words.
 
 Resume contract: partition ids are stable for the same input layout (same
 files, same partitioning); resuming after a repartition of the input is a
-full rebuild (detected via partition-count mismatch).
+full rebuild. Detection: every checkpoint row records the input's
+partition COUNT at write time and resume requires an exact match — a
+count change in EITHER direction (split or coalesce) invalidates the
+lineage (ids would address different row sets -> silent false negatives).
+A same-count re-layout (same files reordered) is NOT detectable from
+counts alone and remains the caller's contract, as documented.
 """
 
 from __future__ import annotations
@@ -88,6 +93,9 @@ def write_checkpoint(
         F.lit(sketch_kind).alias("sketch_kind"),
         group_key.alias("group_key"),
         F.col("partition_id"),
+        # the layout witness resume compares against (see module docstring)
+        F.lit(int(partials.rdd.getNumPartitions())).cast("long")
+        .alias("n_parts"),
         F.col("rows_seen"),
         build_ms.alias("build_ms"),
         F.col("m"), F.col("k"), F.col("seed"),
@@ -106,12 +114,29 @@ def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
               else F.lit("flat"))
     digest = (F.col("digest") if "digest" in df.columns
               else F.lit("sha256"))
+    n_parts = (F.col("n_parts") if "n_parts" in df.columns
+               else F.lit(None).cast("long"))  # pre-witness checkpoints
     return df.select(
-        "sketch_kind", "group_key", "partition_id", "rows_seen", "build_ms",
+        "sketch_kind", "group_key", "partition_id",
+        n_parts.alias("n_parts"), "rows_seen", "build_ms",
         "m", "k", "seed", layout.alias("layout"), digest.alias("digest"),
         _longs_to_bytes(F.col("words")).alias("sketch"),
         "written_at",
     )
+
+
+def _layout_matches(ckpt, done_ids: set, n_parts: int) -> bool:
+    """True iff the checkpointed lineage addresses THIS input layout.
+
+    New checkpoints carry the writer's partition count — require an exact
+    match (a split into MORE partitions re-maps which rows live in ids
+    0..n-1, so subset-of-range acceptance would silently skip rows ->
+    Bloom false negatives). Legacy checkpoints without the witness fall
+    back to the old subset check (which only catches coalesces)."""
+    witness = ckpt.agg(F.max("n_parts")).first()[0]
+    if witness is not None:
+        return int(witness) == int(n_parts)
+    return not (done_ids - set(range(n_parts)))
 
 
 def resume_bloom_agg(
@@ -162,7 +187,7 @@ def resume_bloom_agg(
         prepared = df.select(
             *keys, digest64(F.col(value_col), cfg.digest).alias("__digest64"))
     n_parts = prepared.rdd.getNumPartitions()
-    if done_ids - set(range(n_parts)):
+    if done_ids and not _layout_matches(ckpt, done_ids, n_parts):
         done_ids = set()  # input layout changed: full rebuild
 
     if done_ids:
@@ -245,7 +270,7 @@ def resume_bloom_build(
             digest64(F.col(value_col), cfg.digest).alias("__digest64"))
     n_parts = prepared.rdd.getNumPartitions()
 
-    if done_ids - set(range(n_parts)):
+    if done_ids and not _layout_matches(ckpt, done_ids, n_parts):
         # layout changed under us: checkpoint not applicable
         done_ids = set()
 

@@ -245,3 +245,36 @@ def test_resume_rejects_randomly_drawn_seed(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="explicit seed"):
         resume_bloom_agg(spark, str(tmp_path / "never"), docs, ["lang"],
                          "text", drawn)
+
+
+def test_resume_detects_partition_split(spark, tmp_path):
+    """The checkpoint records the writer's partition COUNT: resuming after
+    the input splits into MORE partitions triggers a full rebuild (the old
+    subset-of-range check passed silently and skipped rows -> false
+    negatives), and the result stays bitwise-equal to a cold build."""
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.operators import bloom_build, bloom_partials
+    from fastbloom_spark.sources import resume_bloom_build, write_checkpoint
+
+    cfg = BloomConfig.with_num_bits(1 << 14, num_hashes=5, seed=42)
+    rows = [(f"v{i}",) for i in range(3000)]
+    df4 = spark.createDataFrame(rows, "val string").repartition(4)
+    from fastbloom_spark.functions import digest64
+    prepared4 = df4.select(digest64("val").alias("__digest64"))
+    ckpt = str(tmp_path / "ckpt_split")
+    write_checkpoint(bloom_partials(prepared4, "__digest64", cfg), ckpt)
+
+    # same rows re-laid-out over MORE partitions: ids 0..3 now hold
+    # different row sets — the checkpoint must be discarded wholesale
+    df8 = spark.createDataFrame(rows, "val string").repartition(8)
+    resumed, metrics = resume_bloom_build(spark, ckpt, df8, "val", cfg)
+    assert metrics["partitions_resumed"] == 0
+    assert metrics["partitions_rebuilt"] == metrics["partitions_total"]
+    direct = bloom_build(spark.createDataFrame(rows, "val string"),
+                         "val", cfg)
+    assert resumed == direct  # bitwise
+
+    # same count resumes normally (sanity that the witness isn't too eager)
+    df4b = spark.createDataFrame(rows, "val string").repartition(4)
+    resumed2, metrics2 = resume_bloom_build(spark, ckpt, df4b, "val", cfg)
+    assert metrics2["partitions_resumed"] == 4

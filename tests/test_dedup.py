@@ -412,3 +412,30 @@ def test_connected_min_ids_one_action_per_round(spark):
         assert jobs_loop == 9, jobs_loop
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+def test_null_text_rows_survive_dedup(spark):
+    """NULL-text documents are UNKNOWN content, not duplicates of each
+    other: exact dedup, minhash dedup, and winnowing all keep every
+    NULL-text row (previously NULL shingled to [xxhash64('')] / winnowed
+    the literal 'None' and all NULL docs collapsed to one survivor)."""
+    from fastbloom_spark.operators.dedup import (winnow_near_dup_pairs,
+                                                 shingles_col)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, None), (4, None),
+         (5, "epsilon zeta eta theta")], ["doc_id", "text"])
+    # shingles of NULL text are EMPTY, like blank text
+    sh = {r.doc_id: r.s for r in docs.select(
+        "doc_id", shingles_col("text", 3).alias("s")).collect()}
+    assert sh[2] == [] and sh[3] == []
+
+    kept = sorted(r.doc_id for r in minhash_dedup(
+        docs, "doc_id", threshold=0.5).collect())
+    assert kept == [1, 2, 3, 4, 5]
+    kept_exact = sorted(r.doc_id for r in dedup_exact(
+        docs, "doc_id").collect())
+    assert kept_exact == [1, 2, 3, 4, 5]
+    pairs = winnow_near_dup_pairs(docs, "doc_id", k=4, window=2,
+                                  min_shared=1).collect()
+    assert not any({p.id_a, p.id_b} <= {2, 3, 4} for p in pairs)

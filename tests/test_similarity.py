@@ -411,3 +411,24 @@ def test_multiprobe_levels_expand_generically(spark):
     sets = {mp: 1 + sum(len(list(combinations(range(8), j)))
                         for j in range(1, mp + 1)) for mp in (2, 3)}
     assert sets[3] == sets[2] + 56
+
+
+def test_cosine_topk_negative_ids_and_exact_ties(spark):
+    """Negative ids are legal (no sentinel masking), and exact duplicate
+    vectors across partitions rank by ASCENDING id at the top-k boundary
+    — the partial selection agrees with the rounded (score desc, id asc)
+    window the oracle uses."""
+    import numpy as np
+
+    from fastbloom_spark.operators.similarity import cosine_topk
+
+    base = np.eye(4)[0]
+    rows = [(-5, base.tolist()), (-9, base.tolist()), (3, base.tolist()),
+            (7, np.eye(4)[1].tolist()), (8, np.eye(4)[2].tolist())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .repartition(3)
+    got = cosine_topk(emb, "vec_id", "embedding",
+                      np.array([base]), k=3).collect()
+    ids = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
+    # three exact score-1.0 ties -> ascending id order, negatives included
+    assert ids == [-9, -5, 3], ids
