@@ -545,6 +545,8 @@ def main() -> None:
                     for k in thr[lo] if k in thr[lo * 4]}
         headline = max((pair["kernel_control"] for pair in eff.values()
                         if "kernel_control" in pair), default=0.0)
+        result["unit"] = "ratio"  # the headline is a scaling efficiency,
+        # not seconds (the default seeded above is for the query mode)
         result.update({
             "metric": "bloom job N->4N core scaling (cpu-pinned ladder)",
             "value": headline,

@@ -49,11 +49,31 @@ def ensure_shipped(spark) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_fastbloom_shipped", False):
         return
+    import hashlib
     import tempfile
 
-    zip_path = os.path.join(tempfile.mkdtemp(prefix="fastbloom_pyfiles_"),
-                            "fastbloom_spark.zip")
-    sc.addPyFile(make_pyfiles_zip(zip_path))
+    # content-stable cache path: the zip is byte-deterministic (pinned
+    # zipinfo timestamps), so repeated SparkContexts in one host reuse one
+    # artifact instead of leaking a fresh tmpdir + re-zipping per context;
+    # keyed by source path+mtimes so edits still rebuild. Built aside and
+    # os.replace'd (atomic) so concurrent drivers never ship a torn zip.
+    package_dir = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256(package_dir.encode())
+    for dirpath, _, filenames in sorted(os.walk(package_dir)):
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                h.update(fn.encode())
+                h.update(str(os.path.getmtime(full)).encode())
+    cache_dir = os.path.join(tempfile.gettempdir(), "fastbloom_pyfiles")
+    os.makedirs(cache_dir, exist_ok=True)
+    zip_path = os.path.join(cache_dir,
+                            f"fastbloom_spark-{h.hexdigest()[:16]}.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + f".tmp.{os.getpid()}"
+        make_pyfiles_zip(tmp)
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
     sc._fastbloom_shipped = True
 
 

@@ -61,9 +61,13 @@ def decode_image(payload: bytes, *, codec: Callable | None = None):
 
 
 def fake_codec(payload: bytes, width: int = 8, height: int = 8) -> np.ndarray:
-    """Deterministic fake decoder: tile payload bytes into HxWx3 uint8."""
+    """Deterministic fake decoder: tile payload bytes into HxWx3 uint8.
+    Empty payloads decode to a zero tile (a real corpus can contain
+    truncated blobs; one empty row must not kill the whole task)."""
     need = width * height * 3
-    buf = (payload * (need // max(len(payload), 1) + 1))[:need]
+    if len(payload) == 0:
+        return np.zeros((height, width, 3), dtype=np.uint8)
+    buf = (payload * (need // len(payload) + 1))[:need]
     return np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
 
 
@@ -105,10 +109,18 @@ def media_features(df: DataFrame, *, feature_dim: int = 16) -> DataFrame:
                                  minlength=n * feature_dim) \
                 .reshape(n, feature_dim)
             feats = (counts / np.maximum(lens, 1)[:, None]).round(6)
+            # NULL payloads -> NULL features (a NULL slot has equal
+            # offsets, so its counts are all zero — emitting a zero
+            # vector would masquerade as real content downstream;
+            # NULL-in -> NULL-out per the repo convention)
+            out = list(feats)
+            if pay.null_count:
+                valid = pay.is_valid().to_numpy(zero_copy_only=False)
+                out = [v if ok else None for v, ok in zip(out, valid)]
             yield pa.RecordBatch.from_arrays(
                 [rb.column(rb.schema.get_field_index("media_id")),
                  rb.column(rb.schema.get_field_index("kind")),
-                 pa.array(list(feats), type=pa.list_(pa.float64()))],
+                 pa.array(out, type=pa.list_(pa.float64()))],
                 names=["media_id", "kind", "feature"])
 
     return df.mapInArrow(extract, schema)
@@ -124,11 +136,8 @@ def resize_media(df: DataFrame, *, out_width: int = 4, out_height: int = 4,
     batch plumbing (binary in, smaller binary out, metadata updated) is
     exactly what a real thumbnailing pass uses."""
     if codec is None:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; "
-            "pass codec=fake_codec for the deterministic test codec")
-    schema = ("media_id long, kind string, width int, height int, "
-              "n_bytes long, payload binary")
+        decode_image(b"")  # the ONE stub boundary raises its error here
+    schema = MEDIA_SCHEMA
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -172,8 +181,19 @@ def sample_frames(df: DataFrame, *, frame_bytes: int = 32,
 
 
 def media_dedup_exact(df: DataFrame) -> DataFrame:
-    """Payload-level exact dedup (sha256 of bytes, JVM-side)."""
-    return df.select("media_id", sha256_hex(F.col("payload")).alias("payload_sha256")) \
+    """Payload-level exact dedup (sha256 of bytes, JVM-side). NULL
+    payloads are UNKNOWN content, not duplicates of each other: each
+    NULL-payload row stays its own group (groupBy would otherwise treat
+    the NULL hashes as equal and collapse them — the same NULL-collapse
+    class fixed in text dedup_exact)."""
+    hashed = df.select("media_id",
+                       sha256_hex(F.col("payload")).alias("payload_sha256"))
+    grouped = hashed.filter(F.col("payload_sha256").isNotNull()) \
         .groupBy("payload_sha256") \
         .agg(F.min("media_id").alias("keeper_media_id"),
              F.count("*").alias("dup_count"))
+    nulls = hashed.filter(F.col("payload_sha256").isNull()) \
+        .select("payload_sha256",
+                F.col("media_id").alias("keeper_media_id"),
+                F.lit(1).cast("long").alias("dup_count"))
+    return grouped.unionByName(nulls)

@@ -45,11 +45,18 @@ def synth_code_table(
     u = F.conv(F.substring(mix, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
     repo_rank = F.floor(F.pow(u, F.lit(2.0)) * F.lit(num_repos)).cast("int")
     # duplicate pool: rows where low bits of the mix vanish draw content
-    # from a tiny shared id space
+    # from a tiny shared id space. NOTE the pool key uses HIGH bits of
+    # dup_sel: is_dup already pins the low dup_fraction_pow2 bits to zero,
+    # so pmod(dup_sel, 64) would collapse the pool to 64 >> min(6,
+    # dup_fraction_pow2) distinct contents (4 at the default 2^4 — the
+    # original expression's silent behavior; the shifted key gives the
+    # full 64 the docstring promises)
     dup_sel = F.conv(F.substring(mix, 9, 4), 16, 10).cast("long")
     is_dup = (F.pmod(dup_sel, F.lit(1 << dup_fraction_pow2)) == 0)
+    pool_key = F.pmod(F.shiftrightunsigned(
+        dup_sel, dup_fraction_pow2), F.lit(64))
     content_key = F.when(
-        is_dup, F.concat(F.lit("shared-"), F.pmod(dup_sel, F.lit(64)))
+        is_dup, F.concat(F.lit("shared-"), pool_key)
     ).otherwise(F.concat(F.lit("uniq-"), F.col("id").cast("string")))
     content_mix = F.sha2(F.concat(F.lit(f"c{seed}-"), content_key), 256)
     lang = F.element_at(

@@ -20,8 +20,13 @@ from pyspark.sql import functions as F
 
 
 def repo_bucket_col(repo_col: str = "repo", num_buckets: int = 64):
-    """Stable bucket id for a repo — xxhash64-based, layout-stable."""
-    return F.pmod(F.xxhash64(F.col(repo_col)), F.lit(num_buckets)).cast("int")
+    """Stable bucket id for a repo — delegates to the index module's
+    engine-replayable bucket function (one bucketing definition repo-wide;
+    its string cast pins one byte representation per value so DuckDB
+    oracles can replay the layout)."""
+    from .index import bucket_col
+
+    return bucket_col(repo_col, num_buckets)
 
 
 def write_code_table(
@@ -33,8 +38,10 @@ def write_code_table(
 ) -> None:
     """Write a `(repo, path, commit, lang, content)` corpus partitioned by
     repo bucket (Iceberg-style bucketed layout on the filesystem)."""
+    # explicit partition count: AQE coalesces column-only repartitions
+    # of small exchanges into 1-2 tasks, serializing the write (CLAUDE.md)
     df.withColumn("repo_bucket", repo_bucket_col("repo", num_buckets)) \
-        .repartition("repo_bucket") \
+        .repartition(num_buckets, F.col("repo_bucket")) \
         .write.mode(mode).partitionBy("repo_bucket").parquet(path)
 
 
@@ -61,7 +68,14 @@ def write_sketch_table(
     mode: str = "overwrite",
 ) -> None:
     """Persist merged sketch rows (output of bloom_agg / sketch_agg) as a
-    queryable sketch table partitioned by kind (and small group column)."""
+    queryable sketch table partitioned by kind (and small group column).
+
+    Overwrites are DYNAMIC at the partition level: writing sketch_kind
+    'hll' next to an existing 'bloom' replaces only the hll partitions —
+    Spark's default STATIC overwrite would truncate the whole table path
+    and silently destroy every other kind's rows."""
     out = sketches.withColumn("sketch_kind", F.lit(sketch_kind))
     parts = ["sketch_kind"] + ([group_col] if group_col else [])
-    out.write.mode(mode).partitionBy(*parts).parquet(path)
+    out.write.mode(mode) \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy(*parts).parquet(path)

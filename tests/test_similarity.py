@@ -432,3 +432,29 @@ def test_cosine_topk_negative_ids_and_exact_ties(spark):
     ids = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
     # three exact score-1.0 ties -> ascending id order, negatives included
     assert ids == [-9, -5, 3], ids
+
+
+def test_media_dedup_null_payloads_survive(spark):
+    """NULL payloads are unknown content: each stays its own group
+    (payload-level sibling of the text dedup NULL fix)."""
+    media = spark.createDataFrame(
+        [(1, b"aa"), (2, b"aa"), (3, None), (4, None)],
+        "media_id long, payload binary")
+    out = {(r.keeper_media_id): (r.payload_sha256, r.dup_count)
+           for r in media_dedup_exact(media).collect()}
+    assert out[1][1] == 2            # the real dup pair groups
+    assert out[3] == (None, 1) and out[4] == (None, 1)
+
+
+def test_media_features_null_payload_is_null(spark):
+    """NULL payload -> NULL feature vector, never a zero vector that
+    masquerades as real content."""
+    from fastbloom_spark.operators.multimodal import media_features
+
+    media = spark.createDataFrame(
+        [(1, "image", b"\x10\x20\x30"), (2, "image", None)],
+        "media_id long, kind string, payload binary")
+    rows = {r.media_id: r.feature
+            for r in media_features(media, feature_dim=16).collect()}
+    assert rows[1] is not None and sum(rows[1]) > 0
+    assert rows[2] is None
