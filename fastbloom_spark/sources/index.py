@@ -204,10 +204,13 @@ def _publish_index_version(spark: SparkSession, path: str,
     fs.create(marker, False).close()
     # GC: keep the new version plus the previous committed one (readers
     # that resolved just before the flip may still be scanning it); drop
-    # older committed versions and every stale uncommitted attempt
-    committed = [v for v, ok in _list_versions(spark, path) if ok]
+    # older committed versions and every stale uncommitted attempt.
+    # One listing serves both decisions (each listing is a listStatus +
+    # per-dir marker RPC — doubled publish-tail latency on object stores)
+    after = _list_versions(spark, path)
+    committed = [v for v, ok in after if ok]
     keep = set(committed[-2:])
-    for v, ok in _list_versions(spark, path):
+    for v, ok in after:
         if v not in keep and (ok or v < next_v):
             _delete_dir(spark, _version_dir(path, v))
     return vdir
@@ -458,6 +461,11 @@ def index_parquet_files(
             "recompute probe digests on the driver (probe_digests) and "
             "custom Column strategies have no local implementation — "
             "index with 'sha256' or 'xxh64'")
+    if mode in ("append", "ignore"):
+        raise ValueError(
+            f"mode={mode!r} would leave duplicate or stale sidecar rows "
+            "(duplicated survivors -> duplicated result rows) — use "
+            "'overwrite' or 'error'")
     cols = [index_col] if isinstance(index_col, str) else list(index_col)
     df = spark.read.parquet(data_path) \
         .withColumn(FILE_COL, F.input_file_name())
@@ -624,6 +632,11 @@ def index_parquet_row_groups(
             f"digest {cfg.digest!r} cannot back a skip index: pruned reads "
             "recompute probe digests on the driver (probe_digests) — "
             "index with 'sha256' or 'xxh64'")
+    if mode in ("append", "ignore"):
+        raise ValueError(
+            f"mode={mode!r} would leave duplicate or stale sidecar rows "
+            "(duplicated survivors -> duplicated result rows) — use "
+            "'overwrite' or 'error'")
     cols = [index_col] if isinstance(index_col, str) else list(index_col)
     index = _build_rg_index_rows(spark, data_path, cols, cfg)
     _meta_cols(index, num_buckets=0, bucket_source=FILE_COL) \
@@ -841,10 +854,24 @@ def pruned_range_read_row_groups(
 
 def probe_digests(values: Iterable, digest: str = "sha256") -> list[int]:
     """Driver-side digest64 of probe values — bit-equal to the Spark-side
-    ``digest64(col, digest)`` column for string/int values (both hash the
-    UTF-8 bytes of the string rendering; parity tested in test_kernel)."""
+    ``digest64(col, digest)`` column for string/int/bytes values (both
+    hash the UTF-8 bytes of the string rendering; parity tested in
+    test_kernel). Probe types whose Python ``str()`` DIVERGES from
+    Spark's ``cast(x AS STRING)`` are REFUSED: str(True)="True" vs
+    Spark "true", str(1e-7)="1e-07" vs "1.0E-7" — a mismatched digest
+    would prune the unit holding the real rows (silent false negatives,
+    unrecoverable by the exact filter). Pass such probes pre-rendered as
+    the exact strings Spark would produce."""
     out = []
     for v in values:
+        if isinstance(v, bool) or isinstance(v, float):
+            raise TypeError(
+                f"probe value {v!r} ({type(v).__name__}): Python str() "
+                "renders bool/float differently from Spark's cast-to-"
+                "string, so the driver-side digest would mismatch the "
+                "indexed digests and PRUNE the matching rows — render "
+                "the probe to Spark's exact string form yourself "
+                "(e.g. 'true'/'false', Spark's float formatting)")
         data = bytes(v) if isinstance(v, (bytes, bytearray)) \
             else str(v).encode("utf-8")
         out.append(digest64_bytes(data, digest))
@@ -923,6 +950,7 @@ class IndexHandle:
     def __init__(self, spark: SparkSession, path: str, *,
                  verify_files: bool = True):
         self.spark, self.path = spark, path
+        self._verify_files = verify_files
         self._bloom_dir, self._zones_dir = _resolve_index_root(spark, path)
         self._index_pdf = read_index(spark, self._bloom_dir)
         if not len(self._index_pdf):
@@ -958,9 +986,8 @@ class IndexHandle:
         if icol not in self._filters:
             grp = self._index_pdf[self._index_pdf["index_col"] == icol]
             self._filters[icol] = [
-                (row[1][BUCKET_COL],
-                 sketch_row_to_filter(_RowView(row[1])))
-                for row in grp.iterrows()]
+                (row[BUCKET_COL], sketch_row_to_filter(row))
+                for _, row in grp.iterrows()]
         return self._filters[icol]
 
     def prune(self, probe_values: Sequence, *, on: str | None = None,
@@ -1058,9 +1085,9 @@ class IndexHandle:
             sub = pdf[pdf["index_col"] == icol]
             self._rg_filters[icol] = (
                 str(sub["digest"].iloc[0]),
-                [(str(r[1][FILE_COL]), int(r[1][RG_COL]),
-                  sketch_row_to_filter(_RowView(r[1])))
-                 for r in sub.iterrows()])
+                [(str(r[FILE_COL]), int(r[RG_COL]),
+                  sketch_row_to_filter(r))
+                 for _, r in sub.iterrows()])
         digest, filters = self._rg_filters[icol]
         digs = probe_digests(probe_values, digest)
         survivors = [(f, rg) for f, rg, filt in filters
@@ -1079,8 +1106,10 @@ class IndexHandle:
 
     def refresh(self) -> "IndexHandle":
         """A fresh handle over the CURRENT committed version (this handle
-        stays pinned and usable)."""
-        return IndexHandle(self.spark, self.path)
+        stays pinned and usable); keeps this handle's verify_files
+        setting (a forensics handle must stay openable on refresh)."""
+        return IndexHandle(self.spark, self.path,
+                           verify_files=self._verify_files)
 
     def union_filter(self, on: str | None = None):
         """Whole-table membership filter: OR-union of every bucket's
@@ -1097,22 +1126,6 @@ class IndexHandle:
         # handing back the cached object would let a caller silently
         # corrupt every later union_filter() result (false negatives)
         return self._union_cache[icol].copy()
-
-
-class _RowView:
-    """Attribute view over a pandas Series row (sketch_row_to_filter reads
-    row.m / row.k / ... like a pyspark Row)."""
-
-    __slots__ = ("_s",)
-
-    def __init__(self, s):
-        self._s = s
-
-    def __getattr__(self, name):
-        try:
-            return self._s[name]
-        except KeyError:
-            raise AttributeError(name)
 
 
 def pruned_read(
@@ -1214,6 +1227,13 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
     index_pdf = idx_df.toPandas()
     if not len(index_pdf):
         raise ValueError(f"empty bloom index at {bloom_dir}")
+    # refuse to append onto a STALE index: a prior crashed append left
+    # data files the filters never digested, and appending now would
+    # refresh the fingerprint over them — laundering the staleness
+    # witness while the orphaned files stay un-indexed (silent zero-FN
+    # break). Recovery for that state is compact_indexed_table / a fresh
+    # write_indexed_table, as the stale error says.
+    _check_index_fresh(index_pdf, spark, path)
     index_schema = idx_df.schema
     meta = _read_index_meta(index_pdf)
     num_buckets, bucket_source = meta.num_buckets, meta.bucket_source
@@ -1358,7 +1378,7 @@ def pruned_semi_join(
             f"build side exceeds max_keys={max_keys}; use bloom_semi_join "
             "for data-scale build sides")
     stats = handle.prune([], on=index_col, digests=digs_pdf["d"].tolist())
-    df = spark.read.parquet(f"{path}/data").filter(F.col(BUCKET_COL).isin(
+    df = handle._data().filter(F.col(BUCKET_COL).isin(
         [int(s) for s in stats.survivors] or [-1]))
     joined = df.join(keys.withColumnRenamed("__key", index_col),
                      on=index_col, how="left_semi")

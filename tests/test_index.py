@@ -1077,3 +1077,48 @@ def test_rowgroup_zone_stats_exact_above_2p53(spark, tmp_path):
     assert sorted(r.big for r in got.collect()) == [big + i
                                                     for i in range(5)]
     assert stats.units_survived == 2  # its granule + the stats-less one
+
+
+def test_append_refuses_stale_index(spark, docs, tmp_path):
+    """Appending onto a STALE index (a prior crashed append left data
+    files the filters never saw) is refused: proceeding would refresh the
+    fingerprint over the orphaned files while they stay un-indexed —
+    laundering the staleness witness into silent false negatives."""
+    from fastbloom_spark.sources import append_to_indexed_table
+    from fastbloom_spark.sources.index import bucket_col
+
+    path = str(tmp_path / "appendstale")
+    write_indexed_table(docs.filter("doc_id < 300"), path,
+                        index_col="text", cfg=CFG, bucket_source="doc_id",
+                        num_buckets=4)
+    # simulate the crash: raw data append without an index publish
+    docs.filter("doc_id >= 300 and doc_id < 400") \
+        .withColumn(BUCKET_COL, bucket_col("doc_id", 4)) \
+        .write.mode("append").partitionBy(BUCKET_COL) \
+        .parquet(f"{path}/data")
+    with pytest.raises(ValueError, match="STALE"):
+        append_to_indexed_table(docs.filter("doc_id >= 400"), path)
+
+
+def test_probe_digests_refuse_divergent_renderings(spark):
+    """bool/float probes are refused: Python str() diverges from Spark's
+    cast-to-string (True vs true, 1e-07 vs 1.0E-7) and a mismatched
+    digest silently prunes the rows that actually match."""
+    with pytest.raises(TypeError, match="bool/float"):
+        probe_digests([True])
+    with pytest.raises(TypeError, match="bool/float"):
+        probe_digests([1e-7])
+    assert probe_digests(["x", 7, b"y"])  # str/int/bytes stay fine
+
+
+def test_standalone_index_rejects_append_mode(spark, docs, tmp_path):
+    from fastbloom_spark.sources import index_parquet_row_groups
+
+    data = str(tmp_path / "modedata")
+    docs.repartition(2).write.parquet(data)
+    with pytest.raises(ValueError, match="mode='append'"):
+        index_parquet_files(spark, data, str(tmp_path / "i1"),
+                            index_col="text", cfg=CFG, mode="append")
+    with pytest.raises(ValueError, match="mode='ignore'"):
+        index_parquet_row_groups(spark, data, str(tmp_path / "i2"),
+                                 index_col="text", cfg=CFG, mode="ignore")
