@@ -119,10 +119,12 @@ def q_bloom_semijoin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _read(spark, sf_dir, "lineitem")
     joined = bloom_semi_join(lineitem, orders, "l_orderkey", "o_orderkey",
                              fp=0.01, seed=42)
+    # accumulate in decimal (exact, order-independent), EMIT rounded
+    # double — the repo-wide hash-compare discipline (never DECIMAL out)
     return joined.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)").alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double"), 2).alias("sum_price"),
     )
 
 
@@ -163,7 +165,6 @@ def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of customer balance per market segment
     (oracle companion of t-digest/KLL)."""
-    c = F.col("c_acctbal")
     return _read(spark, sf_dir, "customer").groupBy("c_mktsegment").agg(
         F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25"),
         F.round(F.expr("percentile(c_acctbal, 0.50)"), 4).alias("p50"),
@@ -201,7 +202,10 @@ def q_bloom_fpr_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastbloom_spark.functions import digest64
     from fastbloom_spark.operators import bloom_build, bloom_contains_col
 
-    docs = _read(spark, sf_dir, "documents")
+    # member set pinned to doc_id < 500 (a no-op at sf<=0.01): the oracle
+    # folds filter geometry from expected_items=500, so an sf-dependent
+    # member count would silently diverge m/k/bound at larger scales
+    docs = _read(spark, sf_dir, "documents").filter("doc_id < 500")
     n = docs.count()
     out = []
     for fp in (0.1, 0.01, 0.001):
@@ -244,8 +248,9 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastbloom_spark.sketch import HllSketch
 
     impl = HllSketch(precision=12, seed=42)
-    rows = sketch_agg(_read(spark, sf_dir, "events"), ["event_type"],
-                      F.col("user_id").cast("string"), impl).collect()
+    rows = list(sketch_agg(
+        _read(spark, sf_dir, "events"), ["event_type"],
+        F.col("user_id").cast("string"), impl).toPandas().itertuples())
     out = [(r.event_type, int(r.rows_seen),
             round(float(impl.estimate(impl.deserialize(bytes(r.sketch)))),
                   4))
@@ -305,7 +310,8 @@ def _quantile_query(spark, sf_dir, impl):
     from fastbloom_spark.operators.sketch_agg import sketch_agg
 
     cust = _read(spark, sf_dir, "customer")
-    rows = sketch_agg(cust, ["c_mktsegment"], "c_acctbal", impl).collect()
+    rows = list(sketch_agg(cust, ["c_mktsegment"], "c_acctbal",
+                           impl).toPandas().itertuples())
     est = {r.c_mktsegment:
            {q_pct: impl.quantile(impl.deserialize(bytes(r.sketch)),
                                  q_pct / 100.0)
@@ -1083,6 +1089,9 @@ def q_streaming_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # the NTZ cast and
+    # window-start rendering below are value-identical ONLY under UTC; the
+    # harness session does not pin it
     """Event-time windowed streaming HLL rollup (hash-checked): daily
     tumbling windows of distinct-user sketches maintained in streaming
     state, finalized exactly once when the watermark passes each window
@@ -1391,8 +1400,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semijoin_agg": """
             SELECT l_returnflag,
                    count(*) AS n_rows,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                        AS DECIMAL(18,2)) AS sum_price
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS sum_price
             FROM lineitem
             WHERE l_orderkey IN (
                 SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
@@ -1471,7 +1480,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM embeddings WHERE vec_id < 3),
             scored AS (
               SELECT q.query_id, e.vec_id,
-                     round(list_cosine_similarity(
+                     round_even(list_cosine_similarity(
                          q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS score
               FROM q CROSS JOIN embeddings e)
             SELECT CAST(query_id AS INT) AS query_id, vec_id, score,
@@ -1548,7 +1557,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_pairs_exact": """
             WITH scored AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     round(list_cosine_similarity(
+                     round_even(list_cosine_similarity(
                          CAST(a.embedding AS DOUBLE[]),
                          CAST(b.embedding AS DOUBLE[])), 6) AS score
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
@@ -1655,7 +1664,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _oracle_sql_mod().oracle_cms_heavy_hitters(),
         "hll_distinct_users": _oracle_sql_mod().oracle_hll_distinct_users(),
         "bloom_fpr_envelope":
-            _oracle_sql_mod().oracle_bloom_fpr_envelope(),
+            _oracle_sql_mod().oracle_bloom_fpr_envelope(
+                table="(SELECT * FROM documents WHERE doc_id < 500) fd"),
         "bloom_index_prune":
             _oracle_sql_mod().oracle_bloom_index_prune(),
         # row-group pruning: matched-row counts are exact data functions
@@ -1735,7 +1745,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM embeddings WHERE vec_id < 3),
             scored AS (
               SELECT q.query_id, e.vec_id,
-                     round(list_cosine_similarity(
+                     round_even(list_cosine_similarity(
                          q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS score
               FROM q CROSS JOIN embeddings e),
             topk AS (

@@ -125,6 +125,18 @@ def _rnd(acc: str, lane_ref: str) -> str:
         sql_umul_const(sql_rotl("t", 31), _XXP1))
 
 
+def _sql_utf8_bytes(expr: str) -> str:
+    """HUGEINT[] of a VARCHAR's UTF-8 bytes via hex(encode(..)) digit
+    pairs — the ONE place raw bytes enter the SQL kernels (xxh64 and the
+    winnowing Rabin-Karp both build on it)."""
+    byte_i = ("(strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16"
+              " + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)")
+    return let(
+        "hx", f"hex(encode({expr}))",
+        f"list_transform(range(1, length(hx) // 2 + 1),"
+        f" i -> ({byte_i})::HUGEINT)")
+
+
 def sql_xxh64_utf8(expr: str, seed: int = 42) -> str:
     """XXH64 of a VARCHAR's UTF-8 bytes as SIGNED BIGINT — bit parity with
     Spark ``xxhash64(col)`` / ``kernel.xxh64_bytes`` at the same seed.
@@ -133,12 +145,7 @@ def sql_xxh64_utf8(expr: str, seed: int = 42) -> str:
     stripe / 8-byte / 4-byte / byte tails as list_reduce with the initial
     accumulator prepended (DuckDB 1.0 list_reduce takes no init argument).
     """
-    byte_i = ("(strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16"
-              " + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)")
-    bytes_list = let(
-        "hx", f"hex(encode({expr}))",
-        f"list_transform(range(1, length(hx) // 2 + 1),"
-        f" i -> ({byte_i})::HUGEINT)")
+    bytes_list = _sql_utf8_bytes(expr)
 
     # -- stripe loop (n >= 32): acc struct (v1..v4); elements carry the
     #    stripe base offset in v1 (list_reduce needs uniform element type)
@@ -283,9 +290,9 @@ def _simhash_pairs_parts(table: str, id_col: str, text_col: str, *,
         {_simhash_ctes(table, id_col, text_col)},
         shifted AS (
           SELECT doc, sim, band_idx,
-                 (sim // (CASE band_idx {" ".join(
-                     f"WHEN {i} THEN {(1 << (width * i))}::HUGEINT"
-                     for i in range(bands))} END)) % {1 << width}
+                 (sim >> (CASE band_idx {" ".join(
+                     f"WHEN {i} THEN {width * i}"
+                     for i in range(bands))} END)) & {(1 << width) - 1}
                  AS band_val
           FROM packed, (VALUES {band_rows}) v(band_idx)
         ),
@@ -345,7 +352,7 @@ def _shingle_ctes(table: str, id_col: str, text_col: str,
     """
 
 
-def oracle_minhash_near_dups(table: str = "documents",
+def _minhash_pairs_parts(table: str = "documents",
                              id_col: str = "doc_id",
                              text_col: str = "text", *,
                              shingle_n: int = 3, num_perm: int = 128,
@@ -353,8 +360,11 @@ def oracle_minhash_near_dups(table: str = "documents",
                              band_seed: int = 7,
                              max_bucket_size: int = 1000,
                              threshold: float = 0.5) -> str:
-    """LSH candidate pairs -> exact-Jaccard-verified (id_a, id_b, jaccard)
-    — the full minhash_candidate_pairs + ngram_jaccard_pairs pipeline of
+    """(with-chain, final-select) parts of the LSH candidate ->
+    exact-Jaccard-verified pipeline — parts (like _simhash_pairs_parts) so
+    composing oracles extend the chain with NAMED CTEs instead of string
+    surgery on rendered SQL. The full minhash_candidate_pairs +
+    ngram_jaccard_pairs pipeline of
     operators/dedup.py, bit for bit: permutation seeds folded to literals
     (mix64((j+1) * golden ^ seed)), signature slot = min over shingles of
     mix64(shu ^ seed_j), band hash = mix64-fold over the band's slots from
@@ -372,8 +382,8 @@ def oracle_minhash_near_dups(table: str = "documents",
     # faster than per-row let-lists
     z1 = sql_umul_const(sql_xor_shr("z0", 30), _SM1)
     z2 = sql_umul_const(sql_xor_shr("z1", 27), _SM2)
-    return f"""
-        WITH {_shingle_ctes(table, id_col, text_col, shingle_n)},
+    chain = f"""
+        {_shingle_ctes(table, id_col, text_col, shingle_n)},
         seeds AS (SELECT * FROM (VALUES {seed_rows}) t(pi, sd)),
         pre AS MATERIALIZED (SELECT doc, pi, xor(shu, sd) AS z0
                 FROM shv CROSS JOIN seeds),
@@ -412,9 +422,28 @@ def oracle_minhash_near_dups(table: str = "documents",
           JOIN dsh da ON da.doc = id_a
           JOIN dsh db ON db.doc = id_b
         )
+    """
+    final = f"""
         SELECT id_a, id_b, jaccard FROM scored
         WHERE jaccard >= {threshold}
     """
+    return chain, final
+
+
+def oracle_minhash_near_dups(table: str = "documents",
+                             id_col: str = "doc_id",
+                             text_col: str = "text", *,
+                             shingle_n: int = 3, num_perm: int = 128,
+                             bands: int = 32, seed: int = 42,
+                             band_seed: int = 7,
+                             max_bucket_size: int = 1000,
+                             threshold: float = 0.5) -> str:
+    """Verified near-dup pairs (see _minhash_pairs_parts)."""
+    chain, final = _minhash_pairs_parts(
+        table, id_col, text_col, shingle_n=shingle_n, num_perm=num_perm,
+        bands=bands, seed=seed, band_seed=band_seed,
+        max_bucket_size=max_bucket_size, threshold=threshold)
+    return f"WITH {chain} {final}"
 
 
 def oracle_winnow_fingerprint_counts(table: str = "documents",
@@ -428,12 +457,7 @@ def oracle_winnow_fingerprint_counts(table: str = "documents",
     folded to literals), mix64, sliding-window min, distinct."""
     base = ((0x100000001B3 ^ _mix64_int(seed)) | 1) % _M64
     powers = [pow(base, k - 1 - j, _M64) for j in range(k)]
-    byte_i = ("(strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16"
-              " + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)")
-    bytes_list = let(
-        "hx", f"hex(encode({text_col}))",
-        f"list_transform(range(1, length(hx) // 2 + 1),"
-        f" i -> ({byte_i})::HUGEINT)")
+    bytes_list = _sql_utf8_bytes(text_col)
     poly = "((" + " + ".join(
         f"((b[i + {j + 1}] * {p}) & {_M64 - 1})" for j, p in enumerate(powers)
     ) + f") & {_M64 - 1})"
@@ -475,16 +499,12 @@ def oracle_minhash_dedup_survivors(table: str = "documents",
     transitive closure, so single-link clusters keep exactly their minimum
     id (the fixpoint contract of operators/dedup.py minhash_dedup +
     connected_min_ids)."""
-    pairs_sql = oracle_minhash_near_dups(
+    chain, _final = _minhash_pairs_parts(
         table, id_col, text_col, shingle_n=shingle_n, num_perm=num_perm,
         bands=bands, seed=seed, band_seed=band_seed,
         max_bucket_size=max_bucket_size, threshold=threshold)
-    # splice the pair pipeline's WITH-chain into a RECURSIVE closure
-    body = pairs_sql.strip()
-    assert body.upper().startswith("WITH")
-    with_chain, _final_select = body[4:].rsplit("SELECT id_a, id_b", 1)
     return f"""
-        WITH RECURSIVE {with_chain.rstrip()},
+        WITH RECURSIVE {chain},
         verified AS (SELECT id_a, id_b FROM scored
                      WHERE jaccard >= {threshold}),
         edges AS (SELECT id_a AS src, id_b AS dst FROM verified
@@ -836,7 +856,7 @@ def oracle_rademacher_ann(*, num_planes: int = 6, dim: int = 64,
                  FROM pb JOIN sig c ON pb.bucket = c.bucket),
         scored AS (
           SELECT cand.query_id, cand.vec_id,
-                 round(list_cosine_similarity(qe.e, ce.e), 6) AS score
+                 round_even(list_cosine_similarity(qe.e, ce.e), 6) AS score
           FROM cand JOIN vecs qe ON qe.vec_id = cand.query_id
                     JOIN vecs ce ON ce.vec_id = cand.vec_id)
         SELECT CAST(query_id AS INT) AS query_id, vec_id, score,
