@@ -587,40 +587,60 @@ def q_embed_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the RHP/IVF near-dup paths are measured against; hash-checked vs a
     DuckDB cross-join oracle). Distributed shape: broadcast the (n, d)
     corpus block once, one GEMM per partition, prefilter at score >= 0.3
-    (also in the oracle, so results are identical), global top-50 on the
-    ROUNDED score with full (id_a, id_b) tie-break."""
+    (also in the oracle, so results are identical), PER-PARTITION top-50
+    partial (inside the scoring pass — zero extra shuffle), then global
+    top-50 on the ROUNDED score with full (id_a, id_b) tie-break. The
+    single-task global window only ever sees <= 50 * num_partitions rows,
+    never the full surviving-pair set (VERDICT r04 #3)."""
     import numpy as np
     import pandas as pd
 
-    from fastbloom_spark.operators.similarity import _normalize_rows
+    from fastbloom_spark.operators.similarity import (_normalize_rows,
+                                                      _vectors_from_series)
 
     emb = _read(spark, sf_dir, "embeddings")
-    rows = sorted((r.vec_id, r.embedding) for r in emb.collect())
-    ids_np = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = _normalize_rows(np.array([r[1] for r in rows], dtype=np.float64))
+    # corpus block to the driver via Arrow (toPandas), not py4j collect —
+    # binary/array columns through collect() are the documented slow path
+    corpus_pd = emb.select("vec_id", "embedding").toPandas() \
+        .sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+    ids_np = corpus_pd["vec_id"].to_numpy(np.int64)
+    dim = len(corpus_pd["embedding"].iloc[0]) if len(corpus_pd) else 0
+    mat = _normalize_rows(_vectors_from_series(corpus_pd["embedding"], dim))
     sc = spark.sparkContext
     corpus_bc = sc.broadcast((ids_np, mat))
-    dim = mat.shape[1]
 
     def pair_scores(batches):
         ids_all, m_all = corpus_bc.value
         from fastbloom_spark.operators.similarity import (
             _normalize_rows as nr, _vectors_from_series as vs)
+        acc = []
         for pdf in batches:
             part = nr(vs(pdf["embedding"], dim))
             part_ids = pdf["vec_id"].to_numpy(np.int64)
             scores = part @ m_all.T  # (batch, n)
             # loose unrounded prefilter; the EXACT cut happens on the
-            # rounded score below so the boundary matches the oracle
+            # rounded score (same rounding as the oracle) below
             r_idx, c_idx = np.nonzero(
                 (scores >= 0.2999) & (part_ids[:, None] < ids_all[None, :]))
             if r_idx.size == 0:
                 continue
-            yield pd.DataFrame({
+            acc.append(pd.DataFrame({
                 "id_a": part_ids[r_idx],
                 "id_b": ids_all[c_idx],
                 "score": np.round(scores[r_idx, c_idx], 6),
-            })
+            }))
+        if not acc:
+            return
+        # per-partition partial top-k in the SAME total order as the global
+        # window (rounded score desc, then ids asc): the global top-50 is a
+        # subset of the union of per-partition top-50s, so the cut is exact
+        allp = pd.concat(acc, ignore_index=True)
+        allp = allp[allp["score"] >= 0.3]
+        allp = allp.sort_values(
+            ["score", "id_a", "id_b"], ascending=[False, True, True],
+            kind="mergesort").head(50)
+        if len(allp):
+            yield allp
 
     pairs = emb.select("vec_id", "embedding").mapInPandas(
         pair_scores, "id_a long, id_b long, score double") \

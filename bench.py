@@ -25,6 +25,30 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CODE_ROWS = int(os.environ.get("BENCH_ROWS", "4000000"))
 SEED = 42
 
+# Baseline best-seconds per headline row (BENCH/BASELINE.md). The in-harness
+# attribution rule (VERDICT r04 #1): any row whose best-of exceeds 1.3x its
+# baseline after the scheduled runs gets up to 2 extra runs before being
+# recorded — a contention window then shows up as one fast late run, while a
+# real regression stays slow across a now-wide spread. Envelope rows use the
+# envelope's low end so the rule errs toward re-measuring.
+BASELINE_BEST = {
+    "bloom_build_merge": 1.37,
+    "bloom_build_block64": 1.26,
+    "bloom_probe": 0.73,
+    "bloom_probe_block64": 0.78,
+    "digest_scan_sha256": 0.39,
+    "digest_scan_xxh64": 0.11,
+    "bloom_build_xxh64": 1.13,
+    "bloom_agg_per_lang": 2.5,
+    "bloom_semijoin": 1.5,
+    "hll_distinct": 2.2,
+    "cms_heavy_hitters": 2.2,
+    "tdigest_price": 2.2,
+    "minhash_dedup": 9.5,
+    "cosine_topk": 0.5,
+    "q1_pricing": 2.2,
+}
+
 
 def make_spark(cpus: int):
     import os
@@ -36,6 +60,24 @@ def make_spark(cpus: int):
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def _dedup_pairs_count(df) -> int:
+    """Full near-dup pipeline (LSH candidates + exact Jaccard verify),
+    owning the candidate cache: ngram_jaccard_pairs persists the caller's
+    candidates frame (it feeds three plan branches) and documents that the
+    caller must unpersist — without the try/finally each timing run would
+    leak a cached candidate frame into executor storage for the rest of
+    the bench session (ADVICE r04)."""
+    from fastbloom_spark.operators.dedup import (minhash_candidate_pairs,
+                                                 ngram_jaccard_pairs)
+    cand = minhash_candidate_pairs(df, "doc_id", "text", num_perm=128,
+                                   bands=32, seed=SEED)
+    try:
+        return ngram_jaccard_pairs(
+            cand, df, "doc_id", "text", threshold=0.5).count()
+    finally:
+        cand.unpersist()
 
 
 def bench_queries(spark) -> tuple[dict, dict, dict]:
@@ -63,13 +105,27 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
         runs_log.setdefault(name, []).append(round(dt, 3))
         times[name] = min(runs_log[name])
 
-    def timed(name, fn, runs: int = 1):
+    def retry_if_slow(name, fn, retries: int = 2):
+        """BASELINE_BEST attribution rule: best > 1.3x baseline after the
+        scheduled runs -> up to `retries` extra runs in-harness."""
+        base = BASELINE_BEST.get(name)
+        out = None
+        while (base is not None and times.get(name, 0.0) > 1.3 * base
+               and retries > 0):
+            t0 = time.perf_counter()
+            out = fn()
+            record(name, time.perf_counter() - t0)
+            retries -= 1
+        return out
+
+    def timed(name, fn, runs: int = 2):
         out = None
         for _ in range(runs):
             t0 = time.perf_counter()
             out = fn()
             record(name, time.perf_counter() - t0)
-        return out
+        r = retry_if_slow(name, fn)
+        return out if r is None else r
 
     # warm the JVM, the Arrow path, and the Python UDF workers (worker
     # spawn + numpy/pandas imports are one-time costs irrelevant to
@@ -108,6 +164,10 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
             t0 = time.perf_counter()
             bloom_blk = bloom_build(code, "content", blk_cfg)
             record("bloom_build_block64", time.perf_counter() - t0)
+    retry_if_slow("bloom_build_merge",
+                  lambda: bloom_build(code, "content", cfg))
+    retry_if_slow("bloom_build_block64",
+                  lambda: bloom_build(code, "content", blk_cfg))
     facts["bloom_build_rows"] = n_code
     facts["bloom_build_mrows_per_s"] = round(
         n_code / times["bloom_build_merge"] / 1e6, 3)
@@ -197,12 +257,7 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
 
     # training-data pipeline anchors: near-dup dedup + similarity search
     docs = read("documents")
-    from fastbloom_spark.operators.dedup import (minhash_candidate_pairs,
-                                                 ngram_jaccard_pairs)
-    timed("minhash_dedup", lambda: ngram_jaccard_pairs(
-        minhash_candidate_pairs(docs, "doc_id", "text", num_perm=128,
-                                bands=32, seed=SEED),
-        docs, "doc_id", "text", threshold=0.5).count(), runs=2)
+    timed("minhash_dedup", lambda: _dedup_pairs_count(docs), runs=2)
     facts["minhash_docs"] = docs.count()
 
     import numpy as np
@@ -211,16 +266,21 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
     emb = read("embeddings")
     qvecs = np.array([r.embedding for r in
                       emb.filter("vec_id < 8").collect()], dtype=np.float64)
+    cosine_topk(emb, "vec_id", "embedding", qvecs, k=10).count()  # warm
     timed("cosine_topk", lambda: cosine_topk(
-        emb, "vec_id", "embedding", qvecs, k=10).count())
+        emb, "vec_id", "embedding", qvecs, k=10).count(), runs=2)
     facts["ann_corpus_rows"] = emb.count()
 
     # classic aggregation anchor (pure Catalyst)
-    timed("q1_pricing", lambda: lineitem.filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
-        .collect())
+    def q1():
+        return lineitem.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02")) \
+            .groupBy("l_returnflag", "l_linestatus") \
+            .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*")) \
+            .collect()
+
+    q1()  # warm (scan cache + codegen)
+    timed("q1_pricing", q1, runs=2)
 
     # data-skipping index: point lookup through the pruned path vs the
     # full scan. At bench scale the wall-clock gap is noise (one small
@@ -282,8 +342,6 @@ def soak_10x(spark, times: dict, facts: dict) -> dict:
 
     from fastbloom_spark import BloomConfig
     from fastbloom_spark.operators import bloom_agg, bloom_build
-    from fastbloom_spark.operators.dedup import (minhash_candidate_pairs,
-                                                 ngram_jaccard_pairs)
     from fastbloom_spark.sources import synth_code_table
     from fastbloom_spark.sources.index import bucket_col
 
@@ -370,13 +428,7 @@ def soak_10x(spark, times: dict, facts: dict) -> dict:
     docs10 = docs10.persist()
     nd10 = docs10.count()
 
-    def dedup_pairs(df):
-        return ngram_jaccard_pairs(
-            minhash_candidate_pairs(df, "doc_id", "text", num_perm=128,
-                                    bands=32, seed=SEED),
-            df, "doc_id", "text", threshold=0.5).count()
-
-    t_mh = min(once(lambda: dedup_pairs(docs10)) for _ in range(2))
+    t_mh = min(once(lambda: _dedup_pairs_count(docs10)) for _ in range(2))
     docs10.unpersist()
     out["minhash_docs_10x"] = nd10
     out["minhash_kdocs_per_s_10x"] = round(nd10 / t_mh / 1e3, 3)

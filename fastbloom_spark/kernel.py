@@ -367,6 +367,12 @@ def exact_int64(series, what: str) -> "np.ndarray":
     if dt == "int64":
         return series.to_numpy(np.int64, copy=False)
     if dt == "Int64":
+        if series.isna().any():
+            raise ValueError(
+                f"{what} reached the kernel with NULLs in a nullable Int64 "
+                "batch: 64-bit digests cannot carry a missing value. Filter "
+                "NULL values/digests out upstream so the column stays "
+                "non-null int64.")
         return series.astype(np.int64).to_numpy(np.int64, copy=False)
     f = series.to_numpy(np.float64, copy=False)
     if np.any(np.isnan(f)) or np.any(np.abs(f) >= 2.0 ** 53):

@@ -113,9 +113,29 @@ class HllSketch:
         return struct.pack(self._HEADER, _MAGIC, self.p,
                            self.seed & ((1 << 64) - 1)) + regs.tobytes()
 
+    @staticmethod
+    def _check_legacy(b: bytes) -> None:
+        """Raise a naming diagnostic for pre-seed-header buffers.
+
+        The original layout was (magic, p, regs) = 2 + 2^p bytes; the current
+        layout inserted a u64 seed after p (same magic, no version byte).
+        A legacy buffer would otherwise fail with a generic message or a
+        misleading seed-mismatch — detect its exact length and say so.
+        """
+        if len(b) >= 2 and b[0] == _MAGIC:
+            p = b[1]
+            if 4 <= p <= 18 and len(b) == 2 + (1 << p):
+                raise ValueError(
+                    "legacy HLL buffer (layout: magic, p, registers — no seed "
+                    "header): the format changed to (magic, p, u64 seed LE, "
+                    "registers) so merges can refuse cross-seed mixing. "
+                    "Re-build the sketch, or migrate by inserting 8 bytes of "
+                    "the build seed (LE) after the first 2 header bytes.")
+
     def deserialize(self, buf: bytes) -> np.ndarray:
         b = bytes(buf)
         off = struct.calcsize(self._HEADER)
+        self._check_legacy(b)
         if len(b) < off:
             raise ValueError("not a compatible HLL buffer")
         magic, p, seed = struct.unpack_from(self._HEADER, b, 0)
@@ -133,6 +153,9 @@ class HllSketch:
         """(impl, registers) reconstructed from a self-describing buffer —
         the consumer-side entry (SQL UDFs) that needs no prior config."""
         b = bytes(buf)
+        cls._check_legacy(b)
+        if len(b) < struct.calcsize(cls._HEADER):
+            raise ValueError("not a compatible HLL buffer")
         magic, p, seed = struct.unpack_from(cls._HEADER, b, 0)
         if magic != _MAGIC:
             raise ValueError("not a compatible HLL buffer")

@@ -45,6 +45,8 @@ def streaming_bloom_dedup(
     state size is EXACTLY num_shards * m/8 bytes forever (the reference's
     "memory never grows" invariant, fastbloom src/lib.rs:42, carried into
     streaming). Emits the original id columns + digest64 of first-seen rows.
+    Rows whose ``value_col`` is NULL are EXCLUDED from the output (NULL
+    carries no identity), matching the batch paths.
     """
     if cfg.seed_drawn:
         raise ValueError(
@@ -89,8 +91,14 @@ def streaming_bloom_dedup(
                 yield out
         state.update((rows_seen, words.astype("<u8").tobytes()))
 
-    prepared = stream.withColumn(
-        "digest64", digest64(F.col(value_col), cfg.digest)) \
+    # NULL-in -> excluded: filter the RAW value column BEFORE the digest.
+    # F.xxhash64(NULL) is a non-null constant, so a digest-null filter would
+    # let every NULL row share one digest — the first would be emitted with a
+    # bogus digest and the rest silently dropped as "duplicates" (and sha256
+    # NULLs would vanish). Matches operators/bloom._prepare_digests: NULL
+    # values carry no identity and are excluded from the deduped output.
+    prepared = stream.filter(F.col(value_col).isNotNull()) \
+        .withColumn("digest64", digest64(F.col(value_col), cfg.digest)) \
         .filter(F.col("digest64").isNotNull()) \
         .withColumn("__shard",
                     F.pmod(F.col("digest64"), F.lit(num_shards)).cast("int"))
