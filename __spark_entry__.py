@@ -727,6 +727,94 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.element_at("feature", 2), 6).alias("f1"))
 
 
+def q_bmp_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec through the driver contract (VERDICT r04 #2): per
+    doc_id a deterministic (seed, id) pixel array is encoded with the
+    stdlib-only BMP encoder, decoded back via ``decode_image`` (native BMP
+    sniffing — no codec argument), and round-trip verified in the task.
+    The emitted facts are pinned by a PURE-ARITHMETIC DuckDB oracle: width/
+    height are arithmetic in id, n_bytes follows the BMP layout law
+    (54-byte headers + 4-byte-padded rows x height), and roundtrip_ok
+    asserts decode(encode(img)) == img AND encode(decode(bytes)) == bytes —
+    any codec defect flips a column and hash-mismatches."""
+    import numpy as np
+    import pandas as pd
+
+    from fastbloom_spark.functions.codecs import encode_bmp
+    from fastbloom_spark.operators.multimodal import decode_image
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 64)
+
+    def gen_verify(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + (i * 7) % 25, 8 + (i * 13) % 25
+                rng = np.random.default_rng((5 << 32) ^ i)
+                img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                enc = encode_bmp(img)
+                try:
+                    dec = decode_image(enc)
+                    ok = (dec.shape == (h, w, 3)
+                          and bool((dec == img).all())
+                          and encode_bmp(dec) == enc)
+                except Exception:
+                    ok = False
+                rows.append((i, w, h, len(enc), bool(ok)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_bytes", "roundtrip_ok"])
+
+    return docs.mapInPandas(
+        gen_verify,
+        "media_id long, width int, height int, n_bytes long, "
+        "roundtrip_ok boolean")
+
+
+def q_wav_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec through the driver contract: per doc_id a
+    deterministic 16-bit PCM buffer is encoded with the stdlib ``wave``
+    encoder, decoded back via ``decode_audio``, and round-trip verified.
+    DuckDB pins the WAV layout law (44-byte canonical PCM header + 2 bytes
+    per mono sample), the sample count arithmetic, and the duration."""
+    import numpy as np
+    import pandas as pd
+
+    from fastbloom_spark.functions.codecs import encode_wav
+    from fastbloom_spark.operators.multimodal import decode_audio
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 64)
+
+    def gen_verify(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 400 + (i * 17) % 100
+                rng = np.random.default_rng((9 << 32) ^ i)
+                samples = rng.integers(-32768, 32768, n, dtype=np.int16)
+                enc = encode_wav(samples, 8000)
+                try:
+                    rate, data = decode_audio(enc)
+                    ok = (rate == 8000 and data.shape == (n, 1)
+                          and bool((data[:, 0] == samples).all())
+                          and encode_wav(data[:, 0], rate) == enc)
+                except Exception:
+                    ok = False
+                rows.append((i, 8000, n, round(n / 8000.0, 6), len(enc),
+                             bool(ok)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_samples", "duration_s",
+                "n_bytes", "roundtrip_ok"])
+
+    return docs.mapInPandas(
+        gen_verify,
+        "media_id long, sample_rate int, n_samples long, duration_s double, "
+        "n_bytes long, roundtrip_ok boolean")
+
+
 def q_bloom_union_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union zero-FN through SQL: two disjoint-ish order-key filters are
     built separately and UNIONed (word-wise OR, the reference's merge);
@@ -1312,6 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_exact": q_jaccard_pairs_exact,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
+        "bmp_codec_roundtrip": q_bmp_codec_roundtrip,
+        "wav_codec_roundtrip": q_wav_codec_roundtrip,
         "bloom_union_semantics": q_bloom_union_semantics,
         "bloom_intersect_semantics": q_bloom_intersect_semantics,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1413,6 +1503,29 @@ def oracle_sql() -> dict[str, str]:
     return {
         "digest_parity": """
             SELECT doc_id, sha256(text) AS sha256_hex FROM documents
+        """,
+        "bmp_codec_roundtrip": """
+            -- BMP layout law, pure arithmetic: 14+40 byte headers, 24-bit
+            -- pixels, rows padded to 4 bytes; roundtrip_ok pinned TRUE
+            SELECT doc_id AS media_id,
+                   CAST(8 + (doc_id * 7) % 25 AS INT) AS width,
+                   CAST(8 + (doc_id * 13) % 25 AS INT) AS height,
+                   CAST(54 + (((8 + (doc_id * 7) % 25) * 3 + 3) // 4) * 4
+                            * (8 + (doc_id * 13) % 25) AS BIGINT) AS n_bytes,
+                   TRUE AS roundtrip_ok
+            FROM documents WHERE doc_id < 64
+        """,
+        "wav_codec_roundtrip": """
+            -- canonical PCM WAV: 44-byte header + 2 bytes per mono sample
+            SELECT doc_id AS media_id,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(400 + (doc_id * 17) % 100 AS BIGINT) AS n_samples,
+                   round((400 + (doc_id * 17) % 100) / 8000.0, 6)
+                       AS duration_s,
+                   CAST(44 + 2 * (400 + (doc_id * 17) % 100) AS BIGINT)
+                       AS n_bytes,
+                   TRUE AS roundtrip_ok
+            FROM documents WHERE doc_id < 64
         """,
         "bloom_zero_fn": """
             SELECT count(*) AS n_member FROM documents

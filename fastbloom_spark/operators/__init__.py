@@ -42,12 +42,17 @@ from .dedup import (
     winnow_near_dup_pairs,
 )
 from .multimodal import (
+    audio_features,
+    decode_audio,
+    decode_image,
     fake_codec,
     media_dedup_exact,
     media_features,
     resize_media,
     sample_frames,
+    synth_bmp_table,
     synth_media_table,
+    synth_wav_table,
 )
 from .similarity import (
     ann_topk_rhp,
@@ -77,7 +82,9 @@ __all__ += [
     "minhash_signature_col",
     "ngram_jaccard_pairs", "shingles_col", "simhash64_col", "simhash_dedup",
     "simhash_near_dup_pairs", "fake_codec", "media_dedup_exact",
-    "media_features", "synth_media_table", "ann_topk_rhp", "cosine_topk",
+    "media_features", "synth_media_table", "audio_features", "decode_audio",
+    "decode_image", "synth_bmp_table", "synth_wav_table",
+    "ann_topk_rhp", "cosine_topk",
     "embedding_dedup", "embedding_near_dup_pairs", "ivf_topk",
     "kmeans_centroids",
     "dedup_exact", "detect_lang_col", "doc_fingerprint_col",

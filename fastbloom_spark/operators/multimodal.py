@@ -5,9 +5,11 @@ struct — the layout a 100 TB multimodal corpus uses (payloads in parquet or
 object-store references, transforms as Arrow-batched UDFs over
 ``mapInPandas``). The Spark-side plumbing here — schemas, batch iteration,
 deterministic feature extraction, partition-size discipline — is real and
-tested; the codec step itself is STUBBED (no image/audio libraries in this
-container): ``decode_image`` raises ``NotImplementedError`` unless handed
-the deterministic fake codec, which is what tests and the feature path use.
+tested. The codec boundary decodes REAL formats with stdlib-only parsers
+(``functions/codecs.py``: BMP via struct+numpy, 16-bit PCM WAV via stdlib
+``wave``); ``NotImplementedError`` remains only for genuinely unsupported
+containers (PNG/JPEG/MP4 need external libraries this sandbox forbids) —
+pass a ``codec`` callable to plug one in.
 """
 
 from __future__ import annotations
@@ -19,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.codecs import (decode_bmp, decode_wav, encode_bmp,
+                                encode_wav, sniff_media)
 from ..functions.digest import sha256_hex
 
 MEDIA_SCHEMA = ("media_id long, kind string, width int, height int, "
@@ -50,14 +54,29 @@ def synth_media_table(spark, num_rows: int, *, seed: int = 42,
 def decode_image(payload: bytes, *, codec: Callable | None = None):
     """Decode a binary image payload to an HxWx3 uint8 array.
 
-    STUB: real decoding needs an image library that is not in this
-    container. Pass ``codec=fake_codec`` (deterministic bytes→pixels) to
-    exercise the full pipeline shape; otherwise this raises."""
-    if codec is None:
+    BMP (24/32-bit uncompressed) decodes natively — a real on-disk format
+    parsed with stdlib struct + numpy (``functions/codecs.py``). Other
+    containers need an external decoder: pass ``codec`` (e.g. a PIL/OpenCV
+    wrapper in a real deployment, or ``fake_codec`` for the deterministic
+    test tile); without one, unsupported formats raise."""
+    if codec is not None:
+        return codec(payload)
+    if sniff_media(payload) == "bmp":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "unsupported image container: BMP decodes natively; PNG/JPEG/... "
+        "need an external library — pass codec=<decoder> (or "
+        "codec=fake_codec for the deterministic test codec)")
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a 16-bit PCM WAV payload to (sample_rate, (n, ch) int16) —
+    stdlib ``wave``, no external dependency. Non-WAV containers raise."""
+    if sniff_media(payload) != "wav":
         raise NotImplementedError(
-            "image codecs unavailable in this environment; "
-            "pass codec=fake_codec for the deterministic test codec")
-    return codec(payload)
+            "unsupported audio container: 16-bit PCM WAV decodes natively; "
+            "other formats need an external library")
+    return decode_wav(payload)
 
 
 def fake_codec(payload: bytes, width: int = 8, height: int = 8) -> np.ndarray:
@@ -128,27 +147,34 @@ def media_features(df: DataFrame, *, feature_dim: int = 16) -> DataFrame:
 
 def resize_media(df: DataFrame, *, out_width: int = 4, out_height: int = 4,
                  codec: Callable | None = None) -> DataFrame:
-    """Decode → nearest-neighbor resize → re-encode raw RGB bytes.
+    """Decode → nearest-neighbor resize → re-encode.
 
-    The decode step is the stubbed codec boundary (pass
-    ``codec=fake_codec`` — no image libraries in this container); the
-    RESIZE itself is real vectorized numpy (strided index gather), and the
-    batch plumbing (binary in, smaller binary out, metadata updated) is
-    exactly what a real thumbnailing pass uses."""
-    if codec is None:
-        decode_image(b"")  # the ONE stub boundary raises its error here
+    With no ``codec``, payloads are decoded as REAL images via
+    :func:`decode_image` (BMP natively; other containers raise
+    ``NotImplementedError`` in the task) and re-encoded as 24-bit BMP, so
+    the output payload is itself a decodable image. With a ``codec``
+    callable (``codec(payload, width, height) -> (h, w, 3) uint8``), the
+    decoded tile is resized and emitted as RAW RGB bytes — the
+    plug-an-external-decoder path. The RESIZE is vectorized numpy (strided
+    index gather); the batch plumbing (binary in, smaller binary out,
+    metadata updated) is exactly what a real thumbnailing pass uses."""
     schema = MEDIA_SCHEMA
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payloads = []
             for b, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                img = codec(bytes(b), int(w), int(h))  # (h, w, 3) uint8
+                if codec is not None:
+                    img = codec(bytes(b), int(w), int(h))  # (h, w, 3) uint8
+                else:
+                    img = decode_image(bytes(b))
                 ys = (np.arange(out_height) * img.shape[0]
                       // out_height)
                 xs = (np.arange(out_width) * img.shape[1] // out_width)
-                small = img[ys[:, None], xs[None, :], :]
-                out_payloads.append(small.tobytes())
+                small = np.ascontiguousarray(img[ys[:, None], xs[None, :], :])
+                out_payloads.append(
+                    small.tobytes() if codec is not None
+                    else encode_bmp(small))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -159,6 +185,111 @@ def resize_media(df: DataFrame, *, out_width: int = 4, out_height: int = 4,
             })
 
     return df.mapInPandas(resize, schema)
+
+
+def synth_bmp_table(spark, num_rows: int, *, seed: int = 42,
+                    num_partitions: int | None = None) -> DataFrame:
+    """Media table whose payloads are REAL encoded 24-bit BMPs.
+
+    Pixels are a deterministic function of (seed, media_id) — a per-id
+    seeded generator, so the table is identical for every partitioning.
+    Sizes vary per row (including odd widths, which exercise the 4-byte
+    BMP row padding). Distributed: the encode runs as a mapInPandas over
+    ``spark.range``, one Arrow batch of BMPs per task."""
+    base = spark.range(0, num_rows, 1, num_partitions) if num_partitions \
+        else spark.range(num_rows)
+    schema = MEDIA_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            payloads, ws, hs = [], [], []
+            for i in ids:
+                w = 8 + (int(i) * 7) % 25    # 8..32, odd widths included
+                h = 8 + (int(i) * 13) % 25
+                rng = np.random.default_rng((seed << 32) ^ int(i))
+                img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                payloads.append(encode_bmp(img))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({
+                "media_id": ids, "kind": "image",
+                "width": np.array(ws, dtype=np.int32),
+                "height": np.array(hs, dtype=np.int32),
+                "n_bytes": np.array([len(p) for p in payloads],
+                                    dtype=np.int64),
+                "payload": payloads,
+            })
+
+    return base.mapInPandas(gen, schema)
+
+
+def synth_wav_table(spark, num_rows: int, *, seed: int = 42,
+                    sample_rate: int = 8000,
+                    num_partitions: int | None = None) -> DataFrame:
+    """Media table whose payloads are REAL 16-bit PCM WAV files: per-id
+    deterministic sine + seeded noise, mono, ~400 samples."""
+    base = spark.range(0, num_rows, 1, num_partitions) if num_partitions \
+        else spark.range(num_rows)
+    schema = MEDIA_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            payloads = []
+            for i in ids:
+                n = 400 + (int(i) * 17) % 100
+                freq = 100.0 + (int(i) % 40) * 25.0
+                t = np.arange(n) / sample_rate
+                rng = np.random.default_rng((seed << 32) ^ int(i))
+                wave_f = (0.6 * np.sin(2 * np.pi * freq * t)
+                          + 0.05 * rng.standard_normal(n))
+                payloads.append(encode_wav(
+                    np.clip(wave_f * 32767, -32768, 32767).astype(np.int16),
+                    sample_rate))
+            yield pd.DataFrame({
+                "media_id": ids, "kind": "audio",
+                "width": np.zeros(len(ids), dtype=np.int32),
+                "height": np.zeros(len(ids), dtype=np.int32),
+                "n_bytes": np.array([len(p) for p in payloads],
+                                    dtype=np.int64),
+                "payload": payloads,
+            })
+
+    return base.mapInPandas(gen, schema)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-payload audio descriptors from REAL WAV decode (stdlib wave):
+    ``(media_id, sample_rate, n_samples, duration_s, rms, zero_cross_rate)``.
+    NULL payloads yield NULL feature fields (NULL-in -> NULL-out); non-WAV
+    payloads raise in the task (filter by kind upstream)."""
+    schema = ("media_id long, sample_rate int, n_samples long, "
+              "duration_s double, rms double, zero_cross_rate double")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("sample_rate", "n_samples", "duration_s",
+                                   "rms", "zero_cross_rate")}
+            for b in pdf["payload"]:
+                if b is None:
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                rate, data = decode_audio(bytes(b))
+                mono = data.mean(axis=1)
+                n = len(mono)
+                zc = float(np.mean(np.signbit(mono[1:])
+                                   != np.signbit(mono[:-1]))) if n > 1 else 0.0
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_s"].append(round(n / rate, 6))
+                out["rms"].append(round(float(
+                    np.sqrt(np.mean(mono.astype(np.float64) ** 2))), 6))
+                out["zero_cross_rate"].append(round(zc, 6))
+            yield pd.DataFrame({"media_id": pdf["media_id"], **out})
+
+    return df.mapInPandas(extract, schema)
 
 
 def sample_frames(df: DataFrame, *, frame_bytes: int = 32,

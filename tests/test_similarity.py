@@ -160,12 +160,18 @@ def test_media_table_and_features(spark):
     assert a == b
 
 
-def test_decode_stub_contract(spark):
+def test_decode_codec_contract(spark):
+    # non-BMP bytes with no codec: honestly unsupported -> raises
     payload = b"\x01\x02\x03" * 50
     with pytest.raises(NotImplementedError):
         decode_image(payload)
+    # pluggable codec path unchanged
     img = decode_image(payload, codec=fake_codec)
     assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+    # real BMP decodes natively, no codec needed
+    from fastbloom_spark.functions.codecs import encode_bmp
+    real = np.arange(9 * 7 * 3, dtype=np.uint8).reshape(9, 7, 3)
+    assert (decode_image(encode_bmp(real)) == real).all()
 
 
 def test_media_dedup_exact(spark):
@@ -232,10 +238,12 @@ def test_resize_media_shapes_and_determinism(spark):
     again = {r.media_id: bytes(r.payload) for r in resize_media(
         media, out_width=4, out_height=4, codec=fake_codec).collect()}
     assert all(bytes(r.payload) == again[r.media_id] for r in rows)
-    # stub contract: no codec -> NotImplementedError
+    # codec-less path decodes real containers only: the synthetic sha-chain
+    # payloads are not BMPs, so the task raises the honest unsupported-format
+    # error (Spark surfaces worker exceptions as PythonException)
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        resize_media(media)
+    with _pytest.raises(Exception, match="unsupported image container"):
+        resize_media(media).collect()
 
 
 def test_sample_frames_jvm_plumbing(spark):
