@@ -57,6 +57,23 @@ FILE_COL = "file_path"
 #: {path}/zones.
 VERSIONS_DIR = "index_versions"
 COMMIT_MARKER = "_COMMITTED"
+#: create-exclusive writer claim, created FIRST inside a fresh version dir:
+#: two concurrent publishers that both allocate v<N+1> race on this one
+#: file-create and exactly one loses — loudly (ConcurrentIndexWriteError)
+CLAIM_MARKER = "_CLAIM"
+
+
+class ConcurrentIndexWriteError(RuntimeError):
+    """A second writer tried to publish the same index version. Index
+    publishes are single-writer: the loser must retry (re-list, re-build
+    over current data) or the deployment should move to a table format
+    with a real multi-writer commit protocol."""
+
+
+#: uncommitted version dirs younger than this are presumed in-flight and
+#: never GC'd (a slower concurrent claimer may still be writing); older
+#: ones are crashed publishes and are collected at the next commit
+STALE_UNCOMMITTED_TTL_MS = 24 * 3600 * 1000
 
 
 @dataclass(frozen=True)
@@ -186,32 +203,83 @@ def _resolve_index_root(spark: SparkSession, path: str) -> tuple[str, str]:
         "index: re-run write_indexed_table/compact_indexed_table")
 
 
+def _claim_index_version(spark: SparkSession, path: str) -> tuple[int, str]:
+    """Allocate the next index version and take its create-exclusive
+    writer claim; returns (version, vdir). Writers that stage expensive
+    or externally-visible work (append's data write) claim FIRST so a
+    losing racer exits before writing anything."""
+    versions = _list_versions(spark, path)
+    next_v = (versions[-1][0] + 1) if versions else 1
+    vdir = _version_dir(path, next_v)
+    fs, claim = _hadoop_fs(spark, f"{vdir}/{CLAIM_MARKER}")
+    if fs.exists(claim):
+        raise ConcurrentIndexWriteError(
+            f"index version v{next_v} at {path} is already claimed by "
+            "another writer — concurrent index publishes are single-winner; "
+            "retry after the other publish commits (or crashes and is GC'd)")
+    try:
+        fs.create(claim, False).close()  # overwrite=False: atomic loser
+    except Exception as e:
+        raise ConcurrentIndexWriteError(
+            f"could not claim index version v{next_v} at {path} (a "
+            "concurrent writer won the create-exclusive race, or the "
+            "filesystem refused the claim create)") from e
+    return next_v, vdir
+
+
 def _publish_index_version(spark: SparkSession, path: str,
-                           write_fn) -> str:
+                           write_fn, *,
+                           claimed: tuple[int, str] | None = None) -> str:
     """Atomic-for-readers publish: write the full sidecar set into a fresh
     version dir via ``write_fn(vdir)``, create the commit marker LAST, then
     garbage-collect. Readers resolving during the publish see the previous
     committed version; a crash leaves an uncommitted dir that readers
-    ignore and the next publish GCs. Concurrent WRITERS are still
-    single-writer (two simultaneous publishes can allocate the same
-    version number) — same contract as bare-parquet appends; use a table
-    format's commit protocol when multiple writers are real."""
-    versions = _list_versions(spark, path)
-    next_v = (versions[-1][0] + 1) if versions else 1
-    vdir = _version_dir(path, next_v)
+    ignore and the next publish GCs.
+
+    Single-writer is ENFORCED, not just documented: the first write into a
+    fresh version dir is a create-exclusive ``_CLAIM`` file. Two
+    simultaneous publishers that both allocate v<N+1> race on that one
+    create and exactly one loses with :class:`ConcurrentIndexWriteError` —
+    the committed table + index stay consistent (the loser wrote nothing).
+    A publisher that lists AFTER the claim exists allocates v<N+2> and
+    proceeds — sequential versions, each internally consistent, with the
+    data-fingerprint witness still refusing index/data mismatches at read
+    time. A crashed claimer leaves an uncommitted dir that never blocks
+    (successors allocate past it) and is GC'd by the next commit."""
+    if claimed is None:
+        claimed = _claim_index_version(spark, path)
+    next_v, vdir = claimed
     write_fn(vdir)
     fs, marker = _hadoop_fs(spark, f"{vdir}/{COMMIT_MARKER}")
     fs.create(marker, False).close()
     # GC: keep the new version plus the previous committed one (readers
     # that resolved just before the flip may still be scanning it); drop
-    # older committed versions and every stale uncommitted attempt.
+    # older committed versions. UNCOMMITTED dirs are GC'd only past a
+    # generous age TTL: with sequential-version interleave a faster
+    # publisher can commit while a slower claimer is still writing its
+    # own dir — deleting every uncommitted dir here would yank that
+    # in-flight publish out from under its writer. Crashed claims linger
+    # for the TTL (readers ignore them; version allocation skips past).
     # One listing serves both decisions (each listing is a listStatus +
     # per-dir marker RPC — doubled publish-tail latency on object stores)
+    import time as _time
+
     after = _list_versions(spark, path)
     committed = [v for v, ok in after if ok]
     keep = set(committed[-2:])
+    now_ms = int(_time.time() * 1000)
     for v, ok in after:
-        if v not in keep and (ok or v < next_v):
+        if v in keep:
+            continue
+        if ok:
+            _delete_dir(spark, _version_dir(path, v))
+            continue
+        try:
+            fs_v, vpath = _hadoop_fs(spark, _version_dir(path, v))
+            mtime = fs_v.getFileStatus(vpath).getModificationTime()
+        except Exception:
+            continue  # raced with its own writer/GC — leave it alone
+        if now_ms - mtime > STALE_UNCOMMITTED_TTL_MS:
             _delete_dir(spark, _version_dir(path, v))
     return vdir
 
@@ -1238,6 +1306,11 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
     meta = _read_index_meta(index_pdf)
     num_buckets, bucket_source = meta.num_buckets, meta.bucket_source
 
+    # claim the index version BEFORE touching the data dir: a concurrent
+    # appender loses here loudly having written NOTHING — the committed
+    # table + index stay exactly as they were
+    claimed = _claim_index_version(spark, path)
+
     before = set(spark.read.parquet(f"{path}/data").inputFiles())
     bucketed = df_new.withColumn(BUCKET_COL, bucket_col(bucket_source,
                                                         num_buckets))
@@ -1247,6 +1320,7 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
     new_files = [f for f in spark.read.parquet(f"{path}/data").inputFiles()
                  if f not in before]
     if not new_files:
+        _delete_dir(spark, claimed[1])  # release the unused claim
         return
     written_new = spark.read.option("basePath", f"{path}/data") \
         .parquet(*new_files)
@@ -1329,7 +1403,7 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
         if rg_union is not None:
             rg_union.write.mode("overwrite").parquet(f"{vdir}/rgbloom")
 
-    _publish_index_version(spark, path, publish)
+    _publish_index_version(spark, path, publish, claimed=claimed)
     if bloom_dir == f"{path}/index":
         # first versioned publish over a legacy table: the in-place layout
         # is now stale — drop it so resolution can never fall back to it
@@ -1584,3 +1658,38 @@ def publish_index_filter_sql(spark: SparkSession, path: str, name: str,
     from ..sql import publish_bloom_sql
 
     return publish_bloom_sql(spark, name, index_filter(spark, path, on=on))
+
+
+def register_pruned_view(spark: SparkSession, path: str,
+                         probe_values: Sequence, view_name: str, *,
+                         on: str | None = None, exact: bool = True,
+                         granularity: str = "bucket",
+                         handle: "IndexHandle | None" = None) -> PruneStats:
+    """SQL access to FILE/ROW-GROUP skipping (not just membership): resolve
+    the index probe driver-side and register the pruned scan as a temp
+    view, so pure SQL reads ONLY surviving buckets / row groups::
+
+        register_pruned_view(spark, "/tbl/docs", [text], "docs_hit")
+        spark.sql("SELECT doc_id FROM docs_hit WHERE lang = 'en'")
+
+    ``bloom_probe_bc`` (:func:`publish_index_filter_sql`) answers pure-SQL
+    MEMBERSHIP without touching data; this is the complementary path that
+    carries the index's data-skipping into SQL — the view's plan lists
+    only surviving bucket directories (``PartitionFilters``, granularity
+    ``"bucket"``) or decodes only surviving granules (``"rowgroup"``,
+    via the rgbloom sidecar). Zero-FN law unchanged: every row matching a
+    probe value is in the view. Pass a loaded :class:`IndexHandle` to
+    amortize the index load across registrations. Returns the
+    :class:`PruneStats` so callers can log the skipped fraction."""
+    h = handle if handle is not None else IndexHandle(spark, path)
+    if granularity == "bucket":
+        df, stats = h.pruned_read(probe_values, on=on, exact=exact)
+    elif granularity == "rowgroup":
+        df, stats = h.pruned_read_row_groups(probe_values, on=on,
+                                             exact=exact)
+    else:
+        raise ValueError(
+            f"granularity must be 'bucket' or 'rowgroup', got "
+            f"{granularity!r}")
+    df.createOrReplaceTempView(view_name)
+    return stats

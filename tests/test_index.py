@@ -649,6 +649,68 @@ def test_gc_bounds_retained_versions(spark, docs, tmp_path):
     assert len(versions) == 2, versions
 
 
+def test_concurrent_publish_single_writer_loses_loudly(spark, docs,
+                                                       tmp_path,
+                                                       monkeypatch):
+    """Two concurrent appenders racing for the same index version: the
+    create-exclusive _CLAIM file makes exactly one lose with
+    ConcurrentIndexWriteError BEFORE writing anything, and the committed
+    table + index stay consistent (VERDICT r04 #4). The race window —
+    both writers LIST versions before either's claim is visible — is
+    emulated by pinning writer B's listing to the pre-claim state (a
+    sequential second claimer would instead allocate past A's visible
+    claim dir and proceed at v3, which the tail of this test verifies)."""
+    import os
+
+    import fastbloom_spark.sources.index as idx
+    from fastbloom_spark.sources import (ConcurrentIndexWriteError,
+                                         append_to_indexed_table)
+    from fastbloom_spark.sources.index import (CLAIM_MARKER, VERSIONS_DIR,
+                                               _resolve_index_root)
+
+    path = str(tmp_path / "race")
+    write_indexed_table(docs.filter("doc_id < 300"), path, index_col="text",
+                        cfg=CFG, bucket_source="doc_id", num_buckets=8)
+    bloom_v1, _ = _resolve_index_root(spark, path)
+
+    # writer A has listed versions and claimed v2 but not yet committed —
+    # emulate its footprint: the claim file exists, nothing else does
+    v2_dir = f"{path}/{VERSIONS_DIR}/v{2:010d}"
+    os.makedirs(v2_dir)
+    open(f"{v2_dir}/{CLAIM_MARKER}", "x").close()
+
+    # writer B raced: its version listing predates A's claim, so it also
+    # allocates v2 -> must lose loudly at the create-exclusive claim
+    real_list = idx._list_versions
+    monkeypatch.setattr(
+        idx, "_list_versions",
+        lambda sp, p: [(v, ok) for v, ok in real_list(sp, p) if v < 2])
+    with pytest.raises(ConcurrentIndexWriteError, match="already claimed"):
+        append_to_indexed_table(docs.filter("doc_id >= 300"), path)
+    monkeypatch.setattr(idx, "_list_versions", real_list)
+
+    # the loser claimed BEFORE touching the data dir, so it wrote NOTHING:
+    # data row count unchanged, committed index untouched and serving,
+    # writer A's in-flight (young) claim dir intact
+    assert _resolve_index_root(spark, path)[0] == bloom_v1
+    assert os.path.exists(f"{v2_dir}/{CLAIM_MARKER}")
+    assert spark.read.parquet(f"{path}/data").count() \
+        == docs.filter("doc_id < 300").count()
+    probes = member_texts(docs)
+    got, _ = pruned_read(spark, path, probes)
+    got.count()  # index still fresh — pruning serves normally
+
+    # a writer with a FRESH listing sees A's uncommitted v2 and allocates
+    # past it: a dangling claim never blocks successors (crashed claimers
+    # are GC'd by age, not waited on)
+    append_to_indexed_table(docs.filter("doc_id >= 300"), path)
+    bloom_v3, _ = _resolve_index_root(spark, path)
+    assert "v0000000003" in bloom_v3
+    assert os.path.exists(f"{v2_dir}/{CLAIM_MARKER}")  # young: not GC'd
+    got, _ = pruned_read(spark, path, probes)
+    assert got.count() >= 1
+
+
 def test_crashed_overwrite_fails_loudly(spark, docs, tmp_path):
     """A crash between overwrite's index delete and the new publish leaves
     NO resolvable index — readers get a loud 'no committed bloom index'
