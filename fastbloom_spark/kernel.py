@@ -422,6 +422,39 @@ def decode_words(buf: bytes, copy: bool = True) -> np.ndarray:
     return arr.astype(U64) if copy else arr.view(U64)
 
 
+def encode_state(raw: bytes, level: int = 1) -> bytes:
+    """Transport envelope for ANY serialized sketch state (the generic
+    sibling of :func:`encode_words`, VERDICT r04 #6): near-empty partial
+    states (HLL registers, CMS counters of a group seen on one partition)
+    are overwhelmingly zero bytes, so a cheap zlib pass shrinks the
+    map-side shuffle from 2^p bytes per (group, partition) to KBs at high
+    group counts. Tags: ``R`` = raw payload follows, ``Z`` = zlib. The
+    sketch impls' own magic bytes (H/C/K/T) never collide with the tags,
+    so :func:`decode_state` can pass bare impl buffers through untouched —
+    final outputs stay in each sketch's canonical self-describing format.
+    """
+    if len(raw) >= 1024:
+        z = zlib.compress(raw, level)
+        # keep zlib only when genuinely sparse (>=3x): at real density the
+        # merge-side decompress cost exceeds the transport saving
+        if len(z) * 3 < len(raw):
+            return _TAG_ZLIB + z
+    return _TAG_RAW + raw
+
+
+def decode_state(buf: bytes) -> bytes:
+    """Inverse of :func:`encode_state`; bare (un-enveloped) impl buffers
+    pass through unchanged, so merge surfaces accept both partial rows
+    (enveloped) and final sketch rows (canonical format)."""
+    b = bytes(buf)
+    tag = b[:1]
+    if tag == _TAG_ZLIB:
+        return zlib.decompress(b[1:])
+    if tag == _TAG_RAW:
+        return b[1:]
+    return b
+
+
 def words_to_longs(words: np.ndarray) -> list[int]:
     """Words as signed int64 list (checkpoint column ``words: array<long>``)."""
     return words.view(np.int64).tolist()

@@ -312,7 +312,7 @@ def bloom_agg(
     fanin: int = 16,
     strategy: str = "auto",
     distinct_keys_hint: int | None = None,
-    salt: int = 1,
+    salt: int | str = 1,
 ) -> DataFrame:
     """Grouped Bloom aggregation: one sketch row per distinct key tuple.
 
@@ -343,6 +343,9 @@ def bloom_agg(
     OR-merge per key reassembles them. OR is associative/commutative, so
     the result is BITWISE-identical to unsalted (tested); the extra cost is
     ≤ salt sketch rows (m/8 B each) per key through the merge.
+    ``salt="auto"`` derives the value from a hash-sampled top-key share
+    (one thin map-combined job; see :func:`_auto_salt`) — 1 when no key
+    dominates, ~share×shuffle-width when one does.
     """
     keys = list(key_cols)
     prepared = _prepare_digests(df, keys, value_col, cfg,
@@ -366,10 +369,48 @@ def bloom_agg(
         raise ValueError(f"unknown strategy {strategy!r}")
 
     if strategy == "shuffle" and keys:
+        if salt == "auto":
+            salt = _auto_salt(prepared, keys, "__digest64")
         return _bloom_agg_shuffled(prepared, keys, cfg, fanin=fanin,
                                    salt=salt)
+    if salt == "auto":
+        salt = 1  # partial strategy absorbs skew map-side; salt is a no-op
     partials = bloom_partials(prepared, "__digest64", cfg, keys)
     return bloom_merge(partials, keys, fanin=fanin)
+
+
+def _auto_salt(prepared: DataFrame, keys: list[str], value_col: str,
+               *, sample_mod: int = 16, max_salt: int | None = None) -> int:
+    """Derive the skew salt from a hash-sampled top-key share (VERDICT r04
+    #7) instead of a manual knob.
+
+    One thin job: rows are hash-subsampled (~1/sample_mod via
+    ``pmod(xxhash64(value), sample_mod) == 0`` — deterministic, no RNG;
+    uniform when values are digests, and per-key representative whenever a
+    key's values are diverse — a key of ONE repeated value samples all-or-
+    nothing, an accepted bias for a spread heuristic), the sampled
+    key histogram is map-side combined, and only (max, sum) come back.
+    The hot key's share decides how many tasks its rows NEED to match a
+    balanced layout: ``want = share * n_shuffle``; salt 1 when the top key
+    already fits in ~one task's fair share (want <= 1.5), else
+    ceil(want) capped at the shuffle width. Sampling error on a share
+    large enough to matter (>= a few % of rows) is negligible; a share
+    too small to sample reliably also cannot straggle a task."""
+    import math
+
+    from ..session import shuffle_partition_count
+
+    n_shuffle = shuffle_partition_count(prepared.sparkSession)
+    sampled = prepared.filter(
+        F.pmod(F.xxhash64(F.col(value_col)), F.lit(sample_mod)) == 0)
+    row = sampled.groupBy(*keys).agg(F.count("*").alias("__c")) \
+        .agg(F.max("__c").alias("top"), F.sum("__c").alias("tot")).first()
+    if row is None or not row.tot:
+        return 1
+    want = (row.top / row.tot) * n_shuffle
+    if want <= 1.5:
+        return 1
+    return int(min(math.ceil(want), max_salt or n_shuffle))
 
 
 def _bloom_agg_shuffled(

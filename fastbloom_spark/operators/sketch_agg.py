@@ -30,8 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.digest import digest64
-from ..kernel import exact_int64
-from .bloom import _key_schema, _norm_key_vals
+from ..kernel import decode_state, encode_state, exact_int64
+from .bloom import _auto_salt, _key_schema, _norm_key_vals
 
 
 def _prepare(df: DataFrame, value_col: str | Column, impl,
@@ -98,23 +98,33 @@ def sketch_partials(
                                      seen + len(idx))
         if not acc:
             return
+        # partial rows travel ENVELOPED (kernel.encode_state): a group's
+        # one-partition state is near-empty, so high-cardinality keys
+        # shuffle KBs instead of 2^p bytes per (group, partition); final
+        # outputs (sketch_merge's last stage) stay canonical impl format
         yield pd.DataFrame(
-            [(*k, pid, seen, impl.serialize(state))
+            [(*k, pid, seen, encode_state(impl.serialize(state)))
              for k, (state, seen) in acc.items()],
             columns=[*keys, "partition_id", "rows_seen", "sketch"])
 
     return prepared.mapInPandas(build, schema)
 
 
-def _merge_fn(impl, group_cols: Sequence[str]):
+def _merge_fn(impl, group_cols: Sequence[str], *, encode_out: bool = False):
+    """Grouped state merge. ``decode_state`` accepts both enveloped partial
+    rows and bare canonical buffers (rollup re-merges final outputs);
+    ``encode_out=True`` keeps INTERNAL stages (phase-1 fan-in buckets)
+    enveloped while the final stage emits the canonical impl format."""
     cols = list(group_cols)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         merged = functools.reduce(
-            impl.merge, (impl.deserialize(bytes(b)) for b in pdf["sketch"]))
+            impl.merge,
+            (impl.deserialize(decode_state(bytes(b))) for b in pdf["sketch"]))
         out = {c: [pdf[c].iloc[0]] for c in cols}
         out["rows_seen"] = [int(pdf["rows_seen"].sum())]
-        out["sketch"] = [impl.serialize(merged)]
+        raw = impl.serialize(merged)
+        out["sketch"] = [encode_state(raw) if encode_out else raw]
         return pd.DataFrame(out)
 
     return merge
@@ -138,7 +148,8 @@ def sketch_merge(
         "__fanin_bucket",
         F.pmod(F.col("partition_id"), F.lit(fanin)).cast("int"))
     phase1 = with_bucket.groupBy(*keys, "__fanin_bucket").applyInPandas(
-        _merge_fn(impl, [*keys, "__fanin_bucket"]), bucket_schema)
+        _merge_fn(impl, [*keys, "__fanin_bucket"], encode_out=True),
+        bucket_schema)
     grouped = phase1.groupBy(*keys) if keys else phase1.groupBy()
     return grouped.applyInPandas(_merge_fn(impl, keys), final_schema)
 
@@ -153,7 +164,7 @@ def sketch_agg(
     fanin: int = 16,
     strategy: str = "auto",
     distinct_keys_hint: int | None = None,
-    salt: int = 1,
+    salt: int | str = 1,
 ) -> DataFrame:
     """Grouped sketch aggregation → (keys..., rows_seen, sketch binary).
 
@@ -171,7 +182,9 @@ def sketch_agg(
     register-max, CMS counter-add, Bloom OR); t-digest/KLL merge within
     their published rank-error bounds but not bit-identically to a
     single-task fold (merge order differs — the same caveat as any
-    distributed build of those sketches).
+    distributed build of those sketches). ``salt="auto"`` derives the
+    value from a hash-sampled top-key share (one thin map-combined job,
+    :func:`~fastbloom_spark.operators.bloom._auto_salt`).
     """
     keys = list(key_cols)
     if strategy == "auto" and keys:
@@ -196,6 +209,8 @@ def sketch_agg(
 
     if strategy == "shuffle" and keys:
         prepared = _prepare(df, value_col, impl, keys, digest_precomputed)
+        if salt == "auto":
+            salt = _auto_salt(prepared, keys, "__value")
         return _sketch_agg_shuffled(prepared, keys, impl, fanin=fanin,
                                     salt=salt)
     partials = sketch_partials(df, value_col, impl, key_cols,

@@ -129,6 +129,38 @@ def test_partials_then_merge_explicit(spark, events):
     assert merged[0].rows_seen == events.count()
 
 
+def test_sparse_partials_shrink_shuffle_bytes(spark):
+    """VERDICT r04 #6: high-group-count map-side aggs shuffle zlib-sparse
+    partial states (KBs), not 2^p dense bytes per (group, partition) — and
+    the merged results are bitwise-identical to the dense single-partition
+    fold, with final rows still in the canonical self-describing format."""
+    from fastbloom_spark.sketch import CountMinSketch, HllSketch
+
+    df = spark.range(20000).select(
+        (F.col("id") % 500).cast("string").alias("k"),
+        F.col("id").cast("string").alias("v"))
+    for impl in (HllSketch(precision=12, seed=7),
+                 CountMinSketch(depth=5, log2_width=12, seed=7)):
+        dense_bytes = len(impl.serialize(impl.empty())) + 1  # + tag byte
+        parts = sketch_partials(df.repartition(8), "v", impl, ["k"])
+        sizes = [len(bytes(r.sketch)) for r in
+                 parts.select("sketch").collect()]
+        assert sizes and max(sizes) < dense_bytes // 3, (
+            impl.name, max(sizes), dense_bytes)
+        merged = {r.k: (r.rows_seen, bytes(r.sketch))
+                  for r in sketch_merge(parts, impl, ["k"]).collect()}
+        single = {r.k: (r.rows_seen, bytes(r.sketch))
+                  for r in sketch_agg(df.coalesce(1), ["k"], "v", impl,
+                                      strategy="partial").collect()}
+        assert merged == single, impl.name
+        # final rows stay canonical: the consumer-side from_buffer entry
+        # (SQL UDFs, persisted sketch tables) reads them with no envelope
+        some = next(iter(merged.values()))[1]
+        impl2, state = type(impl).from_buffer(some)
+        assert impl.estimate(state) >= 0 if hasattr(impl, "estimate") \
+            else state is not None
+
+
 def test_sketch_agg_shuffle_strategy_matches_partial(spark, events):
     """Shuffle and partial strategies produce identical HLL/CMS states."""
     for impl in (HllSketch(precision=11, seed=4),

@@ -421,6 +421,48 @@ def test_salted_shuffle_bitwise_equals_unsalted(spark):
     assert sum(hot_rows) == hot_total
 
 
+def test_auto_salt_picks_spread_for_skew_only(spark):
+    """salt='auto' (VERDICT r04 #7): a hash-sampled top-key share drives
+    the salt — >1 on a 90%-hot-key corpus (hot key split over multiple
+    tasks), 1 on a balanced corpus (no pointless sub-sketch merges) — and
+    the auto-salted result stays bitwise-equal to salt=1."""
+    from fastbloom_spark.kernel import decode_words
+    from fastbloom_spark.operators import bloom_agg
+    from fastbloom_spark.operators.bloom import _auto_salt
+
+    n = 20_000
+    cfg = BloomConfig.with_num_bits(1 << 15, num_hashes=5, seed=42)
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), F.col("id") % 37)).alias("key"),
+        F.col("id").cast("string").alias("v")).repartition(8)
+    prepared = skewed.select("key", digest64("v").alias("__digest64"))
+    picked = _auto_salt(prepared, ["key"], "__digest64")
+    assert picked > 1, picked  # 90% share * shuffle width >> 1.5
+
+    balanced = spark.range(n).select(
+        F.concat(F.lit("k"), F.col("id") % 64).alias("key"),
+        F.col("id").cast("string").alias("v")).repartition(8)
+    bal_prep = balanced.select("key", digest64("v").alias("__digest64"))
+    assert _auto_salt(bal_prep, ["key"], "__digest64") == 1
+
+    base = {r.key: (r.rows_seen, bytes(r.sketch))
+            for r in bloom_agg(skewed, ["key"], "v", cfg,
+                               strategy="shuffle", salt=1).collect()}
+    auto = {r.key: (r.rows_seen, bytes(r.sketch))
+            for r in bloom_agg(skewed, ["key"], "v", cfg,
+                               strategy="shuffle", salt="auto").collect()}
+    assert base.keys() == auto.keys()
+    for key in base:
+        assert base[key][0] == auto[key][0], key
+        assert np.array_equal(decode_words(base[key][1]),
+                              decode_words(auto[key][1])), key
+    # auto on the partial strategy is an accepted no-op
+    parts = bloom_agg(skewed, ["key"], "v", cfg, strategy="partial",
+                      salt="auto").collect()
+    assert {r.key for r in parts} == base.keys()
+
+
 def test_custom_digest_strategy_end_to_end(spark, docs):
     """register_digest: a user-supplied JVM Column digest (crc32-based)
     rides through config -> build -> probe with zero false negatives, and
