@@ -1301,6 +1301,66 @@ def q_sketch_sql_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_theta_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (bottom-k/KMV) distinct users per event type — hash-checked
+    EXACTLY: below capacity (k=16384 >> distinct users at oracle scale) the
+    theta sketch retains every distinct hash, so its estimate IS the exact
+    distinct count and the oracle pins COUNT(DISTINCT user_id) integer-
+    equal, plus an is_exact=true verdict that the sketch never overflowed.
+    The full-sketch estimator path (k << n) is bound-tested in
+    tests/test_theta.py."""
+    import pandas as pd
+
+    from fastbloom_spark.operators.sketch_agg import sketch_agg
+    from fastbloom_spark.sketch import ThetaSketch
+
+    impl = ThetaSketch(k=16384, seed=42)
+    rows = list(sketch_agg(
+        _read(spark, sf_dir, "events"), ["event_type"],
+        F.col("user_id").cast("string"), impl).toPandas().itertuples())
+    out = [(r.event_type, int(r.rows_seen),
+            int(round(impl.estimate(st := impl.deserialize(bytes(r.sketch))))),
+            bool(impl.is_exact(st)))
+           for r in rows]
+    return spark.createDataFrame(
+        pd.DataFrame(out, columns=["event_type", "n_events", "est_users",
+                                   "is_exact"]))
+
+
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SET ALGEBRA between sketches from PURE SQL — the
+    capability the HLL family lacks (inclusion-exclusion error grows with
+    disjoint mass; theta set ops are sampling-exact over the retained
+    region). Per-cohort theta sketches (users with a high-value event of
+    each type) built by the generic mergeable topology, registered as a
+    temp view; SQL then computes |A ∪ B|, |A ∩ B|, |A \\ B| for every
+    cohort pair via theta_union/theta_intersect/theta_a_not_b +
+    theta_estimate. Hash-checked EXACTLY: below capacity the estimates
+    are exact integers and DuckDB replays the true set algebra over
+    DISTINCT user sets."""
+    from fastbloom_spark.operators.sketch_agg import sketch_agg
+    from fastbloom_spark.sketch import ThetaSketch
+    from fastbloom_spark.sql import register_sketch_sql
+
+    register_sketch_sql(spark)
+    cohorts = _read(spark, sf_dir, "events").filter(F.col("value") >= 150.0)
+    sketch_agg(cohorts, ["event_type"], F.col("user_id").cast("string"),
+               ThetaSketch(k=16384, seed=42)) \
+        .createOrReplaceTempView("theta_users_by_type")
+    return spark.sql("""
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(round(theta_estimate(theta_union(a.sketch, b.sketch)))
+                    AS BIGINT) AS union_users,
+               CAST(round(theta_estimate(theta_intersect(a.sketch,
+                                                         b.sketch)))
+                    AS BIGINT) AS inter_users,
+               CAST(round(theta_estimate(theta_a_not_b(a.sketch, b.sketch)))
+                    AS BIGINT) AS anotb_users
+        FROM theta_users_by_type a JOIN theta_users_by_type b
+          ON a.event_type < b.event_type
+    """)
+
+
 def q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function anchor: each user's highest-value event
     (deterministic tie-break on event_id)."""
@@ -1417,6 +1477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_hll": q_streaming_windowed_hll,
         "bloom_rollup": q_bloom_rollup,
         "sketch_sql_estimates": q_sketch_sql_estimates,
+        "theta_distinct_users": q_theta_distinct_users,
+        "theta_set_ops": q_theta_set_ops,
     }
 
 
@@ -1890,6 +1952,38 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rank = 5 THEN score END) AS exact_kth_score,
                    true AS recall_ok
             FROM topk GROUP BY query_id
+        """,
+        # theta sketches are EXACT below capacity (k >> distinct users at
+        # oracle scale): the estimates are integers equal to the true
+        # distinct counts, so the oracle replays the set algebra directly
+        "theta_distinct_users": """
+            SELECT event_type, COUNT(user_id) AS n_events,
+                   COUNT(DISTINCT user_id) AS est_users, true AS is_exact
+            FROM events GROUP BY event_type
+        """,
+        "theta_set_ops": """
+            WITH c AS (
+              SELECT DISTINCT event_type, user_id FROM events
+              WHERE value >= 150.0 AND user_id IS NOT NULL
+            ), cnt AS (
+              SELECT event_type, COUNT(*) AS n FROM c GROUP BY event_type
+            ), pairs AS (
+              SELECT a.event_type AS type_a, a.n AS na,
+                     b.event_type AS type_b, b.n AS nb
+              FROM cnt a JOIN cnt b ON a.event_type < b.event_type
+            ), inter AS (
+              SELECT x.event_type AS type_a, y.event_type AS type_b,
+                     COUNT(*) AS i
+              FROM c x JOIN c y USING (user_id)
+              WHERE x.event_type < y.event_type
+              GROUP BY x.event_type, y.event_type
+            )
+            SELECT p.type_a, p.type_b,
+                   p.na + p.nb - COALESCE(i.i, 0) AS union_users,
+                   COALESCE(i.i, 0) AS inter_users,
+                   p.na - COALESCE(i.i, 0) AS anotb_users
+            FROM pairs p LEFT JOIN inter i
+              ON i.type_a = p.type_a AND i.type_b = p.type_b
         """,
     }
 

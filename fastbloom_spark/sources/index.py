@@ -61,6 +61,17 @@ COMMIT_MARKER = "_COMMITTED"
 #: two concurrent publishers that both allocate v<N+1> race on this one
 #: file-create and exactly one loses — loudly (ConcurrentIndexWriteError)
 CLAIM_MARKER = "_CLAIM"
+#: optional idempotence token recorded inside a committed version dir —
+#: streaming ingest (streaming/index_stream.py) stamps each publish with
+#: its micro-batch id so a REPLAYED foreachBatch (Spark restarts re-run the
+#: last possibly-uncommitted batch) is detected and skipped instead of
+#: double-appending its rows
+COMMIT_TOKEN_FILE = "_TOKEN"
+#: newline-joined sorted data-relative file list the published index covers
+#: (the LIST behind the data_files_sha fingerprint): heal_indexed_table
+#: diffs it against the live listing to delete a crashed append's orphan
+#: files — the rollback half of exactly-once streaming ingest
+FILES_MANIFEST = "_FILES"
 
 
 class ConcurrentIndexWriteError(RuntimeError):
@@ -182,6 +193,44 @@ def _version_dir(path: str, v: int) -> str:
     return f"{path}/{VERSIONS_DIR}/v{v:010d}"
 
 
+def _write_small_file(spark: SparkSession, p: str, data: bytes) -> None:
+    """Create-exclusive write of a small control file (markers, tokens)."""
+    fs, hpath = _hadoop_fs(spark, p)
+    out = fs.create(hpath, False)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def _read_small_file(spark: SparkSession, p: str) -> bytes | None:
+    fs, hpath = _hadoop_fs(spark, p)
+    if not fs.exists(hpath):
+        return None
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(hpath)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def committed_commit_tokens(spark: SparkSession, path: str) -> dict[int, str]:
+    """{version: token} for every COMMITTED index version that carries a
+    commit token (see COMMIT_TOKEN_FILE). Publish GC keeps the latest two
+    committed versions, which covers the only replay Spark's foreachBatch
+    contract produces — the last possibly-uncommitted micro-batch."""
+    out: dict[int, str] = {}
+    for v, ok in _list_versions(spark, path):
+        if not ok:
+            continue
+        raw = _read_small_file(
+            spark, f"{_version_dir(path, v)}/{COMMIT_TOKEN_FILE}")
+        if raw is not None:
+            out[v] = raw.decode("utf-8")
+    return out
+
+
 def _resolve_index_root(spark: SparkSession, path: str) -> tuple[str, str]:
     """(bloom_dir, zones_dir) of the CURRENT index: the highest COMMITTED
     version, else the legacy in-place layout. Uncommitted version dirs
@@ -229,7 +278,9 @@ def _claim_index_version(spark: SparkSession, path: str) -> tuple[int, str]:
 
 def _publish_index_version(spark: SparkSession, path: str,
                            write_fn, *,
-                           claimed: tuple[int, str] | None = None) -> str:
+                           claimed: tuple[int, str] | None = None,
+                           commit_token: str | None = None,
+                           data_files: list[str] | None = None) -> str:
     """Atomic-for-readers publish: write the full sidecar set into a fresh
     version dir via ``write_fn(vdir)``, create the commit marker LAST, then
     garbage-collect. Readers resolving during the publish see the previous
@@ -250,6 +301,15 @@ def _publish_index_version(spark: SparkSession, path: str,
         claimed = _claim_index_version(spark, path)
     next_v, vdir = claimed
     write_fn(vdir)
+    if commit_token is not None:
+        # token lands BEFORE the commit marker: a version is either
+        # committed WITH its token or not committed at all — replay
+        # detection never sees a committed-but-untagged publish
+        _write_small_file(spark, f"{vdir}/{COMMIT_TOKEN_FILE}",
+                          commit_token.encode("utf-8"))
+    if data_files is not None:
+        _write_small_file(spark, f"{vdir}/{FILES_MANIFEST}",
+                          "\n".join(data_files).encode("utf-8"))
     fs, marker = _hadoop_fs(spark, f"{vdir}/{COMMIT_MARKER}")
     fs.create(marker, False).close()
     # GC: keep the new version plus the previous committed one (readers
@@ -284,6 +344,19 @@ def _publish_index_version(spark: SparkSession, path: str,
     return vdir
 
 
+def _data_rel_files(spark: SparkSession, path: str) -> list[str]:
+    """Sorted data-relative paths of every live file under {path}/data."""
+    files = spark.read.parquet(f"{path}/data").inputFiles()
+    return sorted(f.split("/data/", 1)[1] if "/data/" in f else f
+                  for f in files)
+
+
+def _fingerprint_of(rel: list[str]) -> tuple[int, str]:
+    import hashlib
+
+    return len(rel), hashlib.sha256("\n".join(rel).encode()).hexdigest()
+
+
 def _data_fingerprint(spark: SparkSession, path: str) -> tuple[int, str]:
     """(file_count, sha256-of-sorted-relative-paths) of {path}/data — a
     LISTING-only staleness witness: pruned reads compare it against the
@@ -291,12 +364,7 @@ def _data_fingerprint(spark: SparkSession, path: str) -> tuple[int, str]:
     differ (e.g. a crash between a data append and its index publish, or
     a concurrent writer), because a filter that never saw those files
     could silently skip their rows — the zero-FN contract."""
-    import hashlib
-
-    files = spark.read.parquet(f"{path}/data").inputFiles()
-    rel = sorted(f.split("/data/", 1)[1] if "/data/" in f else f
-                 for f in files)
-    return len(rel), hashlib.sha256("\n".join(rel).encode()).hexdigest()
+    return _fingerprint_of(_data_rel_files(spark, path))
 
 
 def _check_index_fresh(index_pdf: pd.DataFrame, spark: SparkSession,
@@ -402,6 +470,7 @@ def write_indexed_table(
     row_group_index: bool = False,
     row_group_cfg: BloomConfig | None = None,
     mode: str = "overwrite",
+    commit_token: str | None = None,
 ) -> None:
     """Write ``{path}/data`` partitioned by a hash bucket of
     ``bucket_source`` plus ``{path}/index``: one Bloom sketch row per
@@ -480,7 +549,8 @@ def write_indexed_table(
     # table beats re-running the upstream lineage anyway)
     spark = df.sparkSession
     written = spark.read.parquet(f"{path}/data")
-    n_files, files_sha = _data_fingerprint(spark, path)
+    rel_files = _data_rel_files(spark, path)
+    n_files, files_sha = _fingerprint_of(rel_files)
     index_rows = _build_index_rows(written, cols, cfg, num_buckets,
                                    bucket_source) \
         .withColumn("zone_cols", F.lit(",".join(zone_cols))) \
@@ -499,7 +569,8 @@ def write_indexed_table(
         if rg_rows is not None:
             rg_rows.write.mode("overwrite").parquet(f"{vdir}/rgbloom")
 
-    _publish_index_version(spark, path, publish)
+    _publish_index_version(spark, path, publish, data_files=rel_files,
+                           commit_token=commit_token)
 
 
 def index_parquet_files(
@@ -1264,7 +1335,8 @@ def pruned_read_files(
     return df, stats
 
 
-def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
+def append_to_indexed_table(df_new: DataFrame, path: str, *,
+                            commit_token: str | None = None) -> None:
     """Incremental ingest: append rows to ``{path}/data`` and OR the new
     per-bucket sketches into the existing index — NO rebuild.
 
@@ -1346,8 +1418,10 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
         out.append(row)
     merged = pd.DataFrame(out, columns=list(index_pdf.columns))
     # refresh the staleness witness to cover the appended files
+    rel_files = None
     if "data_files_sha" in merged.columns:
-        n_files, files_sha = _data_fingerprint(spark, path)
+        rel_files = _data_rel_files(spark, path)
+        n_files, files_sha = _fingerprint_of(rel_files)
         merged["data_file_count"] = n_files
         merged["data_files_sha"] = files_sha
 
@@ -1403,12 +1477,60 @@ def append_to_indexed_table(df_new: DataFrame, path: str) -> None:
         if rg_union is not None:
             rg_union.write.mode("overwrite").parquet(f"{vdir}/rgbloom")
 
-    _publish_index_version(spark, path, publish, claimed=claimed)
+    _publish_index_version(spark, path, publish, claimed=claimed,
+                           commit_token=commit_token, data_files=rel_files)
     if bloom_dir == f"{path}/index":
         # first versioned publish over a legacy table: the in-place layout
         # is now stale — drop it so resolution can never fall back to it
         _delete_dir(spark, f"{path}/index")
         _delete_dir(spark, f"{path}/zones")
+
+
+def heal_indexed_table(spark: SparkSession, path: str) -> list[str]:
+    """Roll back a crashed append: delete the data files the committed
+    index never saw, restoring index/data consistency WITHOUT a rebuild.
+
+    A crash between ``append_to_indexed_table``'s data write and its index
+    publish leaves orphan files that make every pruned read refuse (the
+    fingerprint staleness witness). The committed version's ``_FILES``
+    manifest records exactly which files the index covers, so recovery is
+    a listing diff + delete of the orphans — the rows they held were never
+    committed (their index version never got its marker), so deleting them
+    is a transaction ROLLBACK, not data loss. This is what makes
+    exactly-once streaming ingest (streaming/index_stream.py) total: a
+    replayed micro-batch first heals, then re-appends its rows once.
+
+    Refuses when recorded files are MISSING from the live listing (that is
+    corruption/manual deletion, not a crashed append) and when the
+    committed index predates the manifest (recover via
+    compact_indexed_table instead). Returns the deleted relative paths
+    (empty = table was already consistent)."""
+    bloom_dir, _ = _resolve_index_root(spark, path)
+    if bloom_dir == f"{path}/index":
+        raise ValueError(
+            f"{path} resolves to a legacy in-place index with no _FILES "
+            "manifest — cannot heal; rebuild via compact_indexed_table or "
+            "write_indexed_table")
+    vdir = bloom_dir.rsplit("/bloom", 1)[0]
+    raw = _read_small_file(spark, f"{vdir}/{FILES_MANIFEST}")
+    if raw is None:
+        raise ValueError(
+            f"committed index version at {vdir} carries no "
+            f"{FILES_MANIFEST} manifest (published before manifests "
+            "existed) — cannot heal; rebuild via compact_indexed_table")
+    recorded = {x for x in raw.decode("utf-8").split("\n") if x}
+    live = set(_data_rel_files(spark, path))
+    missing = sorted(recorded - live)
+    if missing:
+        raise ValueError(
+            f"{len(missing)} data files recorded by the committed index "
+            f"are MISSING from {path}/data (first: {missing[0]}) — that "
+            "is data loss or manual deletion, not a crashed append; "
+            "refusing to delete anything")
+    orphans = sorted(live - recorded)
+    for rel in orphans:
+        _delete_dir(spark, f"{path}/data/{rel}")
+    return orphans
 
 
 def pruned_semi_join(
@@ -1583,7 +1705,8 @@ def compact_indexed_table(
             f"{path}/data returned false; recover from data_compacting")
 
     written = spark.read.parquet(f"{path}/data")
-    n_files, files_sha = _data_fingerprint(spark, path)
+    rel_files = _data_rel_files(spark, path)
+    n_files, files_sha = _fingerprint_of(rel_files)
     index_rows = _build_index_rows(written, list(meta.cols), meta.cfg,
                                    meta.num_buckets, meta.bucket_source) \
         .withColumn("zone_cols", F.lit(",".join(meta.zone_cols))) \
@@ -1609,7 +1732,7 @@ def compact_indexed_table(
         if rg_rows is not None:
             rg_rows.write.mode("overwrite").parquet(f"{vdir}/rgbloom")
 
-    _publish_index_version(spark, path, publish)
+    _publish_index_version(spark, path, publish, data_files=rel_files)
     # compaction rebuilt everything into a fresh committed version, so the
     # legacy in-place layout (if any) is now stale — remove it so future
     # resolution can never fall back to it

@@ -19,6 +19,14 @@ plus GROUPED AGGREGATES that re-aggregate persisted state from pure SQL
     -- (note: pandas grouped-agg UDFs cannot mix with built-in aggregates
     --  in one SELECT — Spark limitation; sum(rows_seen) goes in its own)
 
+and theta set algebra (distinct-count union/intersect/difference BETWEEN
+sketches — sampling-exact over the retained region, unlike HLL
+inclusion-exclusion whose error grows with the disjoint mass)::
+
+    SELECT theta_estimate(theta_intersect(a.sketch, b.sketch)) FROM ...
+    SELECT theta_estimate(theta_union_agg(sketch)) FROM thetas
+    -- theta_union, theta_a_not_b compose: est(A ∩ B \\ C) is one SELECT
+
 All functions are Arrow-batched; per-row work is numpy over the deserialized
 state (states are KB-to-MB; deserialize cost is amortized per distinct
 buffer via a tiny cache). Probe-style functions factorize each batch by
@@ -483,6 +491,85 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
             acc = state if acc is None else impl.merge(acc, state)
         return impl.serialize(acc) if impl is not None else None
 
+    @_cached
+    def _load_theta(buf: bytes):
+        from .sketch.theta import ThetaSketch
+
+        return ThetaSketch.from_buffer(buf)
+
+    @F.pandas_udf(DoubleType())
+    def theta_estimate(sketch: pd.Series) -> pd.Series:
+        return sketch.map(
+            lambda b: np.nan if b is None else
+            float(_load_theta(bytes(b))[0].estimate(
+                _load_theta(bytes(b))[1])))
+
+    @F.pandas_udf("binary")
+    def theta_union_agg(sketch: pd.Series) -> bytes:
+        """SQL AGGREGATE: merge a group's theta states into one (bottom-k
+        cut at min theta) — re-aggregate persisted theta tables from pure
+        SQL. Cross-seed mixing refused (header seed check)."""
+        from .sketch.theta import ThetaSketch
+
+        impl = None
+        acc = None
+        for b in sketch:
+            if b is None:
+                continue
+            impl_b, state = ThetaSketch.from_buffer(bytes(b))
+            if impl is None:
+                impl = impl_b
+            else:
+                _check_same_params("theta (k, seed)", (impl.k, impl.seed),
+                                   (impl_b.k, impl_b.seed))
+            acc = state if acc is None else impl.merge(acc, state)
+        return impl.serialize(acc) if impl is not None else None
+
+    def _theta_setop_udf(op_name: str):
+        """Pairwise theta set operation → serialized theta state. Unlike
+        hll_intersect_estimate's inclusion-exclusion (error grows with the
+        DISJOINT mass), these are sampling-exact over the retained region:
+        relative error stays ~1/sqrt(k-1) of the RESULT set. Mixed-k inputs
+        allowed (result cut at the smaller k); mixed seeds refused. Same
+        factorize-by-distinct-pair batch shape as hll_intersect_estimate."""
+
+        def one(ba: bytes, bb: bytes) -> bytes:
+            from .sketch.theta import ThetaSketch
+
+            impl_a, a = _load_theta(ba)
+            impl_b, b = _load_theta(bb)
+            if impl_a.seed != impl_b.seed:
+                raise ValueError(
+                    "theta set op across seeds: near-zero overlap by "
+                    f"construction ({impl_a.seed} vs {impl_b.seed})")
+            impl = impl_a if impl_a.k <= impl_b.k else impl_b
+            if op_name == "union":
+                out = impl.merge(a, b)
+            elif op_name == "intersect":
+                out = impl.intersect(a, b)
+            else:
+                out = impl.a_not_b(a, b)
+            return impl.serialize(out)
+
+        @F.pandas_udf("binary")
+        def setop_fn(sketch_a: pd.Series, sketch_b: pd.Series) -> pd.Series:
+            out = [None] * len(sketch_a)
+            valid = _valid_mask(sketch_a, sketch_b)
+            if valid.any():
+                key = pd.Series(list(zip(sketch_a[valid], sketch_b[valid])),
+                                dtype=object)
+                codes, uniques = pd.factorize(key)
+                done = [one(bytes(ba), bytes(bb)) for ba, bb in uniques]
+                for pos, gi in zip(np.flatnonzero(valid), codes):
+                    out[pos] = done[gi]
+            return pd.Series(out, dtype=object)
+
+        return setop_fn
+
+    theta_union = _theta_setop_udf("union")
+    theta_intersect = _theta_setop_udf("intersect")
+    theta_a_not_b = _theta_setop_udf("a_not_b")
+
     fns = {
         "bloom_probe_bc": _make_bloom_probe_bc(dict(_BLOOM_BC_REGISTRY)),
         "bloom_union": bloom_union,
@@ -500,6 +587,11 @@ def register_sketch_sql(spark: SparkSession) -> list[str]:
         "tdigest_merge_agg": tdigest_merge_agg,
         "tdigest_rank": tdigest_rank,
         "kll_merge_agg": kll_merge_agg,
+        "theta_estimate": theta_estimate,
+        "theta_union_agg": theta_union_agg,
+        "theta_union": theta_union,
+        "theta_intersect": theta_intersect,
+        "theta_a_not_b": theta_a_not_b,
     }
     for name, fn in fns.items():
         spark.udf.register(name, fn)

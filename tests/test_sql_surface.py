@@ -24,7 +24,8 @@ def _register(spark):
                      "hll_union_agg", "kll_merge_agg", "kll_quantile",
                      "kll_rank",
                      "tdigest_merge_agg", "tdigest_quantile",
-                     "tdigest_rank"]
+                     "tdigest_rank", "theta_a_not_b", "theta_estimate",
+                     "theta_intersect", "theta_union", "theta_union_agg"]
 
 
 def test_sql_hll_estimate(spark, sf_dir):
