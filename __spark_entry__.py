@@ -1361,6 +1361,52 @@ def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash — the
+    leakage-safe dataset-split operator. Pure projection (NO shuffle:
+    free at 100 TB; plan-asserted in tests/test_sample.py); assignments
+    are invariant under repartitioning/appends. Hash-checked: DuckDB
+    replays the bit-exact xxh64 key hash and the SAME integer thresholds,
+    pinning every row's assignment via the per-split (count, sum_chars)
+    rollup."""
+    from fastbloom_spark.operators.sample import split_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    out = split_assign(docs, ["doc_id"],
+                       [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+                       seed=7)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"))
+
+
+def q_distinct_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform random k-subset of the DISTINCT user_id domain via
+    bottom-k-by-hash (the theta retained-set law, carrying the values):
+    deterministic on every run/partitioning. Spark executes it as
+    TakeOrderedAndProject (per-partition top-k + k-row driver merge).
+    Hash-checked: DuckDB orders by the same bit-exact hash."""
+    from fastbloom_spark.operators.sample import sample_distinct
+
+    ev = _read(spark, sf_dir, "events")
+    return sample_distinct(ev, ["user_id"], 40, seed=5)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-per-stratum sample (balanced training mix): within
+    each event_type, the 20 events with the smallest key hashes. Runs the
+    SALTED two-phase path (salt=4 — hot strata spread over 4 shard tasks
+    first; superset law makes it exactly the unsalted output, asserted in
+    tests/test_sample.py). Hash-checked against DuckDB ROW_NUMBER over
+    the replayed hash order."""
+    from fastbloom_spark.operators.sample import stratified_sample
+
+    ev = _read(spark, sf_dir, "events")
+    return stratified_sample(ev, ["event_type"], ["event_id"], 20,
+                             seed=11, salt=4).select("event_type",
+                                                     "event_id")
+
+
 def q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function anchor: each user's highest-value event
     (deterministic tie-break on event_id)."""
@@ -1479,6 +1525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_sql_estimates": q_sketch_sql_estimates,
         "theta_distinct_users": q_theta_distinct_users,
         "theta_set_ops": q_theta_set_ops,
+        "split_assign": q_split_assign,
+        "distinct_sample": q_distinct_sample,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1985,7 +2034,49 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p LEFT JOIN inter i
               ON i.type_a = p.type_a AND i.type_b = p.type_b
         """,
+        "split_assign": _oracle_split_assign(),
+        "distinct_sample": _oracle_distinct_sample(),
+        "stratified_sample": _oracle_stratified_sample(),
     }
+
+
+def _oracle_split_assign() -> str:
+    """Replays the exact assignment: bit-exact xxh64 key hash + the SAME
+    integer thresholds split_thresholds computes for (0.8, 0.1, 0.1)."""
+    from fastbloom_spark.operators.sample import split_thresholds
+
+    t0, t1 = split_thresholds([0.8, 0.1, 0.1])
+    h = _oracle_sql_mod().sql_key_hash(["doc_id"], 7)
+    return f"""
+        WITH h AS MATERIALIZED (
+          SELECT {h} AS h, n_chars FROM documents
+        )
+        SELECT CASE WHEN h < {t0} THEN 'train'
+                    WHEN h < {t1} THEN 'val' ELSE 'test' END AS split,
+               COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        FROM h GROUP BY 1
+    """
+
+
+def _oracle_distinct_sample() -> str:
+    h = _oracle_sql_mod().sql_key_hash(["user_id"], 5)
+    return f"""
+        SELECT user_id FROM (
+          SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+        ORDER BY {h}, user_id LIMIT 40
+    """
+
+
+def _oracle_stratified_sample() -> str:
+    h = _oracle_sql_mod().sql_key_hash(["event_id"], 11)
+    return f"""
+        SELECT event_type, event_id FROM (
+          SELECT event_type, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY {h}, event_id) AS rn
+          FROM events WHERE event_id IS NOT NULL)
+        WHERE rn <= 20
+    """
 
 
 def _oracle_sql_mod():

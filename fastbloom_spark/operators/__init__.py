@@ -103,3 +103,16 @@ __all__ += [
     "sketch_agg", "sketch_build", "sketch_merge", "sketch_partials",
     "sketch_rollup",
 ]
+
+from .sample import (
+    key_hash,
+    sample_distinct,
+    split_assign,
+    split_thresholds,
+    stratified_sample,
+)
+
+__all__ += [
+    "key_hash", "sample_distinct", "split_assign", "split_thresholds",
+    "stratified_sample",
+]

@@ -32,6 +32,8 @@ touches this module.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 _M64 = 1 << 64
 _M32 = 1 << 32
 
@@ -520,6 +522,16 @@ def oracle_minhash_dedup_survivors(table: str = "documents",
         SELECT {id_col} FROM {table}
         WHERE {id_col} NOT IN (SELECT id FROM comp WHERE label <> id)
     """
+
+
+def sql_key_hash(cols: Sequence[str], seed: int = 42) -> str:
+    """DuckDB replay of ``operators/sample.key_hash``: key columns cast to
+    VARCHAR, joined with unit separator 0x1F, salted with 0x1E + the
+    decimal seed, then bit-exact xxh64 at Spark's fixed seed 42 — signed
+    BIGINT, NULL-strict (`||` propagates a NULL key column, matching
+    ``F.concat``)."""
+    joined = " || chr(31) || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return sql_xxh64_utf8(f"({joined} || chr(30) || '{int(seed)}')", 42)
 
 
 def sql_digest64_sha256_u64(expr: str) -> str:
