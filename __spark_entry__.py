@@ -446,6 +446,30 @@ def q_shingle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_shingles"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc count of DISTINCT word 5-grams
+    shared with a held-out set (docs with doc_id % 37 == 0). The engine
+    runs the Bloom-prefiltered pipeline (broadcast gram filter -> map-side
+    probe -> exact verify join) whose output is EXACTLY the naive overlap
+    join — zero FN from the Bloom contract, zero FP from the verify — so
+    the DuckDB oracle is the plain n-gram join."""
+    from fastbloom_spark.operators.decontam import contamination_report
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return contamination_report(docs, bench, ngram_n=5, fp=1e-2)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition ratios (token / 2-gram /
+    3-gram duplicate fractions), all Catalyst; oracle replays the same
+    expression tree over DuckDB lists."""
+    from fastbloom_spark.operators.text import repetition_features
+
+    return repetition_features(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "dup_token_ratio", "dup_2gram_ratio", "dup_3gram_ratio")
+
+
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for the first 3 corpus vectors
     (oracle: DuckDB list_cosine_similarity, identical rank + rounded score).
@@ -1528,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "distinct_sample": q_distinct_sample,
         "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -2037,6 +2063,68 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _oracle_split_assign(),
         "distinct_sample": _oracle_distinct_sample(),
         "stratified_sample": _oracle_stratified_sample(),
+        # exact 5-gram overlap vs the doc_id % 37 == 0 benchmark subset —
+        # the engine's Bloom prefilter + verify join is semantically
+        # transparent, so the oracle is the naive join (gram CTE mirrors
+        # operators/text.word_ngrams_col: whole doc as one gram when
+        # shorter than n; NULL/blank docs contribute nothing)
+        "decontaminate": r"""
+            WITH toks AS (SELECT doc_id AS doc,
+                          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                               ELSE string_split_regex(trim(lower(text)),
+                                                       '\s+') END AS tk
+                          FROM documents),
+            nt AS (SELECT doc, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+            grams AS (
+              SELECT doc, unnest(range(1, greatest(n - 4, 1) + 1)) AS i,
+                     tk, n
+              FROM nt),
+            gstr AS MATERIALIZED (
+              SELECT doc,
+                     CASE WHEN n >= 5
+                          THEN array_to_string(tk[i:i + 4], ' ')
+                          ELSE array_to_string(tk, ' ') END AS g
+              FROM grams),
+            bg AS MATERIALIZED (SELECT DISTINCT g FROM gstr
+                                WHERE doc % 37 = 0)
+            SELECT gstr.doc AS doc_id,
+                   count(DISTINCT gstr.g)::BIGINT AS n_matched_grams
+            FROM gstr JOIN bg USING (g)
+            GROUP BY gstr.doc
+        """,
+        # same expression tree as operators/text.repetition_features:
+        # ratio = round(1.0 - distinct/total, 4), 0.0 for empty/NULL docs,
+        # whole-doc single gram (ratio 0) below n tokens
+        "repetition_stats": r"""
+            WITH toks AS (SELECT doc_id,
+                          CASE WHEN text IS NULL OR trim(lower(text)) = ''
+                               THEN []::VARCHAR[]
+                               ELSE string_split_regex(trim(lower(text)),
+                                                       '\s+') END AS tk
+                          FROM documents),
+            nt AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+            g AS (SELECT doc_id, tk, n,
+                  CASE WHEN n >= 2
+                       THEN list_transform(range(1, n),
+                            i -> array_to_string(tk[i:i + 1], ' '))
+                       ELSE [array_to_string(tk, ' ')] END AS g2,
+                  CASE WHEN n >= 3
+                       THEN list_transform(range(1, n - 1),
+                            i -> array_to_string(tk[i:i + 2], ' '))
+                       ELSE [array_to_string(tk, ' ')] END AS g3
+                  FROM nt)
+            SELECT doc_id,
+                   CASE WHEN n > 0 THEN round(1.0 -
+                        len(list_distinct(tk)) / CAST(n AS DOUBLE), 4)
+                        ELSE 0.0 END AS dup_token_ratio,
+                   CASE WHEN n > 0 THEN round(1.0 -
+                        len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 4)
+                        ELSE 0.0 END AS dup_2gram_ratio,
+                   CASE WHEN n > 0 THEN round(1.0 -
+                        len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 4)
+                        ELSE 0.0 END AS dup_3gram_ratio
+            FROM g
+        """,
     }
 
 

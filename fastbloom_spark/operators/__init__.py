@@ -70,7 +70,14 @@ from .text import (
     detect_lang_col,
     doc_fingerprint_col,
     quality_features,
+    repetition_features,
     token_count_col,
+    word_ngrams_col,
+)
+from .decontam import (
+    benchmark_grams,
+    contamination_report,
+    decontaminate,
 )
 
 __all__ += [
@@ -88,7 +95,9 @@ __all__ += [
     "embedding_dedup", "embedding_near_dup_pairs", "ivf_topk",
     "kmeans_centroids",
     "dedup_exact", "detect_lang_col", "doc_fingerprint_col",
-    "quality_features", "token_count_col",
+    "quality_features", "repetition_features", "token_count_col",
+    "word_ngrams_col",
+    "benchmark_grams", "contamination_report", "decontaminate",
 ]
 
 from .sketch_agg import (

@@ -1,0 +1,131 @@
+"""Benchmark decontamination — Bloom-accelerated EXACT n-gram overlap.
+
+The canonical pre-training hygiene pass: find every training document that
+shares at least one word n-gram with a held-out benchmark/eval set, so it
+can be dropped (or flagged) before training. The GPT-3/PaLM-style recipe is
+exact 8-13-gram overlap — which at 100 TB is an impossible join if written
+naively (every (doc, gram) pair against the benchmark gram table).
+
+Spark-first shape, in one scan of the corpus:
+
+1. Benchmark grams (small: a few M strings) are collected once and built
+   into ONE Bloom filter over xxh64(gram) digests — ``m/8`` bytes, a few MB
+   at fp=1e-3, broadcast once per executor. This is the flagship use of the
+   repo's own kernel: the *set* ships as a bit array, not as a GB-scale
+   broadcast hash relation of raw strings.
+2. The corpus scan explodes each document's grams and probes the broadcast
+   filter MAP-SIDE (explode → project → probe are all narrow: no shuffle
+   touches the full gram stream). The Bloom contract guarantees zero false
+   negatives, so nothing contaminated can slip through this gate.
+3. Only the surviving ~fp fraction of grams (plus true hits) reaches the
+   exact verification: a broadcast inner join against the distinct
+   benchmark gram STRINGS removes every false positive. Result == the
+   naive exact join, bit-for-bit — the bloom_semi_join law, applied to
+   grams instead of keys.
+4. One small shuffle aggregates survivors per document.
+
+Reference parity note: the reference library (fastbloom, src/lib.rs) is the
+single-process membership kernel this pipeline broadcasts; the operator
+itself is beyond-reference surface (training-pipeline family, like
+operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.digest import digest64
+from .bloom import bloom_build, bloom_contains_col
+from .text import word_ngrams_col
+
+
+def benchmark_grams(bench: DataFrame, text_col: str = "text",
+                    *, ngram_n: int = 8) -> DataFrame:
+    """Distinct word n-gram strings of the benchmark set (one column
+    ``gram``). NULL/blank rows contribute nothing; documents shorter than
+    ``ngram_n`` tokens contribute their whole token string (mirroring
+    :func:`~fastbloom_spark.operators.text.word_ngrams_col`)."""
+    return bench.select(
+        F.explode(word_ngrams_col(text_col, ngram_n)).alias("gram")) \
+        .distinct()
+
+
+def contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    ngram_n: int = 8,
+    fp: float = 1e-3,
+    min_matches: int = 1,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-document contamination report: ``(id_col, n_matched_grams)`` for
+    every document sharing >= ``min_matches`` DISTINCT word ``ngram_n``-grams
+    with the benchmark set.
+
+    ``exact=True`` (default) verifies every Bloom candidate against the
+    true benchmark gram strings — the output is then EXACTLY the naive
+    n-gram overlap join (zero FN from the Bloom contract, zero FP from the
+    verify join), which is what the DuckDB oracle pins. ``exact=False``
+    skips verification: candidates are sketch-only (~``fp`` false-positive
+    rate per non-matching gram) — the cheap triage mode when the corpus is
+    too hot to double-join and flagged docs get re-checked downstream.
+
+    Scale design: the benchmark gram Bloom is built with the distributed
+    builder (map-side partials, m/8-byte driver merge) and broadcast once;
+    the corpus-side explode+probe is narrow (inside the scan stage); only
+    candidates shuffle. ``fp`` trades broadcast bytes against verify-join
+    traffic — at fp=1e-3 a 10M-gram benchmark costs ~18 MB broadcast and
+    passes ~0.1% of clean grams to the verify join.
+    """
+    b_text = bench_text_col or text_col
+    grams = benchmark_grams(bench, b_text, ngram_n=ngram_n)
+    # the gram frame is scanned up to three times (FPR-sizing count, Bloom
+    # build, verify join) — deliberate: bench is small by contract, and
+    # keeping the operator LAZY (no persist/checkpoint side effects) matters
+    # more than two extra scans of a few-MB table
+    bloom = bloom_build(grams, "gram", fp=fp, digest="xxh64")
+
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams_col(text_col, ngram_n)).alias("gram"))
+    # grams are never NULL post-explode (word_ngrams_col yields empty
+    # arrays, not NULL elements), so the probe batch stays int64-clean
+    candidates = exploded.filter(
+        bloom_contains_col(docs.sparkSession, bloom,
+                           digest64("gram", "xxh64")))
+    if exact:
+        candidates = candidates.join(F.broadcast(grams), on="gram",
+                                     how="inner")
+    report = candidates.groupBy(id_col).agg(
+        F.count_distinct("gram").alias("n_matched_grams"))
+    if min_matches > 1:
+        report = report.filter(
+            F.col("n_matched_grams") >= F.lit(min_matches))
+    return report
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    ngram_n: int = 8,
+    fp: float = 1e-3,
+    min_matches: int = 1,
+) -> DataFrame:
+    """The filter form: ``docs`` minus every contaminated document (exact
+    semantics — see :func:`contamination_report`). Left-anti join against
+    the (small) report frame, so the corpus is scanned once for the report
+    and once for the subtraction."""
+    flagged = contamination_report(
+        docs, bench, id_col=id_col, text_col=text_col,
+        bench_text_col=bench_text_col, ngram_n=ngram_n, fp=fp,
+        min_matches=min_matches).select(id_col)
+    return docs.join(F.broadcast(flagged), on=id_col, how="left_anti")

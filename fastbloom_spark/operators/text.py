@@ -122,6 +122,55 @@ def bpe_token_count_col(text_col: Column | str = "text") -> Column:
     return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)).cast("long")
 
 
+def word_ngrams_col(text_col: Column | str, n: int = 8) -> Column:
+    """Sliding word n-grams as ``array<string>`` (space-joined token runs,
+    JVM-only: split → sequence/transform/slice/concat_ws).
+
+    Mirrors :func:`~fastbloom_spark.operators.dedup.shingles_col` semantics
+    exactly, minus the hash: documents shorter than ``n`` tokens yield the
+    whole token string as one gram; NULL/blank text yields the empty array
+    (never a match). The string form is what exact verification joins and
+    decontamination oracles need — hash collisions can't manufacture a
+    match."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens_col(text_col)
+    joined = F.concat_ws(" ", toks)
+    n_g = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_g, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(c.isNull() | (F.size(toks) == 0),
+                  F.array().cast("array<string>")) \
+        .otherwise(F.when(n_g >= 1, grams).otherwise(F.array(joined)))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Append within-document repetition ratios (the Gopher-style repetition
+    filter signals, word-gram flavored): for each ``n`` in ``ns``, column
+    ``dup_{n}gram_ratio`` = 1 - distinct_grams/total_grams, plus
+    ``dup_token_ratio`` (the 1-gram case). 0.0 for empty documents.
+
+    All Catalyst expressions (split/transform/array_distinct/size) — one
+    narrow projection, no shuffle, whole-stage codegen; at 100 TB this runs
+    inside the scan stage like the rest of :func:`quality_features`."""
+    toks = tokens_col(text_col)
+
+    def dup_ratio(arr: Column) -> Column:
+        total = F.size(arr).cast("double")
+        return F.round(
+            F.when(total > 0,
+                   F.lit(1.0) - F.size(F.array_distinct(arr)) / total)
+            .otherwise(F.lit(0.0)), 4)
+
+    out = {"dup_token_ratio": dup_ratio(toks)}
+    for n in ns:
+        # a doc shorter than n tokens has ONE gram (the whole doc) ->
+        # ratio 0, the right degenerate answer
+        out[f"dup_{n}gram_ratio"] = dup_ratio(word_ngrams_col(text_col, n))
+    return df.withColumns(out)
+
+
 def doc_fingerprint_col(text_col: Column | str = "text") -> Column:
     """Normalized-content fingerprint: sha256 of lowercased,
     whitespace-collapsed text — the exact-dedup key that survives
