@@ -470,6 +470,31 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "dup_token_ratio", "dup_2gram_ratio", "dup_3gram_ratio")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over deterministically PII-augmented text (the
+    corpus itself carries none, so both engines append the same
+    doc_id-derived email / phone / IPv4 spans, then count and redact).
+    sha256 of the redacted text pins every replacement byte-exactly."""
+    from fastbloom_spark.functions.digest import sha256_hex
+    from fastbloom_spark.operators.text import pii_features, redact_pii_col
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" reach user"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"),
+        F.lit(".example.com or +1 555 01"),
+        F.lpad((d % 100).cast("string"), 2, "0"),
+        F.lit(" from host 10."), (d % 256).cast("string"),
+        F.lit(".0.1 end"))
+    augmented = docs.select("doc_id", aug.alias("aug"))
+    feats = pii_features(augmented, "aug")
+    return feats.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        sha256_hex(redact_pii_col("aug")).alias("redacted_sha"))
+
+
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for the first 3 corpus vectors
     (oracle: DuckDB list_cosine_similarity, identical rank + rounded score).
@@ -1554,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -2124,6 +2150,41 @@ def oracle_sql() -> dict[str, str]:
                         len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 4)
                         ELSE 0.0 END AS dup_3gram_ratio
             FROM g
+        """,
+        # PII patterns live in the RE2 ∩ Java common subset (PII_PATTERNS)
+        # so both engines run the IDENTICAL regex; augmentation derives the
+        # same spans from doc_id; sha256 of the redacted text pins every
+        # replacement byte
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' reach user' ||
+                     CAST(doc_id AS VARCHAR) || '@mail' ||
+                     CAST(doc_id % 7 AS VARCHAR) ||
+                     '.example.com or +1 555 01' ||
+                     lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+                     ' from host 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+                     '.0.1 end' AS a
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(a,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                       ))::BIGINT AS n_email,
+                   len(regexp_extract_all(a,
+                       '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(a,
+                       '\+[0-9][0-9 ()\-]{6,14}[0-9]'))::BIGINT AS n_phone,
+                   sha256(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(a,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                         '<IPV4>', 'g'),
+                       '\+[0-9][0-9 ()\-]{6,14}[0-9]',
+                       '<PHONE>', 'g')) AS redacted_sha
+            FROM aug
         """,
     }
 

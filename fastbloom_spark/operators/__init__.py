@@ -69,7 +69,9 @@ from .text import (
     dedup_exact,
     detect_lang_col,
     doc_fingerprint_col,
+    pii_features,
     quality_features,
+    redact_pii_col,
     repetition_features,
     token_count_col,
     word_ngrams_col,
@@ -95,8 +97,8 @@ __all__ += [
     "embedding_dedup", "embedding_near_dup_pairs", "ivf_topk",
     "kmeans_centroids",
     "dedup_exact", "detect_lang_col", "doc_fingerprint_col",
-    "quality_features", "repetition_features", "token_count_col",
-    "word_ngrams_col",
+    "pii_features", "quality_features", "redact_pii_col",
+    "repetition_features", "token_count_col", "word_ngrams_col",
     "benchmark_grams", "contamination_report", "decontaminate",
 ]
 

@@ -171,6 +171,47 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     return df.withColumns(out)
 
 
+#: PII patterns, deliberately restricted to the RE2 ∩ Java-regex common
+#: subset (no lookarounds, no backrefs) so the DuckDB oracle replays them
+#: verbatim — the BPE_TOKEN_PATTERN precedent. Deterministic, auditable,
+#: and honest about scope: pattern-shaped PII (emails, IPv4, intl-prefixed
+#: phones), not NER.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9 ()\-]{6,14}[0-9]",
+}
+
+#: redaction order is part of the contract: emails first (they contain
+#: digits and dots an IP/phone pattern could partially claim), then IPs,
+#: then phones
+PII_REDACTION_ORDER: tuple[str, ...] = ("email", "ipv4", "phone")
+
+
+def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-document PII match counts (``n_email``, ``n_ipv4``,
+    ``n_phone``) — whole-stage-codegen'd ``regexp_count``, zero Python.
+    0 for NULL text (count of matches in nothing is nothing to act on;
+    the redaction pass below keeps NULL as NULL)."""
+    c = F.col(text_col)
+    out = {}
+    for kind, pat in PII_PATTERNS.items():
+        out[f"n_{kind}"] = F.coalesce(
+            F.regexp_count(c, F.lit(pat)), F.lit(0)).cast("long")
+    return df.withColumns(out)
+
+
+def redact_pii_col(text_col: Column | str = "text") -> Column:
+    """Redacted text: each PII match replaced by its ``<KIND>`` sentinel,
+    applied in :data:`PII_REDACTION_ORDER`. A chain of three Catalyst
+    ``regexp_replace`` calls — one narrow projection in the scan stage at
+    any scale. NULL in → NULL out."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for kind in PII_REDACTION_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
 def doc_fingerprint_col(text_col: Column | str = "text") -> Column:
     """Normalized-content fingerprint: sha256 of lowercased,
     whitespace-collapsed text — the exact-dedup key that survives

@@ -100,3 +100,33 @@ def test_bpe_token_count(spark):
     # 'Hello' ',' ' world' '!' ' 42' ' foo' '-' 'bar' ' baz' = 9
     # 'abc' '123' 'def' = 3
     assert got == [9, 0, 0, 3]
+
+
+def test_pii_features_and_redaction(spark):
+    from fastbloom_spark.operators.text import pii_features, redact_pii_col
+
+    df = spark.createDataFrame([
+        (1, "mail a@b.com and c.d+x@sub.example.org today"),
+        (2, "server 10.0.0.1 talks to 192.168.1.255 ok"),
+        (3, "call +1 555 0100 or +44 (20) 7946-0958 now"),
+        (4, "no pii here at all"),
+        (5, None),
+        (6, "mixed: e@f.io on 8.8.8.8 via +33 1 23 45 67 89"),
+    ], "id long, text string")
+    feats = {r.id: r for r in pii_features(df).collect()}
+    assert (feats[1].n_email, feats[1].n_ipv4, feats[1].n_phone) == (2, 0, 0)
+    assert (feats[2].n_email, feats[2].n_ipv4, feats[2].n_phone) == (0, 2, 0)
+    assert (feats[3].n_email, feats[3].n_ipv4, feats[3].n_phone) == (0, 0, 2)
+    assert (feats[4].n_email, feats[4].n_ipv4, feats[4].n_phone) == (0, 0, 0)
+    # NULL text counts 0 (nothing to act on), redacts to NULL
+    assert (feats[5].n_email, feats[5].n_ipv4, feats[5].n_phone) == (0, 0, 0)
+    assert feats[6].n_email == 1 and feats[6].n_ipv4 == 1
+
+    red = {r.id: r.red for r in df.select(
+        "id", redact_pii_col("text").alias("red")).collect()}
+    assert red[1] == "mail <EMAIL> and <EMAIL> today"
+    assert red[2] == "server <IPV4> talks to <IPV4> ok"
+    assert "<PHONE>" in red[3] and "555" not in red[3]
+    assert red[4] == "no pii here at all"
+    assert red[5] is None
+    assert "@" not in red[6] and "8.8.8.8" not in red[6]
