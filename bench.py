@@ -260,6 +260,16 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
     timed("minhash_dedup", lambda: _dedup_pairs_count(docs), runs=2)
     facts["minhash_docs"] = docs.count()
 
+    # benchmark decontamination: exact 5-gram overlap vs a held-out
+    # subset (~1/37 of the corpus), Bloom-prefiltered map-side; the 100 TB
+    # shape is ONE corpus scan + a broadcast filter, so the timed cost is
+    # dominated by the gram explode + probe — linear in corpus tokens
+    from fastbloom_spark.operators.decontam import contamination_report
+
+    bench_docs = docs.filter(F.col("doc_id") % 37 == 0)
+    timed("decontam_exact", lambda: contamination_report(
+        docs, bench_docs, ngram_n=5, fp=1e-3).count(), runs=2)
+
     import numpy as np
 
     from fastbloom_spark.operators.similarity import cosine_topk
