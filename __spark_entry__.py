@@ -495,6 +495,17 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         sha256_hex(redact_pii_col("aug")).alias("redacted_sha"))
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: every document's (shard, block)
+    assignment at capacity=64 tokens, 8 hash shards, seed=7. The oracle
+    replays the identical next-fit walk per shard with a recursive CTE
+    over the bit-exact xxh64 shard hash — every assignment pinned."""
+    from fastbloom_spark.operators.pack import pack_documents
+
+    return pack_documents(_read(spark, sf_dir, "documents"),
+                          capacity=64, num_shards=8, seed=7)
+
+
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for the first 3 corpus vectors
     (oracle: DuckDB list_cosine_similarity, identical rank + rounded score).
@@ -1580,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
+        "pack_documents": q_pack_documents,
     }
 
 
@@ -2186,7 +2198,53 @@ def oracle_sql() -> dict[str, str]:
                        '<PHONE>', 'g')) AS redacted_sha
             FROM aug
         """,
+        "pack_documents": _oracle_pack_documents(),
     }
+
+
+def _oracle_pack_documents(capacity: int = 64, num_shards: int = 8,
+                           seed: int = 7) -> str:
+    """Recursive-CTE replay of operators/pack.pack_documents: same xxh64
+    shard hash, same per-shard doc_id order, same next-fit walk (a doc
+    that no longer fits closes the block; an over-capacity doc is solo).
+    Recursion advances one row per shard per step — depth = max shard
+    size, trivially fine at sf0.01."""
+    h = _oracle_sql_mod().sql_key_hash(["doc_id"], seed)
+    return f"""
+        WITH RECURSIVE base AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN text IS NULL THEN 0
+                      WHEN trim(lower(text)) = '' THEN 0
+                      ELSE len(string_split_regex(trim(lower(text)),
+                                                  '\\s+'))
+                 END::BIGINT AS n_tokens,
+                 ((({h}) % {num_shards}) + {num_shards}) % {num_shards}
+                   AS shard
+          FROM documents
+        ),
+        ordered AS MATERIALIZED (
+          SELECT shard::INT AS shard, doc_id, n_tokens,
+                 row_number() OVER (PARTITION BY shard
+                                    ORDER BY doc_id) AS rn
+          FROM base WHERE shard IS NOT NULL
+        ),
+        walk AS (
+          SELECT shard, doc_id, n_tokens, rn,
+                 0::BIGINT AS block_id, n_tokens AS fill
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+                 CASE WHEN w.fill + o.n_tokens <= {capacity}
+                      THEN w.block_id ELSE w.block_id + 1 END,
+                 CASE WHEN w.fill + o.n_tokens <= {capacity}
+                      THEN w.fill + o.n_tokens ELSE o.n_tokens END
+          FROM walk w
+          JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1
+        )
+        SELECT doc_id, n_tokens, shard, block_id,
+               (n_tokens > {capacity}) AS oversize
+        FROM walk
+    """
 
 
 def _oracle_split_assign() -> str:

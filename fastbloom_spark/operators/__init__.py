@@ -81,6 +81,10 @@ from .decontam import (
     contamination_report,
     decontaminate,
 )
+from .pack import (
+    pack_documents,
+    pack_stats,
+)
 
 __all__ += [
     "bpe_token_count_col", "ivf_topk_from_index", "minhash_jaccard_est_col",
@@ -100,6 +104,7 @@ __all__ += [
     "pii_features", "quality_features", "redact_pii_col",
     "repetition_features", "token_count_col", "word_ngrams_col",
     "benchmark_grams", "contamination_report", "decontaminate",
+    "pack_documents", "pack_stats",
 ]
 
 from .sketch_agg import (

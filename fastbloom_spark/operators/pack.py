@@ -1,0 +1,128 @@
+"""Deterministic sequence packing — fixed-capacity document blocks.
+
+Pretraining consumes fixed-length context windows; the corpus is
+variable-length documents. Packing assigns each document to a (shard,
+block) so that every block's token total stays within ``capacity``,
+documents are never split, and — the part ``DataFrame.sample``-style
+tooling never gives you — the assignment is a PURE FUNCTION of
+(doc key, token counts, capacity, num_shards, seed): identical on every
+run, every cluster, every partition layout.
+
+Distributed shape (the only one that scales): a global greedy pack is a
+sequential scan, so the corpus is sharded by ``key_hash`` (the same
+replayable xxh64 convention as operators/sample.py) and packed greedily
+WITHIN each shard — one shuffle on the shard id, then an embarrassingly
+parallel per-shard scan. Waste stays bounded (next-fit wastes less than
+one capacity per emitted block) and shards are independent, so 1000
+executors pack 1000 shards concurrently.
+
+Within a shard, documents are walked in key order and packed NEXT-FIT:
+a document that no longer fits closes the block and opens a new one; a
+document larger than ``capacity`` gets a block of its own (oversize-solo
+— flagged, never silently truncated). Next-fit (not first-fit) is chosen
+deliberately: it is a one-pass scan with O(1) state, which (a) runs as a
+cumsum + binary-search loop over Arrow batches — O(blocks · log n) per
+shard, no per-row Python — and (b) replays EXACTLY in DuckDB as a
+recursive CTE, so the driver oracle pins every (doc → block) assignment
+bit-for-bit.
+
+Beyond-reference surface (the reference is a membership library,
+fastbloom src/lib.rs; packing has no analogue there).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sample import key_hash
+from .text import token_count_col
+
+
+def _pack_next_fit(tok: np.ndarray, capacity: int) -> np.ndarray:
+    """Next-fit block ids for token counts ``tok`` (walked in order):
+    maximal prefix runs with running sum <= capacity; an item that alone
+    exceeds capacity forms a solo block. O(blocks * log n) via one cumsum
+    and a searchsorted per block."""
+    n = tok.shape[0]
+    out = np.empty(n, dtype=np.int64)
+    cs = np.cumsum(tok, dtype=np.int64)
+    s = 0
+    block = 0
+    base = 0
+    while s < n:
+        e = int(np.searchsorted(cs, base + capacity, side="right"))
+        if e == s:          # tok[s] alone exceeds capacity: solo block
+            e = s + 1
+        out[s:e] = block
+        block += 1
+        base = int(cs[e - 1])
+        s = e
+    return out
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    capacity: int = 2048,
+    num_shards: int = 64,
+    seed: int = 42,
+    token_count=None,
+) -> DataFrame:
+    """Assign every document to a deterministic (shard, block_id):
+    ``sum(n_tokens)`` per block <= ``capacity`` except oversize-solo
+    blocks (single document, ``oversize`` true).
+
+    Output columns: ``id_col``, ``n_tokens``, ``shard``, ``block_id``,
+    ``oversize``. Rows with a NULL key are excluded (no deterministic
+    identity to pack by — the sampling operators' NULL convention).
+
+    ``token_count`` overrides the default whitespace token count with any
+    Column (e.g. ``bpe_token_count_col("text")``); NULL counts pack as 0.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    tok = token_count if token_count is not None else token_count_col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(tok, F.lit(0)).cast("long").alias("n_tokens"),
+        F.pmod(key_hash([id_col], seed), F.lit(num_shards))
+        .cast("int").alias("shard"),
+    ).filter(F.col("shard").isNotNull())
+
+    cap = int(capacity)
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort", ignore_index=True)
+        toks = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        pdf["block_id"] = _pack_next_fit(toks, cap)
+        pdf["oversize"] = toks > cap
+        return pdf
+
+    schema = (f"{id_col} long, n_tokens long, shard int, "
+              "block_id long, oversize boolean")
+    return base.groupBy("shard").applyInPandas(pack_shard, schema=schema)
+
+
+def pack_stats(packed: DataFrame, *, capacity: int) -> DataFrame:
+    """Per-shard packing efficiency: blocks, docs, token fill ratio
+    (tokens / (blocks * capacity), oversize blocks excluded from the
+    denominator's premise but counted). One small aggregation."""
+    per_block = packed.groupBy("shard", "block_id").agg(
+        F.sum("n_tokens").alias("block_tokens"),
+        F.count("*").alias("docs"),
+        F.max(F.col("oversize").cast("int")).alias("oversize"))
+    return per_block.groupBy("shard").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("docs").alias("n_docs"),
+        F.sum("block_tokens").alias("n_tokens"),
+        F.sum("oversize").cast("long").alias("n_oversize"),
+        F.round(F.sum("block_tokens") /
+                (F.count("*") * F.lit(float(capacity))), 4)
+        .alias("fill_ratio"))

@@ -1,0 +1,93 @@
+"""Deterministic sequence packing: capacity law, partition invariance,
+oversize-solo, NULL-key exclusion, next-fit kernel."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastbloom_spark.operators.pack import (
+    _pack_next_fit,
+    pack_documents,
+    pack_stats,
+)
+
+
+def test_next_fit_kernel():
+    # simple run
+    assert _pack_next_fit(np.array([3, 3, 3, 3]), 6).tolist() == [0, 0, 1, 1]
+    # exact fits
+    assert _pack_next_fit(np.array([6, 6]), 6).tolist() == [0, 1]
+    # oversize solo at start, middle, end
+    assert _pack_next_fit(np.array([9, 2, 2]), 6).tolist() == [0, 1, 1]
+    assert _pack_next_fit(np.array([2, 9, 2]), 6).tolist() == [0, 1, 2]
+    assert _pack_next_fit(np.array([2, 2, 9]), 6).tolist() == [0, 0, 1]
+    # zeros ride along
+    assert _pack_next_fit(np.array([0, 6, 0]), 6).tolist() == [0, 0, 0]
+    assert _pack_next_fit(np.array([], dtype=np.int64), 6).tolist() == []
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 40)))
+            for i in range(200)]
+    rows += [(200, None), (201, ""), (202, " ".join(["big"] * 500))]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_capacity_law_and_oversize(spark, corpus):
+    packed = pack_documents(corpus, capacity=64, num_shards=4, seed=7)
+    pdf = packed.toPandas()
+    # every non-oversize block obeys the capacity
+    per_block = pdf.groupby(["shard", "block_id"]).agg(
+        tokens=("n_tokens", "sum"), n=("doc_id", "count"),
+        over=("oversize", "max"))
+    for (_, _), row in per_block.iterrows():
+        if not row["over"]:
+            assert row["tokens"] <= 64
+        else:
+            assert row["n"] == 1  # oversize docs are solo
+    # the 500-token doc is oversize-solo
+    big = pdf[pdf.doc_id == 202]
+    assert bool(big.oversize.iloc[0])
+    # NULL/empty text pack with zero tokens but are present
+    assert set(pdf.doc_id) == set(range(203))
+    assert pdf[pdf.doc_id == 200].n_tokens.iloc[0] == 0
+
+
+def test_partition_invariance(spark, corpus):
+    a = pack_documents(corpus.repartition(1), capacity=64, num_shards=4,
+                       seed=7).toPandas()
+    b = pack_documents(corpus.repartition(13, "doc_id"), capacity=64,
+                       num_shards=4, seed=7).toPandas()
+    key = ["doc_id", "n_tokens", "shard", "block_id", "oversize"]
+    assert sorted(map(tuple, a[key].values.tolist())) == \
+        sorted(map(tuple, b[key].values.tolist()))
+
+
+def test_null_key_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (None, "c d"), (2, "e f")],
+        "doc_id long, text string")
+    packed = pack_documents(df, capacity=10, num_shards=2, seed=1)
+    ids = {r.doc_id for r in packed.collect()}
+    assert ids == {1, 2}
+
+
+def test_token_count_override(spark, corpus):
+    from fastbloom_spark.operators.text import bpe_token_count_col
+
+    packed = pack_documents(corpus, capacity=64, num_shards=4, seed=7,
+                            token_count=bpe_token_count_col("text"))
+    row = packed.filter(F.col("doc_id") == 0).collect()[0]
+    assert row.n_tokens >= 3
+
+
+def test_pack_stats(spark, corpus):
+    packed = pack_documents(corpus, capacity=64, num_shards=4, seed=7)
+    stats = pack_stats(packed, capacity=64).toPandas()
+    assert stats.n_docs.sum() == 203
+    assert (stats.fill_ratio > 0).all()
+    assert (stats.fill_ratio <= 2.0).all()  # oversize can push past 1
+    assert stats.n_oversize.sum() >= 1
