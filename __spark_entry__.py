@@ -506,6 +506,35 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                           capacity=64, num_shards=8, seed=7)
 
 
+def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination (stateless: gram explode + broadcast
+    Bloom probe + stream-static verify join; no state store). The stream
+    emits matched (doc_id, gram) pairs into a parquet sink; a batch
+    rollup of the sink yields per-doc counts — which the oracle pins with
+    the SAME plain overlap join as the batch operator (4-grams, benchmark
+    = docs with doc_id % 41 == 0). Exactness survives streaming because
+    every stage is narrow and deterministic."""
+    import tempfile
+
+    from fastbloom_spark.streaming import streaming_contamination_matches
+
+    work = tempfile.mkdtemp(prefix="fb_decontam_stream_")
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    pairs = streaming_contamination_matches(stream, bench, ngram_n=4,
+                                            fp=1e-2)
+    q = (pairs.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.read.parquet(out).groupBy("doc_id").agg(
+        F.count_distinct("gram").alias("n_matched_grams"))
+
+
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for the first 3 corpus vectors
     (oracle: DuckDB list_cosine_similarity, identical rank + rounded score).
@@ -1592,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "pack_documents": q_pack_documents,
+        "streaming_decontam": q_streaming_decontam,
     }
 
 
@@ -2199,6 +2229,33 @@ def oracle_sql() -> dict[str, str]:
             FROM aug
         """,
         "pack_documents": _oracle_pack_documents(),
+        # streaming pipeline is exact end-to-end, so the oracle is the
+        # identical plain overlap join as `decontaminate`, at this query's
+        # knobs (4-grams, % 41 benchmark)
+        "streaming_decontam": r"""
+            WITH toks AS (SELECT doc_id AS doc,
+                          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                               ELSE string_split_regex(trim(lower(text)),
+                                                       '\s+') END AS tk
+                          FROM documents),
+            nt AS (SELECT doc, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+            grams AS (
+              SELECT doc, unnest(range(1, greatest(n - 3, 1) + 1)) AS i,
+                     tk, n
+              FROM nt),
+            gstr AS MATERIALIZED (
+              SELECT doc,
+                     CASE WHEN n >= 4
+                          THEN array_to_string(tk[i:i + 3], ' ')
+                          ELSE array_to_string(tk, ' ') END AS g
+              FROM grams),
+            bg AS MATERIALIZED (SELECT DISTINCT g FROM gstr
+                                WHERE doc % 41 = 0)
+            SELECT gstr.doc AS doc_id,
+                   count(DISTINCT gstr.g)::BIGINT AS n_matched_grams
+            FROM gstr JOIN bg USING (g)
+            GROUP BY gstr.doc
+        """,
     }
 
 

@@ -337,3 +337,59 @@ def test_windowed_sketch_cms_byte_equals_batch(spark, tmp_path):
         ["ws"], F.col("uid").cast("string"), impl)
     want = {str(r.ws): bytes(r.sketch) for r in batch.collect()}
     assert got == want and len(got) == 2
+
+
+def test_streaming_decontam_equals_batch(spark, tmp_path):
+    """Stateless streaming decontamination emits EXACTLY the batch overlap
+    pairs — same operator stack run as a stream (availableNow over a file
+    source) and as a batch frame."""
+    from pyspark.sql import functions as F
+
+    from fastbloom_spark.streaming import streaming_contamination_matches
+
+    rows = [(i, " ".join(f"t{(i * 11 + j) % 37}" for j in range(14)))
+            for i in range(80)]
+    rows += [(80, ""), (81, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    bench = docs.filter(F.col("doc_id") % 9 == 0)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    pairs = streaming_contamination_matches(stream, bench, ngram_n=3,
+                                            fp=0.05)
+    q = (pairs.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.gram)
+           for r in spark.read.parquet(out).collect()}
+
+    batch = streaming_contamination_matches(docs, bench, ngram_n=3,
+                                            fp=0.05)
+    want = {(r.doc_id, r.gram) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+    # and the batch run of the streaming operator equals the naive join
+    from fastbloom_spark.operators.decontam import benchmark_grams
+    from fastbloom_spark.operators.text import word_ngrams_col
+
+    dg = docs.select("doc_id",
+                     F.explode(word_ngrams_col("text", 3)).alias("gram"))
+    naive = {(r.doc_id, r.gram) for r in dg.join(
+        benchmark_grams(bench, "text", ngram_n=3), "gram").collect()}
+    assert want == naive
+
+
+def test_streaming_decontam_rejects_streaming_bench(spark, tmp_path):
+    from fastbloom_spark.streaming import streaming_contamination_matches
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    src = str(tmp_path / "s2")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="static"):
+        streaming_contamination_matches(stream, stream)
