@@ -506,6 +506,33 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                           capacity=64, num_shards=8, seed=7)
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end to end, hash-pinned:
+    quality gate (>= 0.35 on the rounded score) -> PII redaction ->
+    normalized exact dedup (min-id survivor) -> benchmark
+    decontamination (5-gram overlap vs the doc_id % 37 slice) ->
+    90/5/5 split -> next-fit packing per (split, shard). Every stage is
+    an already-oracled operator; this row pins the COMPOSITION — one
+    DuckDB statement replays the whole chain, so which doc survives,
+    its split, and its packed block are all bit-checked."""
+    from fastbloom_spark.functions import sha256_hex
+    from fastbloom_spark.operators.pipeline import (CorpusPipelineConfig,
+                                                    corpus_pipeline)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    cfg = CorpusPipelineConfig(min_quality=0.35, decontam_ngram=5,
+                               pack_capacity=64, pack_shards=8,
+                               pack_seed=7)
+    out = corpus_pipeline(docs, bench=bench, cfg=cfg)
+    # sha256 of the redacted text pins every replacement byte without
+    # hauling full documents through the compare
+    return out.select(
+        "doc_id", sha256_hex("text").alias("redacted_sha"),
+        "quality_score", "n_tokens", "split", "shard", "block_id",
+        "oversize")
+
+
 def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming decontamination (stateless: gram explode + broadcast
     Bloom probe + stream-static verify join; no state store). The stream
@@ -1621,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "pack_documents": q_pack_documents,
+        "corpus_pipeline": q_corpus_pipeline,
         "streaming_decontam": q_streaming_decontam,
     }
 
@@ -2229,6 +2257,7 @@ def oracle_sql() -> dict[str, str]:
             FROM aug
         """,
         "pack_documents": _oracle_pack_documents(),
+        "corpus_pipeline": _oracle_corpus_pipeline(),
         # streaming pipeline is exact end-to-end, so the oracle is the
         # identical plain overlap join as `decontaminate`, at this query's
         # knobs (4-grams, % 41 benchmark)
@@ -2301,6 +2330,155 @@ def _oracle_pack_documents(capacity: int = 64, num_shards: int = 8,
         SELECT doc_id, n_tokens, shard, block_id,
                (n_tokens > {capacity}) AS oversize
         FROM walk
+    """
+
+
+def _oracle_corpus_pipeline(min_quality: float = 0.35, ngram_n: int = 5,
+                            capacity: int = 64, num_shards: int = 8,
+                            pack_seed: int = 7,
+                            split_seed: int = 42) -> str:
+    """One-statement DuckDB replay of q_corpus_pipeline: the quality
+    score, the 3-regex redaction, the normalized min-id dedup, the plain
+    5-gram overlap join (== the Bloom-prefiltered exact operator), the
+    threshold split, and the per-(split, shard) recursive next-fit walk —
+    each sub-expression identical to its standalone oracle."""
+    from fastbloom_spark.operators.sample import split_thresholds
+
+    t0, t1 = split_thresholds([0.9, 0.05, 0.05])
+    o = _oracle_sql_mod()
+    h_split = o.sql_key_hash(["doc_id"], split_seed)
+    h_shard = o.sql_key_hash(["doc_id"], pack_seed)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    phone = r"\+[0-9][0-9 ()\-]{6,14}[0-9]"
+    grams = rf"""
+          CASE WHEN n >= {ngram_n}
+               THEN array_to_string(tk[i:i + {ngram_n - 1}], ' ')
+               ELSE array_to_string(tk, ' ') END"""
+    return rf"""
+        WITH RECURSIVE feats AS MATERIALIZED (
+          SELECT doc_id, text,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CASE WHEN trim(lower(text)) = '' THEN 0.0
+                      ELSE CAST(len(string_split_regex(trim(lower(text)),
+                                                       '\s+')) AS DOUBLE)
+                 END AS n_tokens,
+                 CASE WHEN trim(lower(text)) = '' THEN 0.0
+                      ELSE CAST(len(list_distinct(string_split_regex(
+                               trim(lower(text)), '\s+'))) AS DOUBLE)
+                 END AS n_uniq,
+                 CAST(length(text) - length(regexp_replace(
+                          text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                     AS n_punct,
+                 CAST(length(text) - length(regexp_replace(
+                          text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit
+          FROM documents WHERE text IS NOT NULL
+        ),
+        red AS MATERIALIZED (
+          SELECT doc_id, quality_score,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                     '{email}', '<EMAIL>', 'g'),
+                     '{ipv4}', '<IPV4>', 'g'),
+                     '{phone}', '<PHONE>', 'g') AS rtext
+          FROM (
+            SELECT doc_id, text,
+                   round(greatest(0.0, least(1.0,
+                       0.30 * least(n_tokens / 64.0, 1.0)
+                       + 0.40 * (n_uniq / greatest(n_tokens, 1.0))
+                       + 0.30 * (1.0 - least(
+                           (n_punct / greatest(n_chars, 1.0)
+                            + n_digit / greatest(n_chars, 1.0)) * 4.0,
+                           1.0)))), 4) AS quality_score
+            FROM feats)
+          WHERE quality_score >= {min_quality}
+        ),
+        keepers AS MATERIALIZED (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id,
+                       sha256(trim(regexp_replace(lower(rtext), '\s+',
+                                                  ' ', 'g'))) AS f
+                FROM red)
+          GROUP BY f
+        ),
+        dd AS MATERIALIZED (
+          SELECT r.doc_id, r.quality_score, r.rtext
+          FROM red r JOIN keepers k ON r.doc_id = k.doc_id
+        ),
+        dnt AS (
+          SELECT doc_id, tk, len(tk) AS n FROM (
+            SELECT doc_id,
+                   CASE WHEN trim(rtext) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(lower(rtext)),
+                                                '\s+') END AS tk
+            FROM dd)
+          WHERE len(tk) > 0),
+        dg AS MATERIALIZED (
+          SELECT doc_id, {grams} AS g
+          FROM (SELECT doc_id,
+                       unnest(range(1, greatest(n - {ngram_n - 1}, 1)
+                                       + 1)) AS i,
+                       tk, n
+                FROM dnt)),
+        bnt AS (
+          SELECT tk, len(tk) AS n FROM (
+            SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(lower(text)),
+                                                '\s+') END AS tk
+            FROM documents WHERE doc_id % 37 = 0 AND text IS NOT NULL)
+          WHERE len(tk) > 0),
+        bg AS MATERIALIZED (
+          SELECT DISTINCT {grams} AS g
+          FROM (SELECT unnest(range(1, greatest(n - {ngram_n - 1}, 1)
+                                       + 1)) AS i,
+                       tk, n
+                FROM bnt)),
+        flagged AS MATERIALIZED (
+          SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
+        clean AS MATERIALIZED (
+          SELECT doc_id, quality_score, rtext FROM dd
+          WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        ),
+        hashes AS MATERIALIZED (
+          SELECT doc_id, {h_split} AS h_split, {h_shard} AS h_shard
+          FROM clean
+        ),
+        assigned AS MATERIALIZED (
+          SELECT c.doc_id, c.quality_score, c.rtext,
+                 CASE WHEN h.h_split < {t0} THEN 'train'
+                      WHEN h.h_split < {t1} THEN 'val'
+                      ELSE 'test' END AS split,
+                 (CASE WHEN trim(lower(c.rtext)) = '' THEN 0
+                       ELSE len(string_split_regex(trim(lower(c.rtext)),
+                                                   '\s+'))
+                  END)::BIGINT AS n_tokens,
+                 (((h.h_shard % {num_shards}) + {num_shards})
+                    % {num_shards})::INT AS shard
+          FROM clean c JOIN hashes h ON c.doc_id = h.doc_id
+        ),
+        ordered AS MATERIALIZED (
+          SELECT split, shard, doc_id, n_tokens, quality_score, rtext,
+                 row_number() OVER (PARTITION BY split, shard
+                                    ORDER BY doc_id) AS rn
+          FROM assigned
+        ),
+        walk AS (
+          SELECT split, shard, doc_id, n_tokens, rn,
+                 0::BIGINT AS block_id, n_tokens AS fill
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.split, o.shard, o.doc_id, o.n_tokens, o.rn,
+                 CASE WHEN w.fill + o.n_tokens <= {capacity}
+                      THEN w.block_id ELSE w.block_id + 1 END,
+                 CASE WHEN w.fill + o.n_tokens <= {capacity}
+                      THEN w.fill + o.n_tokens ELSE o.n_tokens END
+          FROM walk w
+          JOIN ordered o ON o.split = w.split AND o.shard = w.shard
+                        AND o.rn = w.rn + 1
+        )
+        SELECT o.doc_id, sha256(o.rtext) AS redacted_sha,
+               o.quality_score, w.n_tokens, w.split, w.shard, w.block_id,
+               (w.n_tokens > {capacity}) AS oversize
+        FROM walk w JOIN ordered o ON o.doc_id = w.doc_id
     """
 
 

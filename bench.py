@@ -270,6 +270,19 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
     timed("decontam_exact", lambda: contamination_report(
         docs, bench_docs, ngram_n=5, fp=1e-3).count(), runs=2)
 
+    # the composed one-call pipeline (quality -> redact -> dedup ->
+    # decontam -> split -> pack): the whole-chain anchor. Its cost should
+    # sit near decontam_exact + small change — the other stages are one
+    # hash shuffle (dedup), a pure projection (split), and one
+    # (split, shard) shuffle (pack)
+    from fastbloom_spark.operators.pipeline import (CorpusPipelineConfig,
+                                                    corpus_pipeline)
+
+    pipe_cfg = CorpusPipelineConfig(min_quality=0.35, decontam_ngram=5,
+                                    pack_capacity=2048, pack_shards=32)
+    timed("corpus_pipeline", lambda: corpus_pipeline(
+        docs, bench=bench_docs, cfg=pipe_cfg).count(), runs=2)
+
     import numpy as np
 
     from fastbloom_spark.operators.similarity import cosine_topk

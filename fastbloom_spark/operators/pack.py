@@ -72,26 +72,34 @@ def pack_documents(
     num_shards: int = 64,
     seed: int = 42,
     token_count=None,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign every document to a deterministic (shard, block_id):
     ``sum(n_tokens)`` per block <= ``capacity`` except oversize-solo
     blocks (single document, ``oversize`` true).
 
-    Output columns: ``id_col``, ``n_tokens``, ``shard``, ``block_id``,
-    ``oversize``. Rows with a NULL key are excluded (no deterministic
-    identity to pack by — the sampling operators' NULL convention).
+    Output columns: ``id_col``, ``n_tokens``, [``group_cols``...],
+    ``shard``, ``block_id``, ``oversize``. Rows with a NULL key are
+    excluded (no deterministic identity to pack by — the sampling
+    operators' NULL convention).
 
     ``token_count`` overrides the default whitespace token count with any
     Column (e.g. ``bpe_token_count_col("text")``); NULL counts pack as 0.
+
+    ``group_cols`` keeps blocks from crossing logical boundaries (e.g.
+    the train/val/test split: pass ``("split",)`` and every block is
+    pure) — packing groups become (group_cols..., shard).
     """
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
     tok = token_count if token_count is not None else token_count_col(text_col)
+    groups = list(group_cols)
     base = df.select(
         F.col(id_col),
         F.coalesce(tok, F.lit(0)).cast("long").alias("n_tokens"),
+        *[F.col(g) for g in groups],
         F.pmod(key_hash([id_col], seed), F.lit(num_shards))
         .cast("int").alias("shard"),
     ).filter(F.col("shard").isNotNull())
@@ -105,9 +113,12 @@ def pack_documents(
         pdf["oversize"] = toks > cap
         return pdf
 
-    schema = (f"{id_col} long, n_tokens long, shard int, "
+    group_schema = "".join(
+        f"{g} {dict(df.dtypes)[g]}, " for g in groups)
+    schema = (f"{id_col} long, n_tokens long, {group_schema}shard int, "
               "block_id long, oversize boolean")
-    return base.groupBy("shard").applyInPandas(pack_shard, schema=schema)
+    return base.groupBy(*groups, "shard").applyInPandas(pack_shard,
+                                                        schema=schema)
 
 
 def pack_stats(packed: DataFrame, *, capacity: int) -> DataFrame:

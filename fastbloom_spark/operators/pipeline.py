@@ -1,0 +1,122 @@
+"""One-call corpus preprocessing — the composed training-data pipeline.
+
+``corpus_pipeline`` chains the engine's hygiene operators in the order a
+100 TB pretraining run wants them, each stage the already-tested
+operator, nothing new — the value is the COMPOSITION being deterministic
+end to end. Every stage is a pure function of (row content, config,
+seed); no RNG, no partition-order dependence — so the full pipeline
+output (which doc survives, its split, its packed block) is reproducible
+on any cluster and replayable by the DuckDB oracle as one SQL statement.
+
+Stage order (and why):
+
+1. **quality filter** — cheapest narrow projection first; drops the junk
+   before anything pays to hash it.
+2. **PII redaction** — before dedup/fingerprinting, so documents that
+   differ only in redacted spans collapse to one survivor and no PII
+   survives into fingerprints or downstream storage.
+3. **exact dedup** — min-id survivor per normalized-content fingerprint
+   (one hash shuffle); runs before decontamination so the overlap scan
+   pays for surviving docs only.
+4. **decontamination** — drop every doc sharing >= ``min_matches``
+   n-grams with the held-out benchmark (Bloom-prefiltered exact overlap,
+   skipped when no benchmark is supplied).
+5. **split assignment** — leakage-safe train/val/test by key hash (pure
+   projection).
+6. **packing** — fixed-capacity next-fit blocks per (split, shard):
+   blocks never cross splits.
+
+Scale shape: stages 1-2 fuse into the scan; 3 is one hash shuffle; 4 is
+a broadcast probe + candidates-only shuffle; 5 is free; 6 is one shuffle
+on (split, shard). Four shuffles total for the whole pipeline, each on
+the minimal payload.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .decontam import contamination_report
+from .pack import pack_documents
+from .sample import split_assign
+from .text import (dedup_exact, quality_features, redact_pii_col,
+                   token_count_col)
+
+
+@dataclass(frozen=True)
+class CorpusPipelineConfig:
+    """Knobs for :func:`corpus_pipeline`; every field feeds a
+    deterministic stage."""
+    min_quality: float = 0.0
+    redact_pii: bool = True
+    dedup: bool = True
+    decontam_ngram: int = 5
+    decontam_fp: float = 1e-3
+    decontam_min_matches: int = 1
+    split_weights: tuple[float, ...] = (0.9, 0.05, 0.05)
+    split_names: tuple[str, ...] = ("train", "val", "test")
+    split_seed: int = 42
+    pack_capacity: int = 2048
+    pack_shards: int = 64
+    pack_seed: int = 42
+
+
+def corpus_pipeline(
+    docs: DataFrame,
+    *,
+    bench: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: CorpusPipelineConfig = CorpusPipelineConfig(),
+) -> DataFrame:
+    """Training-ready corpus: quality-filtered, PII-redacted, deduped,
+    decontaminated, split, packed. Returns one row per surviving
+    document: ``id_col``, ``text`` (redacted), ``quality_score``,
+    ``n_tokens``, ``split``, ``shard``, ``block_id``, ``oversize``.
+
+    NULL-text rows are dropped at the quality gate (no scoreable
+    content — the one place the pipeline is stricter than its parts)."""
+    # 1. quality gate. NULL text needs the explicit isNotNull: greatest/
+    # least SKIP null operands (both engines), so a NULL doc would score a
+    # perfect 1.0 and sail through the threshold
+    scored = quality_features(docs.select(id_col, text_col), text_col)
+    kept = scored.filter(
+        F.col(text_col).isNotNull()
+        & (F.col("quality_score") >= F.lit(float(cfg.min_quality))))
+
+    # 2. redact in place
+    if cfg.redact_pii:
+        kept = kept.withColumn(text_col, redact_pii_col(text_col))
+
+    # 3. exact dedup on the redacted, normalized content
+    if cfg.dedup:
+        kept = dedup_exact(kept, id_col, text_col)
+
+    # 4. decontaminate
+    if bench is not None and cfg.decontam_ngram:
+        flagged = contamination_report(
+            kept, bench, id_col=id_col, text_col=text_col,
+            bench_text_col=text_col, ngram_n=cfg.decontam_ngram,
+            fp=cfg.decontam_fp,
+            min_matches=cfg.decontam_min_matches).select(id_col)
+        kept = kept.join(F.broadcast(flagged), on=id_col, how="left_anti")
+
+    # 5. split assignment
+    kept = split_assign(
+        kept, [id_col],
+        list(zip(cfg.split_names, cfg.split_weights)),
+        seed=cfg.split_seed)
+
+    # 6. pack per (split, shard)
+    packed = pack_documents(
+        kept, id_col, text_col, capacity=cfg.pack_capacity,
+        num_shards=cfg.pack_shards, seed=cfg.pack_seed,
+        group_cols=("split",))
+
+    return kept.select(id_col, text_col, "quality_score").join(
+        packed, on=id_col, how="inner").select(
+        id_col, text_col, "quality_score", "n_tokens", "split", "shard",
+        "block_id", "oversize")

@@ -91,3 +91,27 @@ def test_pack_stats(spark, corpus):
     assert (stats.fill_ratio > 0).all()
     assert (stats.fill_ratio <= 2.0).all()  # oversize can push past 1
     assert stats.n_oversize.sum() >= 1
+
+
+def test_group_cols_blocks_pure_and_independent(spark, corpus):
+    """group_cols packing == packing each group's subset independently,
+    and no block ever crosses a group boundary."""
+    from fastbloom_spark.operators.sample import split_assign
+
+    tagged = split_assign(corpus, ["doc_id"],
+                          [("train", 0.7), ("val", 0.3)], seed=3)
+    packed = pack_documents(tagged, capacity=64, num_shards=4, seed=7,
+                            group_cols=("split",)).toPandas()
+    # purity: a (split, shard, block_id) triple identifies one group only
+    # (split is part of the key, so this holds by construction) — the real
+    # law is parity with independent per-group packs
+    for name in ("train", "val"):
+        solo = pack_documents(
+            tagged.filter(F.col("split") == name), capacity=64,
+            num_shards=4, seed=7).toPandas()
+        sub = packed[packed.split == name]
+        key = ["doc_id", "n_tokens", "shard", "block_id", "oversize"]
+        assert sorted(map(tuple, sub[key].values.tolist())) == \
+            sorted(map(tuple, solo[key].values.tolist()))
+    # all rows survive (split never NULL for non-NULL doc_id)
+    assert set(packed.doc_id) == set(range(203))
