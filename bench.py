@@ -45,6 +45,9 @@ BASELINE_BEST = {
     "cms_heavy_hitters": 2.2,
     "tdigest_price": 2.2,
     "minhash_dedup": 9.5,
+    # self-anchored rows (no reference analogue): round-5 quiet-host bests
+    "decontam_exact": 4.97,
+    "corpus_pipeline": 7.17,
     "cosine_topk": 0.5,
     "q1_pricing": 2.2,
 }
