@@ -73,15 +73,16 @@ def pack_documents(
     seed: int = 42,
     token_count=None,
     group_cols: tuple[str, ...] = (),
+    payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign every document to a deterministic (shard, block_id):
     ``sum(n_tokens)`` per block <= ``capacity`` except oversize-solo
     blocks (single document, ``oversize`` true).
 
     Output columns: ``id_col``, ``n_tokens``, [``group_cols``...],
-    ``shard``, ``block_id``, ``oversize``. Rows with a NULL key are
-    excluded (no deterministic identity to pack by — the sampling
-    operators' NULL convention).
+    [``payload_cols``...], ``shard``, ``block_id``, ``oversize``. Rows
+    with a NULL key are excluded (no deterministic identity to pack by —
+    the sampling operators' NULL convention).
 
     ``token_count`` overrides the default whitespace token count with any
     Column (e.g. ``bpe_token_count_col("text")``); NULL counts pack as 0.
@@ -89,6 +90,12 @@ def pack_documents(
     ``group_cols`` keeps blocks from crossing logical boundaries (e.g.
     the train/val/test split: pass ``("split",)`` and every block is
     pure) — packing groups become (group_cols..., shard).
+
+    ``payload_cols`` ride the pack shuffle untouched (no grouping role)
+    so a downstream consumer gets the full packed rows WITHOUT a second
+    join — at scale that join re-shuffles (and recomputes) every
+    document a second time, which is the single most expensive thing a
+    caller could accidentally do with this operator's output.
     """
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
@@ -96,10 +103,12 @@ def pack_documents(
         raise ValueError("num_shards must be >= 1")
     tok = token_count if token_count is not None else token_count_col(text_col)
     groups = list(group_cols)
+    payload = [c for c in payload_cols if c not in groups]
     base = df.select(
         F.col(id_col),
         F.coalesce(tok, F.lit(0)).cast("long").alias("n_tokens"),
         *[F.col(g) for g in groups],
+        *[F.col(p) for p in payload],
         F.pmod(key_hash([id_col], seed), F.lit(num_shards))
         .cast("int").alias("shard"),
     ).filter(F.col("shard").isNotNull())
@@ -113,9 +122,10 @@ def pack_documents(
         pdf["oversize"] = toks > cap
         return pdf
 
-    group_schema = "".join(
-        f"{g} {dict(df.dtypes)[g]}, " for g in groups)
-    schema = (f"{id_col} long, n_tokens long, {group_schema}shard int, "
+    dtypes = dict(df.dtypes)
+    extra_schema = "".join(
+        f"{c} {dtypes[c]}, " for c in groups + payload)
+    schema = (f"{id_col} long, n_tokens long, {extra_schema}shard int, "
               "block_id long, oversize boolean")
     return base.groupBy(*groups, "shard").applyInPandas(pack_shard,
                                                         schema=schema)

@@ -26,10 +26,14 @@ Stage order (and why):
 6. **packing** — fixed-capacity next-fit blocks per (split, shard):
    blocks never cross splits.
 
-Scale shape: stages 1-2 fuse into the scan; 3 is one hash shuffle; 4 is
-a broadcast probe + candidates-only shuffle; 5 is free; 6 is one shuffle
-on (split, shard). Four shuffles total for the whole pipeline, each on
-the minimal payload.
+Scale shape: stages 1-2 fuse into the scan; 5 is free (pure
+projection). The full documents are shuffled exactly TWICE end to end:
+once inside exact dedup's survivor semi-join and once on (split, shard)
+for packing — text and score ride the pack shuffle as payload, so there
+is no join back by id (which would move every document a third time).
+Everything else that shuffles is thin: (id, fingerprint) pairs for the
+dedup groupBy, surviving (id, gram) candidates for decontamination.
+The benchmark gram filter and the flagged-id list travel as broadcasts.
 """
 
 from __future__ import annotations
@@ -110,13 +114,14 @@ def corpus_pipeline(
         list(zip(cfg.split_names, cfg.split_weights)),
         seed=cfg.split_seed)
 
-    # 6. pack per (split, shard)
+    # 6. pack per (split, shard); text + score ride the pack shuffle as
+    # payload — a join back by id would re-shuffle (and recompute) every
+    # surviving document a second time
     packed = pack_documents(
         kept, id_col, text_col, capacity=cfg.pack_capacity,
         num_shards=cfg.pack_shards, seed=cfg.pack_seed,
-        group_cols=("split",))
+        group_cols=("split",), payload_cols=(text_col, "quality_score"))
 
-    return kept.select(id_col, text_col, "quality_score").join(
-        packed, on=id_col, how="inner").select(
+    return packed.select(
         id_col, text_col, "quality_score", "n_tokens", "split", "shard",
         "block_id", "oversize")

@@ -115,3 +115,18 @@ def test_group_cols_blocks_pure_and_independent(spark, corpus):
             sorted(map(tuple, solo[key].values.tolist()))
     # all rows survive (split never NULL for non-NULL doc_id)
     assert set(packed.doc_id) == set(range(203))
+
+
+def test_payload_cols_ride_through(spark, corpus):
+    """payload_cols pass through the pack shuffle untouched and change
+    NOTHING about the assignment (same (shard, block) as without)."""
+    with_p = pack_documents(corpus, capacity=64, num_shards=4, seed=7,
+                            payload_cols=("text",)).toPandas()
+    without = pack_documents(corpus, capacity=64, num_shards=4,
+                             seed=7).toPandas()
+    key = ["doc_id", "n_tokens", "shard", "block_id", "oversize"]
+    assert sorted(map(tuple, with_p[key].values.tolist())) == \
+        sorted(map(tuple, without[key].values.tolist()))
+    src = {r.doc_id: r.text for r in corpus.collect()}
+    assert all(src[d] == t or (src[d] is None and t is None)
+               for d, t in zip(with_p.doc_id, with_p.text))

@@ -168,3 +168,28 @@ def test_index_build_prunes_columns(spark, sf_dir, tmp_path):
     assert "text" in scan_schema and "source" in scan_schema
     for unneeded in ("doc_id", "lang", "n_chars"):
         assert unneeded not in scan_schema, scan_schema
+
+
+def test_pipeline_no_join_back_and_no_lineage_recompute(spark, sf_dir):
+    """corpus_pipeline's scale claim: text rides the pack shuffle as
+    payload, so the plan has NO second full-document join-back — the only
+    sort-merge joins are dedup's survivor semi-join pair, the flagged-id
+    anti join and gram verify are broadcasts, and nothing degenerates
+    into a product. (Before the payload restructure this plan carried 15
+    hash exchanges and 5 SMJs from the duplicated kept lineage; now 9/2.)"""
+    from fastbloom_spark.operators.pipeline import (CorpusPipelineConfig,
+                                                    corpus_pipeline)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    out = corpus_pipeline(docs, bench=bench,
+                          cfg=CorpusPipelineConfig(min_quality=0.35))
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # dedup's semi-join is the ONLY sort-merge join family in the plan;
+    # a join-back-by-id regression would add SMJs over full rows
+    assert plan.count("SortMergeJoin") <= 2, plan.count("SortMergeJoin")
+    # flagged ids + verify grams arrive as broadcasts
+    assert plan.count("BroadcastHashJoin") >= 1
