@@ -125,10 +125,57 @@ def pack_documents(
     dtypes = dict(df.dtypes)
     extra_schema = "".join(
         f"{c} {dtypes[c]}, " for c in groups + payload)
-    schema = (f"{id_col} long, n_tokens long, {extra_schema}shard int, "
-              "block_id long, oversize boolean")
+    # id keeps its source dtype — corpus keys are just as often string
+    # UUIDs/URLs as longs, and the applyInPandas schema must agree with
+    # the Arrow batches or non-long ids fail at runtime
+    schema = (f"{id_col} {dtypes[id_col]}, n_tokens long, "
+              f"{extra_schema}shard int, block_id long, oversize boolean")
     return base.groupBy(*groups, "shard").applyInPandas(pack_shard,
                                                         schema=schema)
+
+
+def global_block_ids(
+    packed: DataFrame,
+    *,
+    group_cols: tuple[str, ...] = (),
+    out_col: str = "global_block_id",
+) -> DataFrame:
+    """Renumber per-(group, shard) block ids into globally contiguous,
+    deterministic 0-based ids: the dense rank of (group_cols..., shard,
+    block_id) in lexicographic order (NULL group values last, like SQL
+    ``ORDER BY ... NULLS LAST``).
+
+    Scale shape: the per-(group, shard) block COUNTS are driver-sized
+    metadata (groups x shards rows — thousands at most, regardless of
+    table size), so the offsets are computed driver-side and broadcast
+    back; the data takes one broadcast join and a projection — no global
+    sort, no extra shuffle. The numbering is a pure function of the
+    packed assignment, so it is stable across runs and partition layouts
+    (same law as the packing itself)."""
+    from functools import reduce
+
+    from pyspark.sql import types as T
+
+    keys = list(group_cols) + ["shard"]
+    counts = (packed.groupBy(*keys)
+              .agg((F.max("block_id") + F.lit(1)).alias("_nblocks"))
+              .collect())
+    ordered = sorted(
+        ((tuple(r[k] for k in keys), int(r["_nblocks"])) for r in counts),
+        key=lambda kv: tuple((v is None, v) for v in kv[0]))
+    off_rows, off = [], 0
+    for key, nblocks in ordered:
+        off_rows.append((*key, off))
+        off += nblocks
+    fields = [packed.schema[k] for k in keys] + [
+        T.StructField("_offset", T.LongType(), False)]
+    off_df = packed.sparkSession.createDataFrame(
+        off_rows, T.StructType(fields))
+    cond = reduce(lambda a, b: a & b,
+                  [packed[k].eqNullSafe(off_df[k]) for k in keys])
+    joined = packed.join(F.broadcast(off_df), cond)
+    return (joined.withColumn(out_col, F.col("_offset") + packed["block_id"])
+            .drop("_offset").drop(*[off_df[k] for k in keys]))
 
 
 def pack_stats(packed: DataFrame, *, capacity: int) -> DataFrame:

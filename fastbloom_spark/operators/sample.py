@@ -85,7 +85,12 @@ def split_thresholds(weights: Sequence[float]) -> list[int]:
     out, cum = [], 0.0
     for w in ws[:-1]:
         cum += w / total
-        out.append(_I64_MIN + int(cum * float(1 << 64)))
+        # extreme weight ratios round float cum up to 1.0, whose raw
+        # threshold 2^63 does not fit a Spark LongType literal — clamp to
+        # i64 max (the comparison is strict, so the clamped threshold
+        # still selects everything below it)
+        out.append(min(_I64_MIN + int(cum * float(1 << 64)),
+                       (1 << 63) - 1))
     return out
 
 

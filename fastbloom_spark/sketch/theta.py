@@ -130,13 +130,18 @@ class ThetaSketch:
         theta = min(a[0], b[0])
         t = np.uint64(theta)
         vals = np.intersect1d(a[1][a[1] < t], b[1][b[1] < t])
-        return (theta, vals.astype(np.uint64, copy=False))
+        # _cut restores the n <= k invariant when an input came from a
+        # LARGER-k sketch (the SQL mixed-k path keeps the smaller-k impl):
+        # keeping the k smallest and moving theta to the first excluded
+        # value is the standard KMV bottom-k cut over the result set, so
+        # the estimate stays the unbiased n/theta form
+        return self._cut(theta, vals.astype(np.uint64, copy=False))
 
     def a_not_b(self, a: State, b: State) -> State:
         theta = min(a[0], b[0])
         t = np.uint64(theta)
         vals = np.setdiff1d(a[1][a[1] < t], b[1][b[1] < t])
-        return (theta, vals.astype(np.uint64, copy=False))
+        return self._cut(theta, vals.astype(np.uint64, copy=False))
 
     # union IS merge; alias for symmetry with intersect/a_not_b
     def union(self, a: State, b: State) -> State:

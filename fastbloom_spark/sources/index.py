@@ -1486,7 +1486,8 @@ def append_to_indexed_table(df_new: DataFrame, path: str, *,
         _delete_dir(spark, f"{path}/zones")
 
 
-def heal_indexed_table(spark: SparkSession, path: str) -> list[str]:
+def heal_indexed_table(spark: SparkSession, path: str, *,
+                       force: bool = False) -> list[str]:
     """Roll back a crashed append: delete the data files the committed
     index never saw, restoring index/data consistency WITHOUT a rebuild.
 
@@ -1504,8 +1505,37 @@ def heal_indexed_table(spark: SparkSession, path: str) -> list[str]:
     corruption/manual deletion, not a crashed append) and when the
     committed index predates the manifest (recover via
     compact_indexed_table instead). Returns the deleted relative paths
-    (empty = table was already consistent)."""
+    (empty = table was already consistent).
+
+    An uncommitted version dir younger than
+    ``STALE_UNCOMMITTED_TTL_MS`` marks a POSSIBLY IN-FLIGHT append
+    (appends claim before writing data): its data files look like
+    orphans to the listing diff, but deleting them would destroy that
+    writer's work mid-publish. Healing therefore REFUSES while such a
+    claim exists unless ``force=True`` — pass it only when the caller
+    KNOWS no append is running (e.g. the streaming ingest sink, which is
+    the table's single writer by contract, healing its own crashed
+    batch on replay)."""
     bloom_dir, _ = _resolve_index_root(spark, path)
+    if not force:
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        for v, committed in _list_versions(spark, path):
+            if committed:
+                continue
+            try:
+                fs_v, vpath = _hadoop_fs(spark, _version_dir(path, v))
+                mtime = fs_v.getFileStatus(vpath).getModificationTime()
+            except Exception:
+                continue  # raced with its own writer/GC — not a blocker
+            if now_ms - mtime <= STALE_UNCOMMITTED_TTL_MS:
+                raise ConcurrentIndexWriteError(
+                    f"uncommitted index version v{v} at {path} is younger "
+                    "than the in-flight TTL — an append may be running, "
+                    "and its not-yet-indexed data files would be deleted "
+                    "as orphans; ensure no writer is active, then retry "
+                    "with force=True (or wait out the TTL)")
     if bloom_dir == f"{path}/index":
         raise ValueError(
             f"{path} resolves to a legacy in-place index with no _FILES "

@@ -85,8 +85,12 @@ def indexed_ingest_batch_fn(
             if "STALE" not in str(e):
                 raise
             # crashed prior attempt of THIS batch (data written, publish
-            # lost): roll back its orphan files, then append once
-            heal_indexed_table(spark, path)
+            # lost): roll back its orphan files, then append once.
+            # force=True: the streaming sink is the table's single writer
+            # by contract, so the young uncommitted claim heal would
+            # otherwise refuse on is this batch's OWN crashed publish —
+            # there is no other in-flight append to protect
+            heal_indexed_table(spark, path, force=True)
             append_to_indexed_table(batch_df, path, commit_token=token)
 
     return ingest

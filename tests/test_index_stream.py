@@ -119,3 +119,33 @@ def test_heal_noop_when_consistent_and_refuses_missing(
     index_mod._delete_dir(spark, f"{path}/data/{a_file}")
     with pytest.raises(ValueError, match="MISSING"):
         heal_indexed_table(spark, path)
+
+
+def test_heal_refuses_young_claim_without_force(spark, events, tmp_path):
+    """A young uncommitted claim marks a possibly in-flight append
+    (appends claim BEFORE writing data): heal must not delete that
+    writer's not-yet-indexed files as orphans. force=True overrides for
+    callers that KNOW they are the single writer (the streaming sink
+    healing its own crashed batch)."""
+    from fastbloom_spark.sources import ConcurrentIndexWriteError
+    from fastbloom_spark.sources.index import BUCKET_COL, bucket_col
+
+    path = str(tmp_path / "tbl")
+    ingest = _ingest_fn(path)
+    ingest(events.filter(F.col("event_id") % 3 == 0), 0)
+
+    # emulate an in-flight append: claim the next version, then write its
+    # data files — exactly the state between an append's claim and its
+    # index publish
+    index_mod._claim_index_version(spark, path)
+    b1 = events.filter(F.col("event_id") % 3 == 1)
+    (b1.withColumn(BUCKET_COL, bucket_col("event_id", 4))
+       .write.mode("append").partitionBy(BUCKET_COL)
+       .parquet(f"{path}/data"))
+
+    with pytest.raises(ConcurrentIndexWriteError, match="in-flight"):
+        heal_indexed_table(spark, path)
+
+    # single-writer caller overrides: the "in-flight" files roll back
+    assert heal_indexed_table(spark, path, force=True) != []
+    assert heal_indexed_table(spark, path, force=True) == []  # consistent

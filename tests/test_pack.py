@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from fastbloom_spark.operators.pack import (
     _pack_next_fit,
+    global_block_ids,
     pack_documents,
     pack_stats,
 )
@@ -115,6 +116,55 @@ def test_group_cols_blocks_pure_and_independent(spark, corpus):
             sorted(map(tuple, solo[key].values.tolist()))
     # all rows survive (split never NULL for non-NULL doc_id)
     assert set(packed.doc_id) == set(range(203))
+
+
+def test_string_ids_pack(spark):
+    """Non-long document ids (string UUIDs/URLs are common corpus keys)
+    must flow through the applyInPandas schema unchanged."""
+    rows = [(f"url-{i:03d}", " ".join(f"w{j}" for j in range(3 + i % 9)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    packed = pack_documents(df, capacity=20, num_shards=3, seed=7)
+    pdf = packed.toPandas()
+    assert set(pdf.doc_id) == {r[0] for r in rows}
+    assert str(dict(packed.dtypes)["doc_id"]) == "string"
+    per_block = pdf.groupby(["shard", "block_id"]).n_tokens.sum()
+    assert (per_block <= 20).all()
+    # same id order law as long ids: within a shard, ids pack in sorted
+    # (here lexicographic) order
+    for _, sub in pdf.groupby("shard"):
+        sub = sub.sort_values("doc_id")
+        assert (sub.block_id.diff().dropna() >= 0).all()
+
+
+def test_global_block_ids(spark, corpus):
+    """Dense 0-based renumber over (group..., shard, block_id) in
+    lexicographic order: contiguous, collision-free, order-preserving."""
+    packed = pack_documents(corpus, capacity=64, num_shards=4, seed=7)
+    out = global_block_ids(packed).toPandas()
+    # every (shard, block_id) maps to exactly one global id and vice versa
+    grp = out.groupby(["shard", "block_id"]).global_block_id.nunique()
+    assert (grp == 1).all()
+    uniq = out.drop_duplicates(["shard", "block_id"]) \
+              .sort_values(["shard", "block_id"])
+    gids = uniq.global_block_id.tolist()
+    assert gids == list(range(len(gids)))  # dense AND order-preserving
+    # row count unchanged (the broadcast join loses nobody)
+    assert len(out) == packed.count()
+
+
+def test_global_block_ids_grouped(spark, corpus):
+    from fastbloom_spark.operators.sample import split_assign
+
+    tagged = split_assign(corpus, ["doc_id"],
+                          [("train", 0.7), ("val", 0.3)], seed=3)
+    packed = pack_documents(tagged, capacity=64, num_shards=4, seed=7,
+                            group_cols=("split",))
+    out = global_block_ids(packed, group_cols=("split",)).toPandas()
+    uniq = out.drop_duplicates(["split", "shard", "block_id"]) \
+              .sort_values(["split", "shard", "block_id"])
+    gids = uniq.global_block_id.tolist()
+    assert gids == list(range(len(gids)))
 
 
 def test_payload_cols_ride_through(spark, corpus):

@@ -61,6 +61,16 @@ def test_split_thresholds_validation():
     assert ts == [-(1 << 63) + (1 << 63)]  # midpoint == 0
 
 
+def test_split_thresholds_extreme_weights_clamped(spark):
+    # float cum rounds to 1.0 here; the raw threshold 2^63 would not fit a
+    # Spark LongType literal — must clamp to i64 max and still plan
+    ts = split_thresholds([1e9, 1e-9])
+    assert ts[0] == (1 << 63) - 1
+    df = spark.range(50).withColumnRenamed("id", "k")
+    out = split_assign(df, ["k"], [("a", 1e9), ("b", 1e-9)], seed=1)
+    assert {r.split for r in out.collect()} == {"a"}
+
+
 def test_split_assign_partition_invariant_and_weighted(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     a = {r.doc_id: r.split for r in

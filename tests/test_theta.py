@@ -98,6 +98,30 @@ def test_set_ops_bound_when_full():
         assert rel < 5 / np.sqrt(imp.k / 3), (truth, rel)
 
 
+def test_set_ops_mixed_k_cut_to_smaller_k():
+    """The SQL mixed-k path evaluates set ops with the SMALLER-k impl on
+    states that may carry up to the larger k values: the result must be
+    cut back to n <= impl.k (the documented bottom-k invariant), with
+    theta moved by the standard KMV cut so the estimate stays n/theta."""
+    big = ThetaSketch(k=4096, seed=42)
+    small = ThetaSketch(k=256, seed=42)
+    a = big.update(big.empty(), np.arange(50_000, dtype=np.int64))
+    # b is exact (below capacity): theta_b = full range, so without the
+    # cut a_not_b would retain all 4096 of a's values — 16x small.k
+    b = small.update(small.empty(),
+                     np.arange(1_000_000, 1_000_100, dtype=np.int64))
+    diff = small.a_not_b(a, b)
+    assert diff[1].size == small.k
+    assert np.all(diff[1] < np.uint64(diff[0]))
+    rel = abs(small.estimate(diff) / 50_000 - 1.0)
+    assert rel < 5 / np.sqrt(small.k - 1)
+    inter = small.intersect(a, b)
+    assert inter[1].size <= small.k
+    # serialized mixed-k result honors its own header's k
+    impl2, st2 = ThetaSketch.from_buffer(small.serialize(diff))
+    assert impl2.k == small.k and st2[1].size <= impl2.k
+
+
 def test_serde_roundtrip_and_refusals():
     rng = np.random.default_rng(5)
     imp = ThetaSketch(k=256, seed=42)
