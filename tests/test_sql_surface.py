@@ -730,3 +730,122 @@ def test_sql_hll_seed_mismatch_refused(spark, sf_dir):
     with pytest.raises(Exception, match="precision, seed"):
         spark.sql("SELECT hll_union_agg(sketch) FROM hll_mixed_seeds") \
             .collect()
+
+
+# -- corpus-pipeline SQL surface (sql_pipeline.py) ----------------------------
+
+
+def test_sql_split_function_matches_python_api(spark, sf_dir):
+    """register_split_sql: a pure-SQL scalar function (zero Python)
+    assigning the IDENTICAL split as split_assign — same hash, same
+    thresholds, same NULL law — for single- and multi-column keys."""
+    from fastbloom_spark.operators.sample import split_assign
+    from fastbloom_spark.sql_pipeline import register_split_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("docs_for_split")
+    splits = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+
+    register_split_sql(spark, splits, name="corpus_split", seed=7)
+    got = {r.doc_id: r.split for r in spark.sql(
+        "SELECT doc_id, corpus_split(doc_id) AS split FROM docs_for_split"
+    ).collect()}
+    want = {r.doc_id: r.split for r in
+            split_assign(docs, ["doc_id"], splits, seed=7)
+            .select("doc_id", "split").collect()}
+    assert got == want
+    assert spark.sql(
+        "SELECT corpus_split(CAST(NULL AS STRING)) AS s").collect()[0].s \
+        is None
+
+    register_split_sql(spark, splits, name="corpus_split2",
+                       num_key_cols=2, seed=7)
+    got2 = {r.doc_id: r.split for r in spark.sql(
+        "SELECT doc_id, corpus_split2(lang, doc_id) AS split "
+        "FROM docs_for_split").collect()}
+    want2 = {r.doc_id: r.split for r in
+             split_assign(docs, ["lang", "doc_id"], splits, seed=7)
+             .select("doc_id", "split").collect()}
+    assert got2 == want2
+
+
+def test_sql_decontam_view_matches_python(spark, sf_dir):
+    """register_decontam_view == contamination_report row-for-row, and the
+    LEFT ANTI join over it is the full decontaminate() in pure SQL."""
+    from fastbloom_spark.operators.decontam import (contamination_report,
+                                                    decontaminate)
+    from fastbloom_spark.sql_pipeline import register_decontam_view
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    register_decontam_view(spark, docs, bench, "contam_v", ngram_n=5,
+                           fp=1e-2)
+    got = {r.doc_id: r.n_matched_grams for r in
+           spark.sql("SELECT * FROM contam_v").collect()}
+    want = {r.doc_id: r.n_matched_grams for r in
+            contamination_report(docs, bench, ngram_n=5, fp=1e-2).collect()}
+    assert got == want
+
+    docs.createOrReplaceTempView("docs_for_decontam")
+    n_clean_sql = spark.sql("""
+        SELECT count(*) AS c FROM docs_for_decontam d
+        LEFT ANTI JOIN contam_v f ON d.doc_id = f.doc_id
+    """).collect()[0].c
+    assert n_clean_sql == decontaminate(docs, bench, ngram_n=5,
+                                        fp=1e-2).count()
+
+
+def test_sql_split_plus_decontam_one_statement(spark, sf_dir):
+    """The SQL-only user's pipeline: ONE statement assigning splits and
+    contamination flags, equal to the Python-API chain."""
+    from fastbloom_spark.operators.decontam import contamination_report
+    from fastbloom_spark.operators.sample import split_assign
+    from fastbloom_spark.sql_pipeline import (register_decontam_view,
+                                              register_split_sql)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    docs.createOrReplaceTempView("docs_pipe")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    register_split_sql(spark, splits, name="pipe_split", seed=11)
+    register_decontam_view(spark, docs, bench, "pipe_contam", ngram_n=5,
+                           fp=1e-2)
+    got = {(r.doc_id, r.split, r.contaminated) for r in spark.sql("""
+        SELECT d.doc_id, pipe_split(d.doc_id) AS split,
+               f.doc_id IS NOT NULL AS contaminated
+        FROM docs_pipe d LEFT JOIN pipe_contam f ON d.doc_id = f.doc_id
+    """).collect()}
+    flagged = {r.doc_id for r in
+               contamination_report(docs, bench, ngram_n=5,
+                                    fp=1e-2).collect()}
+    want = {(r.doc_id, r.split, r.doc_id in flagged) for r in
+            split_assign(docs, ["doc_id"], splits, seed=11).collect()}
+    assert got == want
+
+
+def test_sql_sample_and_packed_views(spark, sf_dir):
+    from fastbloom_spark.operators.pack import pack_documents
+    from fastbloom_spark.operators.sample import sample_distinct
+    from fastbloom_spark.sql_pipeline import (register_packed_view,
+                                              register_sample_view)
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    register_sample_view(spark, events, "sample_v", ["user_id"], 10,
+                         seed=5)
+    got = {r.user_id for r in spark.sql(
+        "SELECT user_id FROM sample_v").collect()}
+    want = {r.user_id for r in
+            sample_distinct(events, ["user_id"], 10, seed=5).collect()}
+    assert got == want and len(got) == 10
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    register_packed_view(spark, docs, "packed_v", capacity=64,
+                         num_shards=4, seed=7)
+    got_p = {(r.doc_id, r.shard, r.block_id) for r in spark.sql(
+        "SELECT doc_id, shard, block_id FROM packed_v").collect()}
+    want_p = {(r.doc_id, r.shard, r.block_id) for r in
+              pack_documents(docs, capacity=64, num_shards=4,
+                             seed=7).collect()}
+    assert got_p == want_p
