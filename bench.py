@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness — headline sketch queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints a COMPACT driver-parsable JSON line FIRST (metric/value/queries/
+gate — always small enough for a bounded parse window), then the full
+self-evidencing artifact as a second JSON line (per-run spreads,
+throughput facts, stage decompositions, the 10x soak block):
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "throughput": {...}, "cpus": N}
+   "queries": {name: sec, ...}, "sf": ..., "gate": {...}}
+  {... full artifact: + "runs", "throughput" ...}
 
 Modes:
   python bench.py                  # per-round bench (driver contract)
@@ -44,7 +47,14 @@ BASELINE_BEST = {
     "hll_distinct": 2.2,
     "cms_heavy_hitters": 2.2,
     "tdigest_price": 2.2,
-    "minhash_dedup": 9.5,
+    # Re-anchored round 6: 9.5 was the round-1 figure, and the r3/r4
+    # recorded "bests" (1.6-3.5 s) were measured with a leaked persisted
+    # LSH candidate frame (fixed r5, ADVICE r04 #3) — partially-cached
+    # second runs, not honest costs. The honest uncached best (r5 quiet
+    # host) is ~5.4 s; anchoring there makes the 1.3x attribution rule
+    # fire on REAL regressions instead of being desensitized by a stale
+    # 9.5.
+    "minhash_dedup": 5.4,
     # self-anchored rows (no reference analogue): round-5 quiet-host bests
     "decontam_exact": 4.97,
     "corpus_pipeline": 7.17,
@@ -455,16 +465,46 @@ def soak_10x(spark, times: dict, facts: dict) -> dict:
     nd10 = docs10.count()
 
     t_mh = min(once(lambda: _dedup_pairs_count(docs10)) for _ in range(2))
-    docs10.unpersist()
     out["minhash_docs_10x"] = nd10
     out["minhash_kdocs_per_s_10x"] = round(nd10 / t_mh / 1e3, 3)
     base_rate = facts["minhash_docs"] / times["minhash_dedup"]
     out["minhash_rate_ratio_vs_base"] = round(base_rate / (nd10 / t_mh), 3)
+
+    # decontam + the composed pipeline at 10x docs (same replica corpus:
+    # the % 37 benchmark slice scales with it, and the tag-per-replica
+    # construction keeps bench grams matching only their own replica, so
+    # contamination volume scales linearly like the corpus). The 100 TB
+    # claim for both is "linear in corpus tokens" (broadcast Bloom +
+    # narrow explode/probe; pack is one hash shuffle) — these rows measure
+    # it one decade up instead of arguing from plan shape alone.
+    from fastbloom_spark.operators.decontam import contamination_report
+    from fastbloom_spark.operators.pipeline import (CorpusPipelineConfig,
+                                                    corpus_pipeline)
+
+    bench10 = docs10.filter(F.col("doc_id") % 37 == 0)
+    t_dc = min(once(lambda: contamination_report(
+        docs10, bench10, ngram_n=5, fp=1e-3).count()) for _ in range(2))
+    out["decontam_kdocs_per_s_10x"] = round(nd10 / t_dc / 1e3, 3)
+    dc_base = facts["minhash_docs"] / times["decontam_exact"]
+    out["decontam_rate_ratio_vs_base"] = round(dc_base / (nd10 / t_dc), 3)
+
+    pipe_cfg = CorpusPipelineConfig(min_quality=0.35, decontam_ngram=5,
+                                    pack_capacity=2048, pack_shards=32)
+    t_pipe = min(once(lambda: corpus_pipeline(
+        docs10, bench=bench10, cfg=pipe_cfg).count()) for _ in range(2))
+    out["pipeline_kdocs_per_s_10x"] = round(nd10 / t_pipe / 1e3, 3)
+    pipe_base = facts["minhash_docs"] / times["corpus_pipeline"]
+    out["pipeline_rate_ratio_vs_base"] = round(
+        pipe_base / (nd10 / t_pipe), 3)
+
+    docs10.unpersist()
     out["seconds"] = {"bloom_build": round(t_build, 3),
                       "bloom_agg_salted": round(t_agg, 3),
                       "index_build_base": round(t_idx1, 3),
                       "index_build_10x": round(t_idx10, 3),
-                      "minhash_dedup": round(t_mh, 3)}
+                      "minhash_dedup": round(t_mh, 3),
+                      "decontam_exact": round(t_dc, 3),
+                      "corpus_pipeline": round(t_pipe, 3)}
     return out
 
 
@@ -651,13 +691,29 @@ def main() -> None:
         "metric": "sketch headline queries wall time",
         "value": round(sum(times.values()), 3),
         "queries": times,
+    })
+    # gate block: the attribution-rule outcome per anchored row, so the
+    # compact line alone answers "any regression?" without the artifact
+    ratios = {k: round(times[k] / BASELINE_BEST[k], 2)
+              for k in times if k in BASELINE_BEST}
+    result["gate"] = {
+        "baseline_ratio_max": max(ratios.values()),
+        "rows_over_1p3x": {k: v for k, v in ratios.items() if v > 1.3},
+    }
+    # the full artifact (per-run spreads, stage decomposition, soak) grew
+    # past the driver's parse window in r4/r5 ("parsed": null) — emit the
+    # compact summary FIRST so a bounded reader always gets a whole line,
+    # then the full self-evidencing artifact
+    print(json.dumps(result))
+    full = dict(result)
+    full.update({
         # every individual run time: the artifact carries its own spread
         # evidence (this host's contention windows reach ~3x), so a slow
         # best-of is distinguishable from a real regression in-JSON
         "runs": runs_log,
         "throughput": facts,
     })
-    print(json.dumps(result))
+    print(json.dumps(full))
 
 
 if __name__ == "__main__":
