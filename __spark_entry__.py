@@ -590,6 +590,42 @@ def q_streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("gram").alias("n_matched_grams"))
 
 
+def q_streaming_indexed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once indexed ingest driven end to end: bootstrap batch 0,
+    append batch 1, REPLAY batch 1 (the commit-token skip), then read
+    every event type back through the PRUNED index path. The returned
+    per-type counts equal the plain batch-union counts (the oracle) iff
+    ingest was exactly-once (replay added no duplicate rows) AND pruning
+    is zero-FN (no matching row hidden in a skipped bucket) — either
+    failure shifts a count. Protocol internals (crash rollback via heal,
+    manifest refusals) are pinned in tests/test_index_stream.py."""
+    import tempfile
+
+    from fastbloom_spark import BloomConfig
+    from fastbloom_spark.sources import pruned_read
+    from fastbloom_spark.streaming import indexed_ingest_batch_fn
+
+    events = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="fb_ingest_q_") + "/tbl"
+    cfg = BloomConfig.from_false_pos(0.01, expected_items=2000, seed=42)
+    ingest = indexed_ingest_batch_fn(path, index_col="event_type", cfg=cfg,
+                                     bucket_source="event_id",
+                                     num_buckets=4)
+    b0 = events.filter(F.col("event_id") % 3 == 0)
+    b1 = events.filter(F.col("event_id") % 3 == 1)
+    ingest(b0, 0)
+    ingest(b1, 1)
+    ingest(b1, 1)  # replayed micro-batch: token skip, no double append
+    types = sorted(r.event_type for r in b0.unionByName(b1)
+                   .select("event_type").distinct().collect())
+    rows = []
+    for t in types:
+        df, _ = pruned_read(spark, path, [t], on="event_type")
+        rows.append((t, df.filter(F.col("event_type") == t).count()))
+    return spark.createDataFrame(rows, "event_type string, n_rows long")
+
+
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for the first 3 corpus vectors
     (oracle: DuckDB list_cosine_similarity, identical rank + rounded score).
@@ -1640,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_global_blocks": q_pack_global_blocks,
         "corpus_pipeline": q_corpus_pipeline,
         "streaming_decontam": q_streaming_decontam,
+        "streaming_indexed_ingest": q_streaming_indexed_ingest,
         # -- block 2: §2 + family anchors (driver-green r05) --------------
         "digest_parity": q_digest_parity,
         "salted_agg_invariance": q_salted_agg_invariance,
@@ -1658,7 +1695,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": q_kll_quantiles,
         "fingerprint_dedup": q_fingerprint_dedup,
         "embed_topk": q_embed_topk,
-        "rademacher_ann": q_rademacher_ann,
         "minhash_near_dups": q_minhash_near_dups,
         "ivf_topk": q_ivf_topk,
         "bmp_codec_roundtrip": q_bmp_codec_roundtrip,
@@ -1677,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sketch_state": q_streaming_sketch_state,
         "streaming_windowed_hll": q_streaming_windowed_hll,
         # -- block 3: rotated past the driver window (repo-oracled) -------
+        "rademacher_ann": q_rademacher_ann,
         "token_count": q_token_count,
         "text_stats": q_text_stats,
         "shingle_count": q_shingle_count,
@@ -2297,6 +2334,13 @@ def oracle_sql() -> dict[str, str]:
                        '\+[0-9][0-9 ()\-]{6,14}[0-9]',
                        '<PHONE>', 'g')) AS redacted_sha
             FROM aug
+        """,
+        # the ingested table holds exactly batches 0 and 1 once each —
+        # a replay dup or a pruned-read false negative shifts a count
+        "streaming_indexed_ingest": """
+            SELECT event_type, count(*) AS n_rows
+            FROM events WHERE event_id % 3 IN (0, 1)
+            GROUP BY event_type
         """,
         "pack_documents": _oracle_pack_documents(),
         # aggregations over the identical recursive-CTE pack replay (a

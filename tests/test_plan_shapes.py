@@ -193,3 +193,23 @@ def test_pipeline_no_join_back_and_no_lineage_recompute(spark, sf_dir):
     assert plan.count("SortMergeJoin") <= 2, plan.count("SortMergeJoin")
     # flagged ids + verify grams arrive as broadcasts
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_global_block_ids_broadcasts_offsets_no_global_sort(spark, sf_dir):
+    """The global renumber must stay a broadcast join + projection over
+    the packed rows: per-(group, shard) offsets are driver-sized metadata,
+    so the data may NOT pay a global sort or an extra shuffle exchange."""
+    from fastbloom_spark.operators.pack import (global_block_ids,
+                                                pack_documents)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_documents(docs, capacity=64, num_shards=4, seed=7)
+    out = global_block_ids(packed)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only exchange below the join is the pack shuffle itself (plus
+    # the broadcast exchange for the offsets); a global ordering would
+    # show a rangepartitioning exchange
+    assert "rangepartitioning" not in plan.lower(), plan

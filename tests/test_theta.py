@@ -242,3 +242,28 @@ def test_sql_surface_set_algebra(spark, sf_dir):
             FROM theta_t a JOIN theta_other_seed b
               ON a.event_type = b.event_type
         """).collect()
+
+
+def test_sql_set_ops_mixed_k_result_capped(spark):
+    """Mixed-k inputs through the SQL set ops: the result state is cut at
+    the smaller k (its serialized buffer honors its own header's bottom-k
+    invariant, n <= k) and the estimate still tracks truth."""
+    from fastbloom_spark.sql import register_sketch_sql
+
+    register_sketch_sql(spark)
+    big = ThetaSketch(k=4096, seed=42)
+    small = ThetaSketch(k=256, seed=42)
+    a = big.serialize(big.update(
+        big.empty(), np.arange(50_000, dtype=np.int64)))
+    b = small.serialize(small.update(
+        small.empty(), np.arange(1_000_000, 1_000_100, dtype=np.int64)))
+    spark.createDataFrame([(bytearray(a), bytearray(b))],
+                          "a binary, b binary") \
+        .createOrReplaceTempView("theta_mixed_k")
+    row = spark.sql("""
+        SELECT theta_a_not_b(a, b) AS d,
+               theta_estimate(theta_a_not_b(a, b)) AS est
+        FROM theta_mixed_k""").collect()[0]
+    impl, st = ThetaSketch.from_buffer(bytes(row.d))
+    assert impl.k == small.k and st[1].size <= small.k
+    assert abs(row.est / 50_000 - 1.0) < 5 / np.sqrt(small.k - 1)
