@@ -175,3 +175,49 @@ def test_spark_submit_index_job(tmp_path):
     assert os.path.isfile(f"{vdir}/_COMMITTED")
     assert os.path.isdir(f"{vdir}/bloom")
     assert os.path.isdir(f"{vdir}/zones/n_chars")
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None,
+                    reason="spark-submit not on PATH")
+def test_spark_submit_pipeline_job(tmp_path):
+    """The composed corpus pipeline via spark-submit --py-files: packed
+    output partitioned by split, per-stage counts + fill stats on
+    stdout; packed rows never exceed capacity except oversize-solo."""
+    import pyarrow.parquet as pq
+
+    zip_path = make_pyfiles_zip(str(tmp_path / "fastbloom_spark.zip"))
+    src = str(tmp_path / "docs.parquet")
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"])
+    pq.write_table(tbl, src)
+    out_dir = str(tmp_path / "packed")
+    env = dict(os.environ, PYTHONPATH="")
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "run_pipeline.py"),
+         src, out_dir, "-", "0.2", "5", "128", "8"],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["rows_in"] == 500
+    assert 0 < out["rows_packed"] <= 500
+    assert out["rows_packed"] == out["rows_in"] - out["rows_dropped"]
+    assert set(out["splits"]) <= {"train", "val", "test"}
+    assert sum(out["splits"].values()) == out["rows_packed"]
+    assert out["blocks"] > 0 and 0 < out["fill_ratio"]
+    # read the table back: split-partitioned, capacity law holds
+    import duckdb
+
+    over = duckdb.sql(
+        f"""SELECT count(*) FROM (
+              SELECT split, shard, block_id, sum(n_tokens) AS t,
+                     max(oversize::INT) AS over
+              FROM parquet_scan('{out_dir}/*/*.parquet',
+                                hive_partitioning=1)
+              GROUP BY ALL)
+            WHERE t > 128 AND over = 0""").fetchone()[0]
+    assert over == 0
