@@ -123,12 +123,13 @@ __all__ += [
 from .sample import (
     key_hash,
     sample_distinct,
+    sample_fraction,
     split_assign,
     split_thresholds,
     stratified_sample,
 )
 
 __all__ += [
-    "key_hash", "sample_distinct", "split_assign", "split_thresholds",
-    "stratified_sample",
+    "key_hash", "sample_distinct", "sample_fraction", "split_assign",
+    "split_thresholds", "stratified_sample",
 ]

@@ -151,7 +151,11 @@ def global_block_ids(
     back; the data takes one broadcast join and a projection — no global
     sort, no extra shuffle. The numbering is a pure function of the
     packed assignment, so it is stable across runs and partition layouts
-    (same law as the packing itself)."""
+    (same law as the packing itself).
+
+    The counts action and the returned frame each evaluate ``packed``'s
+    lineage once — persist ``packed`` first when it is expensive (e.g.
+    the full corpus_pipeline output)."""
     from functools import reduce
 
     from pyspark.sql import types as T

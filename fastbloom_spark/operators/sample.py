@@ -129,6 +129,31 @@ def split_assign(
     return df.withColumn(split_col, expr)
 
 
+def sample_fraction(
+    df: DataFrame,
+    cols: Sequence[str | Column],
+    fraction: float,
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic ``fraction``-sample by key hash: keep rows whose key
+    hash falls below the fraction threshold — the reproducible
+    counterpart of ``df.sample(fraction)`` (which is seeded per
+    PARTITION, so a repartition reshuffles its sample).
+
+    Pure filter (no shuffle, no action): Catalyst evaluates one hash +
+    compare per row inside whatever stage reads it. All rows sharing a
+    key are kept or dropped TOGETHER (leakage-consistent, like
+    :func:`split_assign`), the sample is stable under repartitioning and
+    appends, and samples at increasing fractions are NESTED (a 1% sample
+    is a subset of the 2% sample — hash order is fixed). NULL keys are
+    excluded (NULL-in -> NULL-out; a NULL hash fails the comparison)."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    t = min(_I64_MIN + int(fraction * float(1 << 64)), (1 << 63) - 1)
+    return df.filter(key_hash(cols, seed) < F.lit(t))
+
+
 def sample_distinct(
     df: DataFrame,
     cols: Sequence[str],

@@ -172,3 +172,60 @@ def test_stratified_sample_duckdb_parity(spark, sf_dir):
           FROM '{sf_dir}/events.parquet') WHERE rn <= 5
     """).fetchall())
     assert got == exp
+
+
+# -- sample_fraction ----------------------------------------------------------
+
+
+def test_sample_fraction_deterministic_nested_and_leakage_safe(spark,
+                                                               sf_dir):
+    from fastbloom_spark.operators.sample import sample_fraction
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    s20 = {r.doc_id for r in
+           sample_fraction(docs, ["doc_id"], 0.2, seed=9).collect()}
+    # repartition-invariant (df.sample is NOT)
+    s20b = {r.doc_id for r in
+            sample_fraction(docs.repartition(13), ["doc_id"], 0.2,
+                            seed=9).collect()}
+    assert s20 == s20b
+    # binomial(n, 0.2) stays well inside at 500 keys
+    assert 0.12 < len(s20) / n < 0.28
+    # nesting: larger fractions are supersets (fixed hash order)
+    s40 = {r.doc_id for r in
+           sample_fraction(docs, ["doc_id"], 0.4, seed=9).collect()}
+    assert s20 <= s40
+    # leakage-consistency: all rows of a key kept or dropped together
+    multi = spark.createDataFrame(
+        [(i % 17, j) for i in range(100) for j in range(3)], ["uid", "j"])
+    kept = sample_fraction(multi, ["uid"], 0.5, seed=3)
+    per_uid = {r.uid: r.n for r in
+               kept.groupBy("uid").agg(F.count("*").alias("n")).collect()}
+    full = {r.uid: r.n for r in
+            multi.groupBy("uid").agg(F.count("*").alias("n")).collect()}
+    # every sampled key keeps ALL its rows (none partially sampled)
+    assert per_uid and all(per_uid[u] == full[u] for u in per_uid)
+    # NULL keys excluded
+    withnull = spark.createDataFrame([(1, "a"), (2, None)], ["id", "k"])
+    assert {r.id for r in
+            sample_fraction(withnull, ["k"], 0.999999).collect()} <= {1}
+    with pytest.raises(ValueError, match="fraction"):
+        sample_fraction(docs, ["doc_id"], 0.0)
+
+
+def test_sample_fraction_duckdb_parity(spark, sf_dir):
+    """The sampled SET is replayable bit-exactly in DuckDB: same xxh64,
+    same integer threshold."""
+    import duckdb
+
+    from fastbloom_spark.operators.sample import sample_fraction
+
+    got = sorted(r.doc_id for r in
+                 sample_fraction(_docs(spark, sf_dir), ["doc_id"], 0.25,
+                                 seed=11).collect())
+    t = -(1 << 63) + int(0.25 * float(1 << 64))
+    exp = sorted(x for (x,) in duckdb.sql(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+        f"WHERE {sql_key_hash(['doc_id'], 11)} < {t}").fetchall())
+    assert got == exp
