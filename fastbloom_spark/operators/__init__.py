@@ -82,6 +82,7 @@ from .decontam import (
     decontaminate,
 )
 from .pack import (
+    global_block_ids,
     pack_documents,
     pack_stats,
 )
@@ -104,7 +105,7 @@ __all__ += [
     "pii_features", "quality_features", "redact_pii_col",
     "repetition_features", "token_count_col", "word_ngrams_col",
     "benchmark_grams", "contamination_report", "decontaminate",
-    "pack_documents", "pack_stats",
+    "global_block_ids", "pack_documents", "pack_stats",
 ]
 
 from .sketch_agg import (

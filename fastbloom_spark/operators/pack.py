@@ -153,6 +153,13 @@ def global_block_ids(
     packed assignment, so it is stable across runs and partition layouts
     (same law as the packing itself).
 
+    PRECONDITION (validated): per-key block ids must be dense from 0 —
+    i.e. ``packed`` is a direct ``pack_documents`` output. A FILTERED
+    frame (dropped blocks leave id gaps) is rejected with a clear error,
+    because the offset arithmetic would emit non-contiguous ids and a
+    true dense re-rank over per-block rows would not be driver-sized at
+    scale — re-pack (or renumber blocks yourself) instead.
+
     The counts action and the returned frame each evaluate ``packed``'s
     lineage once — persist ``packed`` first when it is expensive (e.g.
     the full corpus_pipeline output)."""
@@ -162,8 +169,21 @@ def global_block_ids(
 
     keys = list(group_cols) + ["shard"]
     counts = (packed.groupBy(*keys)
-              .agg((F.max("block_id") + F.lit(1)).alias("_nblocks"))
+              .agg((F.max("block_id") + F.lit(1)).alias("_nblocks"),
+                   F.count_distinct("block_id").alias("_ndistinct"),
+                   F.min("block_id").alias("_minblock"))
               .collect())
+    bad = [r for r in counts
+           if r["_minblock"] != 0 or r["_ndistinct"] != r["_nblocks"]]
+    if bad:
+        r = bad[0]
+        key_desc = ", ".join(f"{k}={r[k]!r}" for k in keys)
+        raise ValueError(
+            f"per-key block ids are not dense from 0 (first offender: "
+            f"{key_desc}: min={r['_minblock']}, distinct="
+            f"{r['_ndistinct']}, max+1={r['_nblocks']}) — "
+            "global_block_ids requires a direct pack_documents output; "
+            "a filtered packed frame must be re-packed first")
     ordered = sorted(
         ((tuple(r[k] for k in keys), int(r["_nblocks"])) for r in counts),
         key=lambda kv: tuple((v is None, v) for v in kv[0]))

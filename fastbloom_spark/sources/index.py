@@ -1517,25 +1517,6 @@ def heal_indexed_table(spark: SparkSession, path: str, *,
     the table's single writer by contract, healing its own crashed
     batch on replay)."""
     bloom_dir, _ = _resolve_index_root(spark, path)
-    if not force:
-        import time as _time
-
-        now_ms = int(_time.time() * 1000)
-        for v, committed in _list_versions(spark, path):
-            if committed:
-                continue
-            try:
-                fs_v, vpath = _hadoop_fs(spark, _version_dir(path, v))
-                mtime = fs_v.getFileStatus(vpath).getModificationTime()
-            except Exception:
-                continue  # raced with its own writer/GC — not a blocker
-            if now_ms - mtime <= STALE_UNCOMMITTED_TTL_MS:
-                raise ConcurrentIndexWriteError(
-                    f"uncommitted index version v{v} at {path} is younger "
-                    "than the in-flight TTL — an append may be running, "
-                    "and its not-yet-indexed data files would be deleted "
-                    "as orphans; ensure no writer is active, then retry "
-                    "with force=True (or wait out the TTL)")
     if bloom_dir == f"{path}/index":
         raise ValueError(
             f"{path} resolves to a legacy in-place index with no _FILES "
@@ -1558,6 +1539,39 @@ def heal_indexed_table(spark: SparkSession, path: str, *,
             "is data loss or manual deletion, not a crashed append; "
             "refusing to delete anything")
     orphans = sorted(live - recorded)
+    if orphans and not force:
+        # the in-flight guard runs AFTER the (slow) listing work and
+        # immediately BEFORE the destructive step, minimizing the
+        # check-then-act window for a writer that claims mid-heal. It
+        # FAILS CLOSED: a claim dir whose mtime cannot be read still
+        # refuses unless the dir is verifiably absent — the hazard is
+        # deleting a live appender's not-yet-indexed data files.
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        for v, committed in _list_versions(spark, path):
+            if committed:
+                continue
+            young = True  # unknown age == presumed in-flight
+            try:
+                fs_v, vpath = _hadoop_fs(spark, _version_dir(path, v))
+                try:
+                    mtime = fs_v.getFileStatus(vpath) \
+                        .getModificationTime()
+                    young = now_ms - mtime <= STALE_UNCOMMITTED_TTL_MS
+                except Exception:
+                    if not fs_v.exists(vpath):
+                        continue  # GC'd/raced away — verifiably gone
+            except Exception:
+                pass  # can't even build the path: stay fail-closed
+            if young:
+                raise ConcurrentIndexWriteError(
+                    f"uncommitted index version v{v} at {path} is "
+                    "younger than the in-flight TTL (or its age could "
+                    "not be read) — an append may be running, and its "
+                    "not-yet-indexed data files would be deleted as "
+                    "orphans; ensure no writer is active, then retry "
+                    "with force=True (or wait out the TTL)")
     for rel in orphans:
         _delete_dir(spark, f"{path}/data/{rel}")
     return orphans

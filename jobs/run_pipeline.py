@@ -41,8 +41,20 @@ def main() -> None:
     cfg = CorpusPipelineConfig(min_quality=min_quality,
                                decontam_ngram=ngram,
                                pack_capacity=capacity, pack_shards=shards)
-    packed = corpus_pipeline(docs, bench=bench, cfg=cfg)
+    packed = corpus_pipeline(docs, bench=bench, cfg=cfg).persist()
+    n_packed = packed.count()
     packed.write.mode("overwrite").partitionBy("split").parquet(out)
+    if n_packed == 0:
+        # everything dropped (e.g. aggressive min_quality): the write
+        # leaves only _SUCCESS and a parquet read-back cannot infer a
+        # schema — report the honest zeros instead of crashing
+        print(json.dumps({
+            "rows_in": n_in, "rows_packed": 0, "rows_dropped": n_in,
+            "splits": {}, "blocks": 0, "oversize_blocks": 0,
+            "fill_ratio": None,
+        }))
+        spark.stop()
+        return
 
     written = spark.read.parquet(out)
     n_out = written.count()

@@ -180,3 +180,15 @@ def test_payload_cols_ride_through(spark, corpus):
     src = {r.doc_id: r.text for r in corpus.collect()}
     assert all(src[d] == t or (src[d] is None and t is None)
                for d, t in zip(with_p.doc_id, with_p.text))
+
+
+def test_global_block_ids_rejects_gappy_input(spark, corpus):
+    """A filtered packed frame (block-id gaps) would make the offset
+    arithmetic emit non-contiguous ids — rejected with a clear error."""
+    packed = pack_documents(corpus, capacity=64, num_shards=4, seed=7)
+    filtered = packed.filter(~F.col("oversize") & (F.col("block_id") != 0))
+    with pytest.raises(ValueError, match="not dense"):
+        global_block_ids(filtered)
+    # export surface: reachable from the operators package like siblings
+    from fastbloom_spark.operators import global_block_ids as exported
+    assert exported is global_block_ids
