@@ -63,10 +63,20 @@ def test_entry_smoke(spark):
         assert 0.0 < r.density < 1.0
 
 
-def test_every_query_runs(spark):
-    for name, fn in entry_mod.queries().items():
-        df = fn(spark, SF_ORACLE)
-        assert df.count() >= 0, name
+def test_contract_structure():
+    """Every queries() entry is executed (and value-compared) by
+    test_oracle_match, so a separate run-them-all loop would double
+    ~80 s of per-query work for no extra signal — this guard instead
+    pins the structural contract: key parity between queries() and
+    oracle_sql(), and the driver's 50-row window being exactly filled
+    (the dict ORDER is load-bearing — see queries() block comments)."""
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(qs) == set(oracles)
+    assert len(qs) >= 50  # the driver gate checks the first 50 in order
+    for name, fn in qs.items():
+        assert callable(fn), name
+        assert oracles[name].strip(), name
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
