@@ -628,6 +628,29 @@ def q_streaming_indexed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, n_rows long")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental exact dedup driven end to end: batch 0
+    (doc_id % 3 == 0) bootstraps the on-disk fingerprint state, batch 1
+    (the rest) dedups against it (first-seen-wins across runs, min-id
+    within the batch), and a REPLAY of batch 1 (same commit token) must
+    emit nothing — its row count is returned as a pinned column. The
+    Bloom prefilter only routes rows to the exact verify join, so the
+    oracle is plain set algebra over normalized fingerprints."""
+    import tempfile
+
+    from fastbloom_spark.operators import incremental_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    state = tempfile.mkdtemp(prefix="fb_incr_q_") + "/state"
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    incremental_dedup(b0, state, commit_token="b0")
+    kept = incremental_dedup(b1, state, commit_token="b1")
+    n_replay = incremental_dedup(b1, state, commit_token="b1").count()
+    return kept.select(
+        "doc_id", F.lit(int(n_replay)).cast("long").alias("replay_rows"))
+
+
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for the first 3 corpus vectors
     (oracle: DuckDB list_cosine_similarity, identical rank + rounded score).
@@ -1680,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "streaming_decontam": q_streaming_decontam,
         "streaming_indexed_ingest": q_streaming_indexed_ingest,
+        "incremental_dedup": q_incremental_dedup,
         # -- block 2: §2 + family anchors (driver-green r05) --------------
         "digest_parity": q_digest_parity,
         "salted_agg_invariance": q_salted_agg_invariance,
@@ -1705,7 +1729,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_union_semantics": q_bloom_union_semantics,
         "bloom_intersect_semantics": q_bloom_intersect_semantics,
         "q3_shipping_priority": q3_shipping_priority,
-        "user_top_event": q_user_top_event,
         "checkpoint_resume": q_checkpoint_resume,
         "bloom_index_prune": q_bloom_index_prune,
         "rowgroup_index_prune": q_rowgroup_index_prune,
@@ -1716,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sketch_state": q_streaming_sketch_state,
         "streaming_windowed_hll": q_streaming_windowed_hll,
         # -- block 3: rotated past the driver window (repo-oracled) -------
+        "user_top_event": q_user_top_event,
         "rademacher_ann": q_rademacher_ann,
         "token_count": q_token_count,
         "text_stats": q_text_stats,
@@ -2337,6 +2361,25 @@ def oracle_sql() -> dict[str, str]:
                        '\+[0-9][0-9 ()\-]{6,14}[0-9]',
                        '<PHONE>', 'g')) AS redacted_sha
             FROM aug
+        """,
+        # cross-run exact dedup is pure fingerprint set algebra (the
+        # Bloom only routes rows to the exact verify); replay_rows is
+        # pinned 0 — a replayed batch that emitted anything would break
+        # the hash
+        "incremental_dedup": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     sha256(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                'g'))) AS fp
+              FROM documents WHERE text IS NOT NULL),
+            b0 AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0),
+            keep1 AS (SELECT fp, min(doc_id) AS doc_id FROM f
+                      WHERE doc_id % 3 <> 0 GROUP BY fp)
+            SELECT k.doc_id, CAST(0 AS BIGINT) AS replay_rows
+            FROM keep1 k WHERE k.fp NOT IN (SELECT fp FROM b0)
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT) AS replay_rows
+            FROM documents WHERE doc_id % 3 <> 0 AND text IS NULL
         """,
         # the ingested table holds exactly batches 0 and 1 once each —
         # a replay dup or a pruned-read false negative shifts a count

@@ -81,6 +81,9 @@ from .decontam import (
     contamination_report,
     decontaminate,
 )
+from .incremental import (
+    incremental_dedup,
+)
 from .pack import (
     global_block_ids,
     pack_documents,
@@ -105,7 +108,7 @@ __all__ += [
     "pii_features", "quality_features", "redact_pii_col",
     "repetition_features", "token_count_col", "word_ngrams_col",
     "benchmark_grams", "contamination_report", "decontaminate",
-    "global_block_ids", "pack_documents", "pack_stats",
+    "global_block_ids", "incremental_dedup", "pack_documents", "pack_stats",
 ]
 
 from .sketch_agg import (

@@ -1,0 +1,97 @@
+"""Cross-run incremental exact dedup (operators/incremental.py):
+first-seen-wins across runs, min-id within a run, Bloom prefilter
+exactness (routing only, never membership), exactly-once replay, and
+state-append composition with the indexed-table protocol."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastbloom_spark.operators import incremental_dedup
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+
+def _fps(spark, df):
+    from fastbloom_spark.operators.text import doc_fingerprint_col
+
+    return {r.f for r in
+            df.select(doc_fingerprint_col("text").alias("f"))
+            .filter(F.col("f").isNotNull()).distinct().collect()}
+
+
+def test_two_batches_first_seen_wins_and_state_appends(spark, docs,
+                                                       tmp_path):
+    state = str(tmp_path / "state")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+
+    k0 = incremental_dedup(b0, state, commit_token="b0")
+    # bootstrap: within-batch dedup only (min id per fingerprint)
+    assert k0.count() == b0.select(
+        F.sha2(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+               256)).distinct().count()
+
+    k1 = incremental_dedup(b1, state, commit_token="b1")
+    got1 = {r.doc_id for r in k1.collect()}
+    # oracle: b1's min-id keeper per fingerprint, minus b0's fingerprints
+    fp0 = _fps(spark, b0)
+    from fastbloom_spark.operators.text import doc_fingerprint_col
+
+    keep1 = {r.doc_id for r in
+             b1.select("doc_id",
+                       doc_fingerprint_col("text").alias("f"))
+             .filter(F.col("f").isNotNull())
+             .groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+             .filter(~F.col("f").isin(list(fp0)))
+             .select("doc_id").collect()}
+    assert got1 == keep1
+
+    # cross-run union law: survivor FINGERPRINT set over both runs ==
+    # one-shot exact dedup's fingerprint set over the union
+    assert _fps(spark, k0) | _fps(spark, k1) == _fps(spark, docs)
+
+    # third batch of pure duplicates: everything dropped
+    k2 = incremental_dedup(docs.limit(50), state, commit_token="b2")
+    assert k2.count() == 0
+
+
+def test_exactly_once_replay_emits_nothing(spark, docs, tmp_path):
+    state = str(tmp_path / "state")
+    b0 = docs.filter(F.col("doc_id") < 100)
+    incremental_dedup(b0, state, commit_token="t0")
+    # replayed batch (same token): empty, state untouched
+    assert incremental_dedup(b0, state, commit_token="t0").count() == 0
+    # a NEW batch still works after the replay
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    assert incremental_dedup(b1, state, commit_token="t1").count() > 0
+
+
+def test_update_state_false_leaves_state_unchanged(spark, docs, tmp_path):
+    state = str(tmp_path / "state")
+    b0 = docs.filter(F.col("doc_id") < 100)
+    incremental_dedup(b0, state)
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    once = {r.doc_id for r in
+            incremental_dedup(b1, state, update_state=False).collect()}
+    again = {r.doc_id for r in
+             incremental_dedup(b1, state, update_state=False).collect()}
+    assert once == again and once  # read-only probe is repeatable
+
+
+def test_null_text_rows_always_survive(spark, tmp_path):
+    state = str(tmp_path / "state")
+    a = spark.createDataFrame([(1, "same text"), (2, None)],
+                              "doc_id long, text string")
+    b = spark.createDataFrame([(3, "same text"), (4, None)],
+                              "doc_id long, text string")
+    k0 = incremental_dedup(a, state)
+    assert {r.doc_id for r in k0.collect()} == {1, 2}
+    k1 = incremental_dedup(b, state)
+    # 3 is a cross-run dup; NULL-text 4 survives (never stateful)
+    assert {r.doc_id for r in k1.collect()} == {4}
