@@ -134,7 +134,11 @@ class ThetaSketch:
         # LARGER-k sketch (the SQL mixed-k path keeps the smaller-k impl):
         # keeping the k smallest and moving theta to the first excluded
         # value is the standard KMV bottom-k cut over the result set, so
-        # the estimate stays the unbiased n/theta form
+        # the estimate stays the unbiased n/theta form. Note the cut
+        # DOWNGRADES exactness: an exact (uncut) input pair whose result
+        # exceeds this k comes back as an estimate — is_exact(result)
+        # is the truth witness, not is_exact of the inputs (pinned by
+        # the property suite)
         return self._cut(theta, vals.astype(np.uint64, copy=False))
 
     def a_not_b(self, a: State, b: State) -> State:

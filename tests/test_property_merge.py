@@ -132,3 +132,84 @@ def test_prune_zero_fn_and_monotone(data, extra):
     stats2 = prune_index(pdf, digs2, key_field="bucket_id")
     assert set(stats.survivors) <= set(stats2.survivors)
     assert stats2.units_total == stats.units_total == len(data)
+
+
+# -- round-6 kernels: next-fit packing + theta cut ---------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=300), min_size=0,
+                  max_size=400),
+    capacity=st.integers(min_value=1, max_value=120),
+)
+def test_pack_next_fit_laws(toks, capacity):
+    """Next-fit invariants for ANY token sequence: equality with the
+    obvious per-item reference walk, capacity respected except oversize
+    solos, block ids dense non-decreasing from 0."""
+    from fastbloom_spark.operators.pack import _pack_next_fit
+
+    tok = np.array(toks, dtype=np.int64)
+    got = _pack_next_fit(tok, capacity).tolist()
+
+    # reference: one item at a time, O(n) state machine
+    want, block, fill = [], 0, 0
+    for t in toks:
+        if want and fill + t > capacity:
+            block += 1
+            fill = 0
+        want.append(block)
+        fill += t
+    assert got == want
+
+    if toks:
+        assert got[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(got, got[1:]))
+        per_block: dict[int, list[int]] = {}
+        for t, b in zip(toks, got):
+            per_block.setdefault(b, []).append(t)
+        for vals in per_block.values():
+            assert sum(vals) <= capacity or len(vals) == 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_a=st.integers(min_value=0, max_value=5000),
+    n_b=st.integers(min_value=0, max_value=5000),
+    k_small=st.sampled_from([16, 64, 256]),
+    k_big=st.sampled_from([256, 1024, 4096]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_theta_setop_invariants_any_k_mix(n_a, n_b, k_small, k_big, seed):
+    """For ANY k mix and input sizes: set-op results keep n <= impl.k,
+    retained values strictly below theta, serde roundtrip, and exactness
+    whenever nothing overflowed."""
+    from fastbloom_spark.sketch import ThetaSketch
+
+    rng = np.random.default_rng(seed)
+    big = ThetaSketch(k=k_big, seed=7)
+    small = ThetaSketch(k=k_small, seed=7)
+    items_a = np.unique(rng.integers(0, 1 << 62, n_a, dtype=np.int64))
+    items_b = np.unique(rng.integers(0, 1 << 62, n_b, dtype=np.int64))
+    a = big.update(big.empty(), items_a)
+    b = small.update(small.empty(), items_b)
+    for st_out in (small.intersect(a, b), small.a_not_b(a, b),
+                   small.union(small.intersect(a, b),
+                               small.a_not_b(a, b))):
+        assert st_out[1].size <= small.k
+        assert np.all(st_out[1] < np.uint64(st_out[0]))
+        impl2, rt = ThetaSketch.from_buffer(small.serialize(st_out))
+        assert impl2.k == small.k
+        assert small.serialize(rt) == small.serialize(st_out)
+    # exactness holds iff the RESULT is uncut (is_exact of the output):
+    # a mixed-k cut of an exact input is a deliberate downgrade to the
+    # k_small estimator (found by this very property test)
+    A = set(items_a.tolist())
+    B = set(items_b.tolist())
+    for st_out, truth in ((small.intersect(a, b), len(A & B)),
+                          (small.a_not_b(a, b), len(A - B))):
+        if small.is_exact(a) and small.is_exact(b) \
+                and small.is_exact(st_out):
+            assert small.estimate(st_out) == truth
+        if truth == 0 and small.is_exact(a) and small.is_exact(b):
+            assert small.estimate(st_out) == 0.0
