@@ -83,6 +83,7 @@ from .decontam import (
 )
 from .incremental import (
     incremental_dedup,
+    incremental_minhash_dedup,
 )
 from .pack import (
     global_block_ids,
@@ -108,7 +109,8 @@ __all__ += [
     "pii_features", "quality_features", "redact_pii_col",
     "repetition_features", "token_count_col", "word_ngrams_col",
     "benchmark_grams", "contamination_report", "decontaminate",
-    "global_block_ids", "incremental_dedup", "pack_documents", "pack_stats",
+    "global_block_ids", "incremental_dedup", "incremental_minhash_dedup",
+    "pack_documents", "pack_stats",
 ]
 
 from .sketch_agg import (

@@ -1,7 +1,9 @@
-"""Cross-run incremental exact dedup — new batches vs an on-disk state.
+"""Cross-run incremental dedup — new batches vs an on-disk state.
 
-A crawl pipeline re-runs daily; exact dedup must hold ACROSS runs, not
-just within one DataFrame. The state is the engine's own indexed table
+A crawl pipeline re-runs daily; dedup must hold ACROSS runs, not just
+within one DataFrame. Two operators share the pattern:
+:func:`incremental_dedup` (EXACT, normalized-fingerprint state) and
+:func:`incremental_minhash_dedup` (NEAR-dup, banded-MinHash state). The state is the engine's own indexed table
 (``sources/index.py``) of previously-committed content fingerprints:
 per-bucket Bloom sidecars give a broadcastable prefilter, appends are
 atomic versioned publishes with single-writer enforcement, and the
@@ -40,9 +42,10 @@ from pyspark.sql import functions as F
 
 from ..config import BloomConfig
 
-__all__ = ["incremental_dedup"]
+__all__ = ["incremental_dedup", "incremental_minhash_dedup"]
 
 _FP_COL = "__fp"
+_PARAMS_FILE = "_MINHASH_PARAMS"
 
 
 def incremental_dedup(
@@ -167,3 +170,159 @@ def _has_committed_state(spark, path: str) -> bool:
         return True
     except Exception:
         return False
+
+
+def incremental_minhash_dedup(
+    df_new: DataFrame,
+    state_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+    num_buckets: int = 16,
+    fp: float = 1e-3,
+    update_state: bool = True,
+    commit_token: str | None = None,
+    max_pruned_keys: int = 1_000_000,
+) -> DataFrame:
+    """Cross-run NEAR-dup dedup: rows of ``df_new`` that survive
+    within-batch MinHash dedup (exact-Jaccard verified — the existing
+    :func:`~fastbloom_spark.operators.dedup.minhash_dedup` law) AND are
+    not near-duplicates of any previously-committed document.
+
+    The state stores each committed document's banded MinHash rows
+    ``(band_hash, band_idx, id, sig)`` in an indexed table keyed by
+    ``band_hash`` — no text is retained, so the cross-run decision uses
+    the SIGNATURE Jaccard estimate (error ~1/sqrt(num_perm)); the
+    within-batch decision stays exact. Per batch:
+
+    1. within-batch ``minhash_dedup`` (exact verify);
+    2. band the survivors and probe the state's union Bloom over
+       band hashes, broadcast — rows whose band hash cannot be in the
+       state skip the join entirely (zero-FN routing);
+    3. join the surviving band rows against the bucket-PRUNED state on
+       (band_idx, band_hash); a new doc whose estimated Jaccard vs any
+       state doc reaches ``threshold`` is dropped;
+    4. append the kept docs' band rows (bootstrap on first run; atomic
+       versioned publish; ``commit_token`` replays emit nothing).
+
+    Sig duplication note: the signature rides on every band row
+    (bands x sig bytes per doc) so verification is ONE join with no
+    second sig lookup; a sig-per-doc side table halves state size at
+    the cost of an extra doc-keyed fetch — the documented refinement if
+    state storage dominates. Blank documents (no shingles) are never
+    banded: they survive every run and never enter the state.
+
+    Geometry (shingle_n, num_perm, bands, seed) is pinned in the state
+    (``_MINHASH_PARAMS``) at bootstrap and later calls must match —
+    mixed geometries would join garbage."""
+    import json
+
+    from ..sources.index import (IndexHandle, _read_small_file,
+                                 _write_small_file,
+                                 append_to_indexed_table,
+                                 committed_commit_tokens,
+                                 write_indexed_table)
+    from .bloom import bloom_contains_col
+    from .dedup import (band_hashes_col, minhash_dedup,
+                        minhash_jaccard_est_col, minhash_signature_col,
+                        shingles_col)
+
+    spark = df_new.sparkSession
+    rows = num_perm // bands
+    if bands * rows != num_perm:
+        raise ValueError("bands must divide num_perm")
+    params = {"shingle_n": shingle_n, "num_perm": num_perm,
+              "bands": bands, "seed": seed}
+    has_state = _has_committed_state(spark, state_path)
+    if has_state:
+        raw = _read_small_file(spark, f"{state_path}/{_PARAMS_FILE}")
+        if raw is not None:
+            stored = json.loads(raw.decode("utf-8"))
+            if stored != params:
+                raise ValueError(
+                    f"minhash state at {state_path} was built with "
+                    f"{stored}, this call passed {params} — signatures "
+                    "across geometries are incomparable; re-bootstrap "
+                    "or match the stored parameters")
+        if (commit_token is not None and commit_token in
+                committed_commit_tokens(spark, state_path).values()):
+            return df_new.limit(0)  # replayed batch: exactly-once skip
+
+    survivors = minhash_dedup(df_new, id_col, text_col,
+                              shingle_n=shingle_n, num_perm=num_perm,
+                              bands=bands, threshold=threshold, seed=seed)
+    # persisted: feeds the probe join AND the state append (without it
+    # the signature UDF would run twice over the surviving docs)
+    banded = survivors.select(
+        F.col(id_col),
+        shingles_col(text_col, shingle_n).alias("__sh")) \
+        .filter(F.size("__sh") > 0) \
+        .select(id_col, minhash_signature_col("__sh", num_perm,
+                                              seed).alias("sig")) \
+        .select(id_col,
+                F.posexplode(band_hashes_col("sig", bands, rows))
+                .alias("band_idx", "band_hash"),
+                "sig").persist()
+
+    if has_state:
+        handle = IndexHandle(spark, state_path)
+        digest = handle._digest["band_hash"]
+        bloom = handle.union_filter("band_hash")
+        from ..functions.digest import digest64
+        from ..sources.index import BUCKET_COL
+
+        probed = banded.withColumn(
+            "__d", digest64(F.col("band_hash"), digest))
+        maybe = probed.filter(
+            bloom_contains_col(spark, bloom, "__d")).persist()
+        pos_digs = maybe.select("__d").distinct() \
+            .limit(max_pruned_keys + 1).toPandas()["__d"].tolist()
+        state_bands = handle._data()
+        if len(pos_digs) <= max_pruned_keys:
+            stats = handle.prune([], on="band_hash", digests=pos_digs)
+            state_bands = state_bands.filter(F.col(BUCKET_COL).isin(
+                [int(s) for s in stats.survivors] or [-1]))
+        state_side = state_bands.select(
+            F.col("band_idx"), F.col("band_hash"),
+            F.col("sig").alias("__state_sig"))
+        flagged = (maybe.join(state_side, ["band_idx", "band_hash"])
+                   .filter(minhash_jaccard_est_col("sig", "__state_sig")
+                           >= F.lit(float(threshold)))
+                   .select(id_col).distinct())
+        kept = survivors.join(F.broadcast(flagged), on=id_col,
+                              how="left_anti")
+    else:
+        maybe = None
+        kept = survivors
+
+    kept = kept.persist()
+    kept.count()  # materialize BEFORE the state sees the new band rows
+    if maybe is not None:
+        maybe.unpersist()
+
+    if update_state:
+        new_bands = banded.join(kept.select(id_col), on=id_col,
+                                how="left_semi") \
+            .select("band_hash", "band_idx", F.col(id_col), "sig")
+        if has_state:
+            append_to_indexed_table(new_bands, state_path,
+                                    commit_token=commit_token)
+        elif new_bands.limit(1).count():
+            cfg = BloomConfig.from_false_pos(
+                fp, expected_items=max(
+                    kept.count() * bands // num_buckets, 1024),
+                seed=seed)
+            write_indexed_table(new_bands, state_path,
+                                index_col="band_hash", cfg=cfg,
+                                bucket_source="band_hash",
+                                num_buckets=num_buckets,
+                                commit_token=commit_token)
+            _write_small_file(spark, f"{state_path}/{_PARAMS_FILE}",
+                              json.dumps(params).encode("utf-8"))
+    banded.unpersist()
+    return kept

@@ -95,3 +95,58 @@ def test_null_text_rows_always_survive(spark, tmp_path):
     k1 = incremental_dedup(b, state)
     # 3 is a cross-run dup; NULL-text 4 survives (never stateful)
     assert {r.doc_id for r in k1.collect()} == {4}
+
+
+# -- cross-run NEAR-dup (incremental_minhash_dedup) ---------------------------
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _text(i, mutate=None):
+    toks = [f"tok{i}_{j}" for j in range(40)]
+    if mutate is not None:
+        toks[mutate] = "MUTATED"
+    return " ".join(toks)
+
+
+def test_incremental_minhash_cross_run_near_dups(spark, tmp_path):
+    state = str(tmp_path / "mh_state")
+    from fastbloom_spark.operators import incremental_minhash_dedup
+
+    b0 = _mk(spark, [(i, _text(i)) for i in range(8)])
+    k0 = incremental_minhash_dedup(b0, state, threshold=0.5,
+                                   commit_token="b0")
+    assert {r.doc_id for r in k0.collect()} == set(range(8))
+
+    b1 = _mk(spark, [
+        (100, _text(0, mutate=3)),   # near-copy of state doc 0 -> drop
+        (101, _text(50)),            # fresh -> keep
+        (102, _text(1)),             # exact copy of state doc 1 -> drop
+        (103, _text(50, mutate=7)),  # within-batch near-dup of 101
+        (104, ""),                   # blank: never banded, survives
+    ])
+    k1 = incremental_minhash_dedup(b1, state, threshold=0.5,
+                                   commit_token="b1")
+    assert {r.doc_id for r in k1.collect()} == {101, 104}
+
+    # replayed batch (same token) emits nothing
+    assert incremental_minhash_dedup(b1, state, threshold=0.5,
+                                     commit_token="b1").count() == 0
+
+    # batch 2: near-copy of the batch-1 SURVIVOR is now a state dup too
+    b2 = _mk(spark, [(200, _text(50, mutate=11)), (201, _text(77))])
+    k2 = incremental_minhash_dedup(b2, state, threshold=0.5,
+                                   commit_token="b2")
+    assert {r.doc_id for r in k2.collect()} == {201}
+
+
+def test_incremental_minhash_geometry_pinned(spark, tmp_path):
+    state = str(tmp_path / "mh_state")
+    from fastbloom_spark.operators import incremental_minhash_dedup
+
+    incremental_minhash_dedup(_mk(spark, [(1, _text(1))]), state)
+    with pytest.raises(ValueError, match="geometr|incomparable"):
+        incremental_minhash_dedup(_mk(spark, [(2, _text(2))]), state,
+                                  seed=99)
