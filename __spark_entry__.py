@@ -2652,7 +2652,8 @@ def _oracle_split_assign() -> str:
         )
         SELECT CASE WHEN h < {t0} THEN 'train'
                     WHEN h < {t1} THEN 'val' ELSE 'test' END AS split,
-               COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM h GROUP BY 1
     """
 

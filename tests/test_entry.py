@@ -96,6 +96,21 @@ def test_oracle_match(spark, duck, name):
         _normalize(duck_rows, duck_cols), name
 
 
+def test_oracle_output_types_are_hash_safe(duck):
+    """The driver's value hash sees column WIDTH; the repr() compare above
+    does not. DuckDB widens bare integer SUMs to HUGEINT (int128) while
+    Spark emits BIGINT — rows/schema match, the driver hash doesn't
+    (split_assign, CORRECTNESS_r06). Gate the whole class: DESCRIBE every
+    oracle statement and refuse HUGEINT/DECIMAL output columns (house
+    rule: accumulate wide, emit CAST(... AS BIGINT) / round(CAST(... AS
+    DOUBLE), n))."""
+    for name, sql in entry_mod.oracle_sql().items():
+        rows = duck.execute(f"DESCRIBE {sql}").fetchall()
+        for col, typ, *_ in rows:
+            assert "HUGEINT" not in typ.upper(), (name, col, typ)
+            assert "DECIMAL" not in typ.upper(), (name, col, typ)
+
+
 def test_readme_query_counts_stay_in_sync():
     """README.md's driver-contract claim ('N queries (M with exact DuckDB
     oracles)') is auto-checked so doc drift fails CI (VERDICT r2 #10)."""
