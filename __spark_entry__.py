@@ -1676,11 +1676,13 @@ def q_simhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate checks the
-    # FIRST 50 dict entries. Block 1 (16) = queries with no driver row yet
+    # FIRST 50 dict entries. Block 1 (17) = queries with no driver row yet
     # (the round-5 operator families + the three new round-6 rows) so they
-    # get stamped this round; block 2 (34) = the strongest §2 / family
-    # anchors, all driver-green in r05; 16 + 34 = exactly the 50-row
-    # window. Block 3 (16, past the window) = rows that stay
+    # get stamped this round; block 2 (33) = the strongest §2 / family
+    # anchors, all driver-green in r05; 17 + 33 = exactly the 50-row
+    # window (the 50th entry, index 49, is streaming_windowed_hll —
+    # pinned by tests/test_entry.py). Block 3 (17, past the window) =
+    # rows that stay
     # oracle-checked in-repo (tests/test_entry.py runs the identical
     # DuckDB compare over EVERY entry): per-doc text features, simhash
     # variants, exact pair/count baselines — each a sibling of an

@@ -77,9 +77,10 @@ def main() -> None:
             _cap_buckets, band_hashes_col, minhash_candidate_pairs,
             minhash_signature_col, ngram_jaccard_pairs, shingles_col, _widen)
 
-        prepared = _widen(docs).select(
-            F.col("doc_id"), shingles_col("text", 3).alias("__sh")) \
-            .filter(F.size("__sh") > 0)
+        prepared = _widen(
+            docs.filter(F.col("text").isNotNull()
+                        & (F.trim("text") != ""))).select(
+            F.col("doc_id"), shingles_col("text", 3).alias("__sh"))
         out["mh_shingle"] = timed(spark, "mh: shingle only",
                                   lambda: noop(prepared))
         signed = prepared.select(
@@ -93,9 +94,12 @@ def main() -> None:
                 "band_idx", "band_hash"))
         out["mh_band"] = timed(spark, "mh: +band+explode",
                                lambda: noop(banded))
-        capped = _cap_buckets(banded, ["band_idx", "band_hash"], 1000)
-        out["mh_cap"] = timed(spark, "mh: +bucket cap",
-                              lambda: noop(capped))
+        grouped = banded.groupBy("band_idx", "band_hash").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("__ids"),
+            F.count("*").alias("__n")) \
+            .filter((F.col("__n") <= 1000) & (F.size("__ids") >= 2))
+        out["mh_cap"] = timed(spark, "mh: +bucket group",
+                              lambda: noop(grouped))
 
         def cands():
             c = minhash_candidate_pairs(docs, "doc_id", "text",
@@ -130,11 +134,21 @@ def main() -> None:
         grams = benchmark_grams(bench_docs, "text", ngram_n=5)
         out["dc_benchgrams"] = timed(spark, "dc: bench grams distinct",
                                      lambda: grams.count())
-        exploded = docs.select(
+        from fastbloom_spark.operators.text import _widen as widen_t
+        exploded = widen_t(docs).select(
             F.col("doc_id"),
             F.explode(word_ngrams_col("text", 5)).alias("gram"))
         out["dc_explode"] = timed(spark, "dc: corpus explode",
                                   lambda: noop(exploded))
+        from fastbloom_spark.functions import digest64
+        from fastbloom_spark.operators.bloom import (bloom_build,
+                                                     bloom_contains_col)
+        grams_bloom = bloom_build(grams, "gram", fp=1e-3, digest="xxh64")
+        probed = exploded.filter(
+            bloom_contains_col(spark, grams_bloom,
+                               digest64("gram", "xxh64")))
+        out["dc_probe"] = timed(spark, "dc: explode+probe",
+                                lambda: noop(probed))
         out["dc_full"] = timed(spark, "dc: full report", lambda:
                                contamination_report(docs, bench_docs,
                                                     ngram_n=5,
@@ -153,7 +167,10 @@ def main() -> None:
         bench_docs = docs.filter(F.col("doc_id") % 37 == 0)
         cfg = CorpusPipelineConfig(min_quality=0.35, decontam_ngram=5,
                                    pack_capacity=2048, pack_shards=32)
-        scored = quality_features(docs.select("doc_id", "text"), "text")
+        from fastbloom_spark.operators.decontam import contamination_report
+        from fastbloom_spark.operators.text import _widen as widen_t
+        scored = quality_features(widen_t(docs.select("doc_id", "text")),
+                                  "text")
         kept = scored.filter(F.col("text").isNotNull()
                              & (F.col("quality_score") >= 0.35))
         out["pl_quality"] = timed(spark, "pl: quality gate",
@@ -163,6 +180,12 @@ def main() -> None:
         dd = dedup_exact(red, "doc_id", "text")
         out["pl_dedup"] = timed(spark, "pl: +dedup_exact",
                                 lambda: noop(dd))
+        flagged = contamination_report(
+            dd, bench_docs, id_col="doc_id", text_col="text",
+            ngram_n=5, fp=1e-3).select("doc_id")
+        dcd = dd.join(F.broadcast(flagged), on="doc_id", how="left_anti")
+        out["pl_decontam"] = timed(spark, "pl: +decontam",
+                                   lambda: noop(dcd))
         out["pl_full"] = timed(spark, "pl: full pipeline", lambda:
                                corpus_pipeline(docs, bench=bench_docs,
                                                cfg=cfg).count())

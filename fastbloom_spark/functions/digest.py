@@ -15,15 +15,10 @@ kernel's :func:`fastbloom_spark.kernel.digest64_bytes` is tested.
 
 from __future__ import annotations
 
-from decimal import Decimal
 from typing import Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-
-# 2^63 / 2^64 as Decimal literals (too large for a Java long literal)
-_TWO63 = Decimal(9223372036854775808)
-_TWO64 = Decimal(18446744073709551616)
 
 #: user-registered digest strategies: name -> (Column -> LongType Column)
 _CUSTOM_DIGESTS: dict[str, Callable[[Column], Column]] = {}
@@ -91,15 +86,23 @@ def digest64(col: Column | str, strategy: str = "sha256") -> Column:
         return _CUSTOM_DIGESTS[name](c).cast("long")
     if strategy != "sha256":
         raise ValueError(f"unknown digest strategy {strategy!r}")
-    hex16 = F.substring(sha256_hex(c), 1, 16)
-    dec = F.conv(hex16, 16, 10).cast("decimal(20,0)")
-    wrapped = F.when(dec >= F.lit(_TWO63), dec - F.lit(_TWO64)).otherwise(dec)
-    return wrapped.cast("long")
+    return _hex16_to_long(sha256_hex(c))
+
+
+def _hex16_to_long(hex_col: Column) -> Column:
+    """First 16 hex chars reinterpreted as a SIGNED int64, in pure long
+    arithmetic: two 8-char ``conv`` halves (each < 2^32, exact in a long)
+    recombined with ``shiftleft(hi, 32) | lo`` — Java's long shift wraps
+    two's-complement, which IS the u64 -> i64 reinterpretation. Replaces
+    the former conv(16 chars) -> decimal(20,0) -> subtract-2^64 chain:
+    same value for every input (property-tested against the decimal
+    path), no per-row decimal allocation."""
+    hi = F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hex_col, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
 def digest64_from_hex(hex_col: Column | str) -> Column:
     """digest64 from an existing sha256 hex column (skips re-hashing)."""
     c = F.col(hex_col) if isinstance(hex_col, str) else hex_col
-    dec = F.conv(F.substring(c, 1, 16), 16, 10).cast("decimal(20,0)")
-    wrapped = F.when(dec >= F.lit(_TWO63), dec - F.lit(_TWO64)).otherwise(dec)
-    return wrapped.cast("long")
+    return _hex16_to_long(c)

@@ -641,7 +641,13 @@ def _broadcast_probe_udf(spark: SparkSession, bloom: BloomFilter):
         hashes = source_hash(_digests_to_u64(digests), seed)
         return pd.Series(contains_hashes(words, hashes, k, layout))
 
-    return probe
+    # asNondeterministic (guide §4.4): the probe is pure, but declaring it
+    # non-deterministic stops the optimizer duplicating the evaluation and
+    # — the measured win — stops InferFiltersFromConstraints copying the
+    # probe onto the BUILD side of the exact semi-join through the join
+    # key (both sides were paying the Python probe; sf1.0 semijoin
+    # 4.6 s -> 3.6 s, plain probe rows unchanged).
+    return probe.asNondeterministic()
 
 
 def bloom_contains_col(
@@ -674,7 +680,7 @@ def bloom_semi_join(
     *,
     fp: float = 0.001,
     seed: int = 42,
-    digest: str = "sha256",
+    digest: str = "xxh64",
     exact: bool = True,
     expected_items: int | None = None,
     layout: str = "flat",
@@ -682,6 +688,14 @@ def bloom_semi_join(
     """Sketch-accelerated semi-join: Bloom-prefilter the probe side with the
     build side's key filter, then (optionally) finish with an exact
     ``left_semi`` join for zero false positives.
+
+    ``digest`` defaults to ``"xxh64"`` (round 7): join KEYS carry no
+    content-sha256 invariant, the digest scan runs over the BIG probe
+    side, and the xxh64 intrinsic halves the whole operator's wall time
+    (sf1.0: 4.6 s -> 2.1 s). The exact finish makes the result identical
+    under any digest; pass ``digest="sha256"`` to restore the old
+    prefilter bits (only the ``exact=False`` triage mode can observe the
+    difference, as a different ~fp false-positive set).
 
     The classic runtime-filter pattern (Spark's own
     ``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`` is the built-in

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.digest import digest64
 from .bloom import bloom_build, bloom_contains_col
-from .text import word_ngrams_col
+from .text import _widen, word_ngrams_col
 
 
 def benchmark_grams(bench: DataFrame, text_col: str = "text",
@@ -46,7 +46,7 @@ def benchmark_grams(bench: DataFrame, text_col: str = "text",
     ``gram``). NULL/blank rows contribute nothing; documents shorter than
     ``ngram_n`` tokens contribute their whole token string (mirroring
     :func:`~fastbloom_spark.operators.text.word_ngrams_col`)."""
-    return bench.select(
+    return _widen(bench).select(
         F.explode(word_ngrams_col(text_col, ngram_n)).alias("gram")) \
         .distinct()
 
@@ -83,14 +83,21 @@ def contamination_report(
     passes ~0.1% of clean grams to the verify join.
     """
     b_text = bench_text_col or text_col
-    grams = benchmark_grams(bench, b_text, ngram_n=ngram_n)
-    # the gram frame is scanned up to three times (FPR-sizing count, Bloom
-    # build, verify join) — deliberate: bench is small by contract, and
-    # keeping the operator LAZY (no persist/checkpoint side effects) matters
-    # more than two extra scans of a few-MB table
+    # lazy localCheckpoint: the gram frame feeds three consumers (the
+    # FPR-sizing count, the Bloom build, the verify join) and each would
+    # otherwise re-run the explode+distinct job — 3 multi-stage jobs for a
+    # frame that is small by contract (a held-out benchmark). The sizing
+    # count inside bloom_build materializes it once; blocks are freed by
+    # the context cleaner when the report frame is dropped.
+    grams = benchmark_grams(bench, b_text, ngram_n=ngram_n) \
+        .localCheckpoint(eager=False)
     bloom = bloom_build(grams, "gram", fp=fp, digest="xxh64")
 
-    exploded = docs.select(
+    # widen first: the explode+probe chain is a narrow CPU-bound map — a
+    # single-row-group corpus file would otherwise serialize the whole
+    # gram scan through one task (no-op when the input already has >=
+    # defaultParallelism partitions, i.e. at any real scale)
+    exploded = _widen(docs).select(
         F.col(id_col),
         F.explode(word_ngrams_col(text_col, ngram_n)).alias("gram"))
     # grams are never NULL post-explode (word_ngrams_col yields empty

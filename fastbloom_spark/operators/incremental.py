@@ -241,14 +241,23 @@ def incremental_minhash_dedup(
     has_state = _has_committed_state(spark, state_path)
     if has_state:
         raw = _read_small_file(spark, f"{state_path}/{_PARAMS_FILE}")
-        if raw is not None:
-            stored = json.loads(raw.decode("utf-8"))
-            if stored != params:
-                raise ValueError(
-                    f"minhash state at {state_path} was built with "
-                    f"{stored}, this call passed {params} — signatures "
-                    "across geometries are incomparable; re-bootstrap "
-                    "or match the stored parameters")
+        if raw is None:
+            # a committed state without its geometry pin cannot be safely
+            # joined against — silently skipping the check would mix
+            # incomparable signatures on a later geometry change
+            # (ADVICE r06); the params file is written before the
+            # bootstrap publish, so this only happens on manual deletion
+            raise ValueError(
+                f"minhash state at {state_path} is committed but has no "
+                f"{_PARAMS_FILE} geometry pin — refusing to join "
+                "signatures of unknown geometry; re-bootstrap the state")
+        stored = json.loads(raw.decode("utf-8"))
+        if stored != params:
+            raise ValueError(
+                f"minhash state at {state_path} was built with "
+                f"{stored}, this call passed {params} — signatures "
+                "across geometries are incomparable; re-bootstrap "
+                "or match the stored parameters")
         if (commit_token is not None and commit_token in
                 committed_commit_tokens(spark, state_path).values()):
             return df_new.limit(0)  # replayed batch: exactly-once skip
@@ -257,11 +266,16 @@ def incremental_minhash_dedup(
                               shingle_n=shingle_n, num_perm=num_perm,
                               bands=bands, threshold=threshold, seed=seed)
     # persisted: feeds the probe join AND the state append (without it
-    # the signature UDF would run twice over the surviving docs)
-    banded = survivors.select(
+    # the signature UDF would run twice over the surviving docs).
+    # Blank/NULL docs are dropped on the RAW text (shingles empty <=>
+    # NULL or all-whitespace text) — a size(__sh) filter on the computed
+    # column would evaluate the shingle expression twice
+    banded = survivors \
+        .filter(F.col(text_col).isNotNull()
+                & (F.trim(F.col(text_col)) != "")) \
+        .select(
         F.col(id_col),
         shingles_col(text_col, shingle_n).alias("__sh")) \
-        .filter(F.size("__sh") > 0) \
         .select(id_col, minhash_signature_col("__sh", num_perm,
                                               seed).alias("sig")) \
         .select(id_col,
@@ -317,12 +331,17 @@ def incremental_minhash_dedup(
                 fp, expected_items=max(
                     kept.count() * bands // num_buckets, 1024),
                 seed=seed)
+            # params BEFORE the publish: a crash between the two leaves a
+            # params file with no committed state (harmless — the next
+            # call bootstraps again and overwrites it), while the old
+            # order left a committed state whose geometry check silently
+            # vanished (ADVICE r06)
+            _write_small_file(spark, f"{state_path}/{_PARAMS_FILE}",
+                              json.dumps(params).encode("utf-8"))
             write_indexed_table(new_bands, state_path,
                                 index_col="band_hash", cfg=cfg,
                                 bucket_source="band_hash",
                                 num_buckets=num_buckets,
                                 commit_token=commit_token)
-            _write_small_file(spark, f"{state_path}/{_PARAMS_FILE}",
-                              json.dumps(params).encode("utf-8"))
     banded.unpersist()
     return kept

@@ -46,8 +46,8 @@ from pyspark.sql import functions as F
 from .decontam import contamination_report
 from .pack import pack_documents
 from .sample import split_assign
-from .text import (dedup_exact, quality_features, redact_pii_col,
-                   token_count_col)
+from .text import (_no_pushdown, _widen, dedup_exact, quality_features,
+                   redact_pii_col, token_count_col)
 
 
 @dataclass(frozen=True)
@@ -66,6 +66,10 @@ class CorpusPipelineConfig:
     pack_capacity: int = 2048
     pack_shards: int = 64
     pack_seed: int = 42
+    #: materialize the dedup survivors once (lazy localCheckpoint) so the
+    #: decontam scan / anti-join / pack shuffle don't each re-evaluate the
+    #: regex+hash chain; False = fully lazy plan (recompute per branch)
+    materialize: bool = True
 
 
 def corpus_pipeline(
@@ -85,11 +89,21 @@ def corpus_pipeline(
     content — the one place the pipeline is stricter than its parts)."""
     # 1. quality gate. NULL text needs the explicit isNotNull: greatest/
     # least SKIP null operands (both engines), so a NULL doc would score a
-    # perfect 1.0 and sail through the threshold
-    scored = quality_features(docs.select(id_col, text_col), text_col)
+    # perfect 1.0 and sail through the threshold. Widen first (after the
+    # narrow column select): every downstream stage is a CPU-bound
+    # regex/hash map, and a single-row-group corpus file would serialize
+    # all of them through one task (no-op at real input widths)
+    scored = quality_features(_widen(docs.select(id_col, text_col)),
+                              text_col)
+    # _no_pushdown: a plain quality_score filter would be substituted
+    # below the Project AND pushed below the widening exchange — the
+    # whole scoring expression evaluated twice, once serialized into the
+    # narrow scan stage (measured 2.1 s -> 0.7 s at sf1.0). The cheap
+    # isNotNull stays a separate pushable conjunct.
     kept = scored.filter(
         F.col(text_col).isNotNull()
-        & (F.col("quality_score") >= F.lit(float(cfg.min_quality))))
+        & _no_pushdown(
+            F.col("quality_score") >= F.lit(float(cfg.min_quality))))
 
     # 2. redact in place
     if cfg.redact_pii:
@@ -98,6 +112,19 @@ def corpus_pipeline(
     # 3. exact dedup on the redacted, normalized content
     if cfg.dedup:
         kept = dedup_exact(kept, id_col, text_col)
+
+    # Materialize the dedup survivors ONCE (lazy local checkpoint: first
+    # action computes + stores, lineage truncates). Three consumers read
+    # this frame — the decontamination gram scan, the anti-join's kept
+    # side, and the pack shuffle — and without a materialization each
+    # re-evaluates the whole regex/sha256/join chain above (no common
+    # exchange to reuse: the dedup semi-join broadcasts). This is the
+    # standard write-intermediate-survivors step of a production corpus
+    # pipeline; storage cost is one pass of the POST-dedup corpus
+    # (memory+disk, blocks freed by the context cleaner when the frame is
+    # dropped). Set materialize=False to keep the fully-lazy plan.
+    if cfg.materialize and (cfg.dedup or cfg.redact_pii):
+        kept = kept.localCheckpoint(eager=False)
 
     # 4. decontaminate
     if bench is not None and cfg.decontam_ngram:

@@ -150,6 +150,12 @@ def sample_fraction(
     excluded (NULL-in -> NULL-out; a NULL hash fails the comparison)."""
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    if fraction == 1.0:
+        # the clamped threshold (i64 max) with a strict '<' would drop a
+        # row whose key hash equals 2^63-1 (probability 2^-64, but it
+        # contradicts "fraction 1.0 keeps everything"); the 100% sample
+        # is exactly the non-NULL-key rows
+        return df.filter(key_hash(cols, seed).isNotNull())
     t = min(_I64_MIN + int(fraction * float(1 << 64)), (1 << 63) - 1)
     return df.filter(key_hash(cols, seed) < F.lit(t))
 

@@ -32,16 +32,13 @@ from pyspark.sql import functions as F
 from ..functions.digest import digest64
 from ..kernel import decode_state, encode_state, exact_int64
 from .bloom import _auto_salt, _key_schema, _norm_key_vals
+from .text import _widen
 
 
 def _prepare(df: DataFrame, value_col: str | Column, impl,
-             key_cols: Sequence[str], digest_precomputed: bool) -> DataFrame:
+             key_cols: Sequence[str], digest_precomputed: bool,
+             *, widen: bool = False) -> DataFrame:
     col = F.col(value_col) if isinstance(value_col, str) else value_col
-    if impl.input_kind == "digest":
-        val = col if digest_precomputed else digest64(col)
-        val = val.cast("long")
-    else:
-        val = col.cast("double")
     # NULL values leave BEFORE the Arrow transfer: for digest sketches one
     # NULL would turn the whole long batch float64 and corrupt digests
     # above 2^53 (kernel.exact_int64); for double sketches the impls strip
@@ -49,8 +46,21 @@ def _prepare(df: DataFrame, value_col: str | Column, impl,
     # paths. Filter the RAW column, never the computed digest (Catalyst
     # would evaluate the digest twice — Filter + Project — a measured ~2x
     # on sha256 scans; and xxh64 hashes NULL to a non-null constant)
-    return df.filter(col.isNotNull()) \
-        .select(*key_cols, val.alias("__value"))
+    base = df.filter(col.isNotNull()).select(*key_cols,
+                                             col.alias("__raw__"))
+    if widen:
+        # widen BELOW the digest projection so the hash scan parallelizes
+        # (a single-row-group input would serialize it through one task);
+        # only order-invariant sketches may take this path — see
+        # sketch_partials
+        base = _widen(base)
+    raw = F.col("__raw__")
+    if impl.input_kind == "digest":
+        val = raw if digest_precomputed else digest64(raw)
+        val = val.cast("long")
+    else:
+        val = raw.cast("double")
+    return base.select(*key_cols, val.alias("__value"))
 
 
 def _values_np(series: pd.Series, impl) -> np.ndarray:
@@ -70,9 +80,16 @@ def sketch_partials(
     *,
     digest_precomputed: bool = False,
 ) -> DataFrame:
-    """Per-(key, partition) partial sketch rows: map-side only."""
+    """Per-(key, partition) partial sketch rows: map-side only.
+
+    Inputs narrower than the cluster's task slots are widened (round-robin
+    repartition) ONLY for order-invariant sketches (HLL register-max, CMS
+    counter-add, theta bottom-k — bitwise identical under any partition
+    layout); t-digest/KLL merge within error bounds but not bit-identically
+    across layouts, so their partitioning is never touched."""
     keys = list(key_cols)
-    prepared = _prepare(df, value_col, impl, keys, digest_precomputed)
+    prepared = _prepare(df, value_col, impl, keys, digest_precomputed,
+                        widen=getattr(impl, "order_invariant", False))
     key_schema = _key_schema(prepared, keys)
     schema = (key_schema + ", " if key_schema else "") + \
         "partition_id int, rows_seen long, sketch binary"

@@ -13,6 +13,23 @@ from pyspark.sql import functions as F
 
 from ..functions.digest import sha256_hex
 
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Hash/regex-heavy map stages are CPU-bound: an input with fewer
+    partitions than the cluster has task slots (small tables, single
+    parquet row groups) would serialize the whole corpus through one task.
+    Repartition up to defaultParallelism — a no-op at real scale (100 TB
+    inputs arrive with far more partitions than slots), and when it does
+    fire the row shuffle is bounded by the small input that triggered it.
+    Results are partition-invariant, so this is purely a physical change.
+    (Round 7: moved here from operators/dedup.py so the decontamination
+    and corpus-pipeline scans widen too — at sf1.0 their single-row-group
+    input serialized the whole gram/regex chain through one task.)"""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
 #: tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic (public common-word lists, truncated)
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -27,6 +44,20 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "it": ["il", "la", "di", "che", "e", "un", "una", "per", "non", "sono",
            "con", "del", "si", "da", "come"],
 }
+
+
+def _no_pushdown(pred: Column) -> Column:
+    """``pred`` OR an always-false NON-DETERMINISTIC term — semantically
+    identical to ``pred`` (monotonically_increasing_id() is never < 0),
+    but the optimizer can neither split the disjunction nor push it below
+    a Project or Exchange. Use for filters over EXPENSIVE computed
+    columns: a plain filter gets substituted below the projection
+    (Filter + Project evaluate the expression twice — no cross-operator
+    CSE) and pushed below any widening repartition, serializing the
+    evaluation into the narrow scan stage. Same medicine the guide
+    prescribes for Python UDFs (asNondeterministic), applied to Catalyst
+    expressions."""
+    return pred | (F.monotonically_increasing_id() < F.lit(0))
 
 
 def tokens_col(text_col: Column | str, *, lowercase: bool = True) -> Column:
@@ -136,12 +167,26 @@ def word_ngrams_col(text_col: Column | str, n: int = 8) -> Column:
     toks = tokens_col(text_col)
     joined = F.concat_ws(" ", toks)
     n_g = F.size(toks) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_g, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    grams = _sliding_grams(toks, n, n_g)
     return F.when(c.isNull() | (F.size(toks) == 0),
                   F.array().cast("array<string>")) \
         .otherwise(F.when(n_g >= 1, grams).otherwise(F.array(joined)))
+
+
+def _sliding_grams(toks: Column, n: int, n_g: Column) -> Column:
+    """Space-joined sliding n-grams of a token array via zip_with over n
+    shifted slices — ~5x faster than the transform(sequence, slice,
+    concat_ws) formulation (higher-order functions are interpreted, and
+    slice+concat_ws allocates a fresh array per gram; the zip chain
+    allocates n slices per DOCUMENT and concatenates pairwise). Output is
+    element-identical on the n_g >= 1 domain (tokens are never NULL, so
+    concat == concat_ws); callers guard the short/empty cases."""
+    safe_len = F.greatest(n_g, F.lit(1))
+    grams = F.slice(toks, 1, safe_len)
+    for j in range(2, n + 1):
+        grams = F.zip_with(grams, F.slice(toks, j, safe_len),
+                           lambda x, y: F.concat(x, F.lit(" "), y))
+    return grams
 
 
 def repetition_features(df: DataFrame, text_col: str = "text",

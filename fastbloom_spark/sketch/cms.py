@@ -27,6 +27,9 @@ _MAGIC = 0x43  # 'C'
 class CountMinSketch:
     name = "cms"
     input_kind = "digest"
+    #: counter ADD is exact: merged counters are bitwise-identical for any
+    #: partition layout/merge order, so inputs may be safely widened
+    order_invariant = True
 
     def __init__(self, depth: int = 5, log2_width: int = 14, seed: int = 0):
         if not 1 <= depth <= 16:

@@ -43,6 +43,8 @@ class HllSketch:
 
     name = "hll"
     input_kind = "digest"
+    #: register MAX is exact: bitwise-identical for any partition layout
+    order_invariant = True
 
     def __init__(self, precision: int = 12, seed: int = 0):
         if not 4 <= precision <= 18:

@@ -61,6 +61,9 @@ class ThetaSketch:
 
     name = "theta"
     input_kind = "digest"
+    #: bottom-k retained SET is a pure function of the value set —
+    #: bitwise-identical for any partition layout
+    order_invariant = True
 
     def __init__(self, k: int = 4096, seed: int = 0):
         if k < 16:

@@ -1392,7 +1392,33 @@ def append_to_indexed_table(df_new: DataFrame, path: str, *,
     new_files = [f for f in spark.read.parquet(f"{path}/data").inputFiles()
                  if f not in before]
     if not new_files:
-        _delete_dir(spark, claimed[1])  # release the unused claim
+        if commit_token is None:
+            _delete_dir(spark, claimed[1])  # release the unused claim
+            return
+        # Zero-row append WITH a commit token: the caller's exactly-once
+        # contract needs THIS batch's token committed even though no data
+        # changed — releasing the claim here made a replay of an
+        # all-duplicate batch recompute and re-emit (ADVICE r06). Publish
+        # a token-only version: sidecars carried over unchanged, the
+        # manifest re-recording the (unchanged) live file set.
+        def publish_unchanged(vdir: str) -> None:
+            spark.createDataFrame(index_pdf, schema=index_schema) \
+                .write.mode("overwrite").parquet(f"{vdir}/bloom")
+            for c in meta.zone_cols or ():
+                spark.read.parquet(f"{zones_dir}/{c}") \
+                    .write.mode("overwrite").parquet(f"{vdir}/zones/{c}")
+            rgdir0 = _rg_dir(bloom_dir)
+            if rgdir0 is not None:
+                fs0, rgp0 = _hadoop_fs(spark, rgdir0)
+                if fs0.exists(rgp0):
+                    spark.read.parquet(rgdir0).write.mode("overwrite") \
+                        .parquet(f"{vdir}/rgbloom")
+
+        rel = (_data_rel_files(spark, path)
+               if "data_files_sha" in index_pdf.columns else None)
+        _publish_index_version(spark, path, publish_unchanged,
+                               claimed=claimed, commit_token=commit_token,
+                               data_files=rel)
         return
     written_new = spark.read.option("basePath", f"{path}/data") \
         .parquet(*new_files)

@@ -74,6 +74,9 @@ def test_contract_structure():
     oracles = entry_mod.oracle_sql()
     assert set(qs) == set(oracles)
     assert len(qs) >= 50  # the driver gate checks the first 50 in order
+    # pin the 50-row window seam: an accidental reorder that shifts the
+    # driver's stamp window must fail loudly (ADVICE r06)
+    assert list(qs)[49] == "streaming_windowed_hll"
     for name, fn in qs.items():
         assert callable(fn), name
         assert oracles[name].strip(), name

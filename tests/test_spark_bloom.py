@@ -261,6 +261,39 @@ def test_bloom_rollup_block64_layout_rides_through(spark, docs):
         assert f.contains_digests(digests).all()  # zero FN global level
 
 
+def test_sha256_digest64_long_arith_equals_decimal_path(spark):
+    """Round 7 rewrote digest64's sha256 path from conv(16 hex) ->
+    decimal(20,0) -> wrap to two 8-char conv halves + shiftleft|or (pure
+    long arithmetic). The two formulations must agree for EVERY hex16,
+    including the sign boundary (hi >= 2^31) and all-FF wraparound —
+    checked on adversarial literals plus kernel parity on real digests."""
+    from decimal import Decimal
+
+    from fastbloom_spark.functions.digest import _hex16_to_long
+    from fastbloom_spark.kernel import digest64_bytes
+
+    hexes = ["0000000000000000", "7fffffffffffffff", "8000000000000000",
+             "ffffffffffffffff", "80000000" + "00000001",
+             "7fffffff" + "ffffffff", "deadbeefcafebabe",
+             "0123456789abcdef"]
+    df = spark.createDataFrame([(h,) for h in hexes], ["h"]) \
+        .select("h", _hex16_to_long(F.col("h")).alias("d"))
+    for r in df.collect():
+        u = int(r.h, 16)
+        expect = u - (1 << 64) if u >= (1 << 63) else u
+        assert r.d == expect, r.h
+        # the old decimal formulation, replayed in Python
+        dec = Decimal(u)
+        wrapped = dec - Decimal(1 << 64) if dec >= Decimal(1 << 63) else dec
+        assert r.d == int(wrapped), r.h
+    # and end-to-end: JVM digest64 == pure-int kernel digest on real text
+    texts = [f"row-{i}-{'x' * (i % 7)}" for i in range(64)]
+    got = spark.createDataFrame([(t,) for t in texts], ["v"]) \
+        .select("v", digest64("v").alias("d")).collect()
+    for r in got:
+        assert r.d == digest64_bytes(r.v.encode("utf-8")), r.v
+
+
 def test_xxh64_digest_engine_parity(spark):
     """kernel.xxh64_bytes == F.xxhash64 bit-for-bit on the deployed engine,
     across lengths spanning every code path (empty/tail/4-byte/8-byte/
