@@ -360,9 +360,12 @@ def bloom_agg(
         # n_keys distinct keys (min(n_keys, P) underestimated by n_keys/P
         # for high-cardinality keys and could never pick shuffle for small
         # sketches). Overestimating only flips to "shuffle", whose cost is
-        # a safe 16 B/row digest shuffle.
+        # a safe 16 B/row digest shuffle. Threshold 256 MiB (round 7,
+        # was 1 GiB): at 512 MB of raw partial state the decode+OR merge
+        # already dominates — measured 3.1 s partial vs 1.9 s shuffle for
+        # 8 keys x 64 partitions x 1 MB sketches at sf1.0.
         inflation = n_keys * p_in * cfg.num_words * 8
-        strategy = "shuffle" if inflation > (1 << 30) else "partial"
+        strategy = "shuffle" if inflation > (1 << 28) else "partial"
     elif strategy == "auto":
         strategy = "partial"
     if strategy not in ("partial", "shuffle"):

@@ -216,9 +216,11 @@ def sketch_agg(
         # UPPER bound: every partition can hold up to n_keys distinct
         # keys (min(n_keys, P) undercounted by n_keys/P and could never
         # pick shuffle for high-cardinality keys); overestimating only
-        # flips to "shuffle", a safe thin-row shuffle
+        # flips to "shuffle", a safe thin-row shuffle. Threshold 256 MiB
+        # (round 7, was 1 GiB) — the Bloom-side measurement showed the
+        # partial decode+OR merge dominating well before 1 GiB.
         inflation = n_keys * p_in * state_bytes
-        strategy = "shuffle" if inflation > (1 << 30) else "partial"
+        strategy = "shuffle" if inflation > (1 << 28) else "partial"
     elif strategy == "auto":
         strategy = "partial"
     if strategy not in ("partial", "shuffle"):
@@ -335,7 +337,26 @@ def sketch_build(
     digest_precomputed: bool = False,
     fanin: int = 16,
 ):
-    """Global build → (local sketch state, rows_seen) on the driver."""
+    """Global build → (local sketch state, rows_seen) on the driver.
+
+    Order-invariant sketches (HLL/CMS/theta) skip the two-phase
+    applyInPandas merge: the per-partition partials (KBs each) are
+    Arrow-collected and folded driver-side — same bits by merge
+    commutativity, two shuffle stages and two Python round trips fewer
+    (the bloom_build driver-collect pattern). Rank sketches
+    (t-digest/KLL) keep the distributed merge tree so their merge order
+    — and therefore their driver-hash-checked output — is unchanged."""
+    if getattr(impl, "order_invariant", False):
+        pdf = sketch_partials(df, value_col, impl, [],
+                              digest_precomputed=digest_precomputed) \
+            .select("rows_seen", "sketch").toPandas()
+        if pdf.empty:
+            return impl.empty(), 0
+        merged = functools.reduce(
+            impl.merge,
+            (impl.deserialize(decode_state(bytes(b)))
+             for b in pdf["sketch"]))
+        return merged, int(pdf["rows_seen"].sum())
     rows = sketch_agg(df, [], value_col, impl,
                       digest_precomputed=digest_precomputed,
                       fanin=fanin).collect()
