@@ -155,6 +155,48 @@ def band_hashes_col(sig_col: str, bands: int, rows: int,
     return band(F.col(sig_col))
 
 
+def _band_hashes_from_shingles_col(shingle_col: str, num_perm: int,
+                                   bands: int, rows: int, seed: int,
+                                   band_seed: int = 7) -> Column:
+    """Fused sign+band: MinHash signature and band-hash fold in ONE pandas
+    UDF — bit-identical to ``minhash_signature_col`` →
+    ``band_hashes_col`` (same mix64/reduceat math on the same U64 views),
+    but the 128-slot signature array never crosses the JVM↔Python
+    boundary (one Arrow round trip instead of two). Candidate-generation
+    internal; callers that need the signature itself (incremental state)
+    keep the two-step path."""
+    seeds = _perm_seeds(num_perm, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sign_band(shingles: pd.Series) -> pd.Series:
+        import pyarrow as pa
+
+        arr = pa.array(shingles, type=pa.list_(pa.int64()))
+        offsets = arr.offsets.to_numpy()
+        flat = arr.values.to_numpy(zero_copy_only=False).view(U64)
+        n_docs = len(arr)
+        lens = np.diff(offsets)
+        nonempty = lens > 0
+        starts = offsets[:-1][nonempty]
+        out = np.full((n_docs, len(seeds)), np.iinfo(np.int64).max,
+                      dtype=np.int64)
+        if flat.size:
+            with np.errstate(over="ignore"):
+                for j, s in enumerate(seeds):
+                    mixed = mix64(flat ^ s)
+                    mins = np.minimum.reduceat(mixed, starts)
+                    out[nonempty, j] = mins.view(np.int64)
+        mat = out.view(U64).reshape(n_docs, bands, rows)
+        with np.errstate(over="ignore"):
+            acc = np.full((n_docs, bands), mix64(int(band_seed)),
+                          dtype=U64)
+            for r in range(rows):
+                acc = mix64(acc ^ mat[:, :, r])
+        return pd.Series(list(acc.view(np.int64)))
+
+    return sign_band(F.col(shingle_col))
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -186,11 +228,10 @@ def minhash_candidate_pairs(
         df.filter(tc.isNotNull() & (F.trim(tc) != ""))).select(
         F.col(id_col),
         shingles_col(text_col, shingle_n).alias("__sh"))
-    signed = prepared.select(
-        id_col, minhash_signature_col("__sh", num_perm, seed).alias("__sig"))
-    banded = signed.select(
+    banded = prepared.select(
         id_col,
-        F.posexplode(band_hashes_col("__sig", bands, rows)).alias(
+        F.posexplode(_band_hashes_from_shingles_col(
+            "__sh", num_perm, bands, rows, seed)).alias(
             "band_idx", "band_hash"))
     # Per-bucket pair generation in ONE shuffle: aggregate each band
     # bucket's ids (map-side partial lists), drop oversized buckets (the

@@ -150,3 +150,37 @@ def test_incremental_minhash_geometry_pinned(spark, tmp_path):
     with pytest.raises(ValueError, match="geometr|incomparable"):
         incremental_minhash_dedup(_mk(spark, [(2, _text(2))]), state,
                                   seed=99)
+
+
+def test_zero_row_append_with_token_still_exactly_once(spark, tmp_path):
+    """ADVICE r06 (medium): a batch whose survivors have NO non-null
+    fingerprints (all cross-run dups + NULL-text rows) appends zero rows —
+    the commit token must be recorded anyway, or a replay of that batch
+    re-emits its NULL-text rows (violating 'a replayed batch emits an
+    EMPTY frame')."""
+    state = str(tmp_path / "state")
+    a = spark.createDataFrame([(1, "same text"), (2, None)],
+                              "doc_id long, text string")
+    incremental_dedup(a, state, commit_token="a")
+    # batch b: one cross-run dup + one NULL-text row -> zero new
+    # fingerprints, but doc 4 is emitted
+    b = spark.createDataFrame([(3, "same text"), (4, None)],
+                              "doc_id long, text string")
+    k1 = incremental_dedup(b, state, commit_token="b")
+    assert {r.doc_id for r in k1.collect()} == {4}
+    # the replay MUST see the token and emit nothing
+    assert incremental_dedup(b, state, commit_token="b").count() == 0
+
+
+def test_minhash_missing_params_on_committed_state_errors(spark, tmp_path):
+    """ADVICE r06 (low): a committed state whose _MINHASH_PARAMS pin is
+    gone must refuse loudly, not silently skip the geometry check."""
+    from fastbloom_spark.operators import incremental_minhash_dedup
+    from fastbloom_spark.operators.incremental import _PARAMS_FILE
+
+    state = str(tmp_path / "mh_state")
+    incremental_minhash_dedup(_mk(spark, [(1, _text(1))]), state)
+    import os
+    os.remove(f"{state}/{_PARAMS_FILE}")
+    with pytest.raises(ValueError, match="geometry pin"):
+        incremental_minhash_dedup(_mk(spark, [(2, _text(2))]), state)

@@ -229,3 +229,14 @@ def test_sample_fraction_duckdb_parity(spark, sf_dir):
         f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
         f"WHERE {sql_key_hash(['doc_id'], 11)} < {t}").fetchall())
     assert got == exp
+
+
+def test_sample_fraction_one_keeps_every_nonnull_key_row(spark, sf_dir):
+    """fraction=1.0 must keep EVERY non-NULL-key row — the clamped
+    threshold with strict '<' could drop a key hashing to exactly
+    2^63-1 (ADVICE r06)."""
+    from fastbloom_spark.operators.sample import sample_fraction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_nonnull = docs.filter(F.col("doc_id").isNotNull()).count()
+    assert sample_fraction(docs, ["doc_id"], 1.0).count() == n_nonnull
