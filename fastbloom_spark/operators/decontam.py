@@ -62,10 +62,21 @@ def contamination_report(
     fp: float = 1e-3,
     min_matches: int = 1,
     exact: bool = True,
+    prefilter_min_grams: int = 250_000,
 ) -> DataFrame:
     """Per-document contamination report: ``(id_col, n_matched_grams)`` for
     every document sharing >= ``min_matches`` DISTINCT word ``ngram_n``-grams
     with the benchmark set.
+
+    ``prefilter_min_grams`` (exact mode only): benchmarks at or below
+    this many distinct grams skip the Bloom prefilter and probe the
+    broadcast gram strings directly — the exact verify join IS the
+    membership test, so the result is identical, and for driver-sized
+    gram sets (~10 MB at the default) the JVM hash probe beats paying a
+    filter-build job plus a Python probe pass (measured 2.16 s -> 1.71 s
+    at sf1.0). Above the threshold — the 100 TB shape, where the gram
+    strings would be a GB-scale broadcast but the filter is m/8 bytes —
+    the Bloom prefilter is the point of this operator and stays on.
 
     ``exact=True`` (default) verifies every Bloom candidate against the
     true benchmark gram strings — the output is then EXACTLY the naive
@@ -91,7 +102,7 @@ def contamination_report(
     # the context cleaner when the report frame is dropped.
     grams = benchmark_grams(bench, b_text, ngram_n=ngram_n) \
         .localCheckpoint(eager=False)
-    bloom = bloom_build(grams, "gram", fp=fp, digest="xxh64")
+    n_grams = grams.count()  # materializes the checkpoint; sizes the filter
 
     # widen first: the explode+probe chain is a narrow CPU-bound map — a
     # single-row-group corpus file would otherwise serialize the whole
@@ -100,14 +111,22 @@ def contamination_report(
     exploded = _widen(docs).select(
         F.col(id_col),
         F.explode(word_ngrams_col(text_col, ngram_n)).alias("gram"))
-    # grams are never NULL post-explode (word_ngrams_col yields empty
-    # arrays, not NULL elements), so the probe batch stays int64-clean
-    candidates = exploded.filter(
-        bloom_contains_col(docs.sparkSession, bloom,
-                           digest64("gram", "xxh64")))
-    if exact:
-        candidates = candidates.join(F.broadcast(grams), on="gram",
-                                     how="inner")
+    if exact and n_grams <= prefilter_min_grams:
+        # driver-sized benchmark: the exact broadcast join alone (see
+        # prefilter_min_grams above) — identical output, two fewer jobs
+        candidates = exploded.join(F.broadcast(grams), on="gram",
+                                   how="inner")
+    else:
+        bloom = bloom_build(grams, "gram", fp=fp, digest="xxh64",
+                            expected_items=n_grams)
+        # grams are never NULL post-explode (word_ngrams_col yields empty
+        # arrays, not NULL elements), so the probe batch stays int64-clean
+        candidates = exploded.filter(
+            bloom_contains_col(docs.sparkSession, bloom,
+                               digest64("gram", "xxh64")))
+        if exact:
+            candidates = candidates.join(F.broadcast(grams), on="gram",
+                                         how="inner")
     report = candidates.groupBy(id_col).agg(
         F.count_distinct("gram").alias("n_matched_grams"))
     if min_matches > 1:

@@ -128,3 +128,17 @@ def test_probe_stage_is_narrow(spark, corpus):
     # join must stay broadcast)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_prefilter_switch_paths_identical(spark, corpus):
+    """The size-aware prefilter switch (r7): driver-sized gram sets skip
+    the Bloom and probe the broadcast strings directly — output must be
+    IDENTICAL to the Bloom-prefiltered path (forced via
+    prefilter_min_grams=0), in exact mode, for every fp."""
+    bench = corpus.filter(F.col("doc_id").isin(0, 6))
+    small = {(r.doc_id, r.n_matched_grams) for r in contamination_report(
+        corpus, bench, ngram_n=4, fp=1e-3).collect()}
+    bloomed = {(r.doc_id, r.n_matched_grams) for r in contamination_report(
+        corpus, bench, ngram_n=4, fp=1e-3,
+        prefilter_min_grams=0).collect()}
+    assert small == bloomed == _naive_overlap(corpus, bench, 4)
